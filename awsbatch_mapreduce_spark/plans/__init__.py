@@ -1,0 +1,17 @@
+"""Query registry: every implemented operator gets a named query over the
+fixture tables plus (where SQL-expressible) a DuckDB oracle string.
+
+Importing this package populates the registry; ``__spark_entry__.py``
+exposes it to the driver's correctness harness.
+"""
+
+from awsbatch_mapreduce_spark.plans.registry import QUERIES, QuerySpec, query
+
+# Import for side effect: each module registers its queries.
+from awsbatch_mapreduce_spark.plans import reference_parity  # noqa: F401
+from awsbatch_mapreduce_spark.plans import relational  # noqa: F401
+from awsbatch_mapreduce_spark.plans import events  # noqa: F401
+from awsbatch_mapreduce_spark.plans import llm_text  # noqa: F401
+from awsbatch_mapreduce_spark.plans import similarity  # noqa: F401
+
+__all__ = ["QUERIES", "QuerySpec", "query"]

@@ -1,0 +1,434 @@
+"""LLM-data-pipeline text operators over the ``documents`` fixture.
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), text
+analysis (token stats, quality scoring, language-ID, fingerprinting) —
+first-class engine capabilities for 100 TB training-data curation
+(BASELINE.json north star), built purely from JVM-side built-ins
+(split/transform/aggregate/md5) so the hot path never crosses into
+Python.
+
+Cross-engine determinism trick: MinHash normally needs integer hash
+functions, but ``md5`` hex strings compare lexicographically exactly as
+their numeric value (fixed-width lowercase hex in both engines), so
+``min(substr(md5(shingle || seed), 1, 16))`` is a valid minhash that
+DuckDB reproduces bit-for-bit — no engine-specific ``hash()`` needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbatch_mapreduce_spark.functions.rounding import dround
+
+from awsbatch_mapreduce_spark.plans.registry import query
+from awsbatch_mapreduce_spark.sources.tables import load_table
+
+_N_HASHES = 8  # minhash signature length
+_N_BANDS = 4  # LSH bands (rows-per-band = 2)
+
+# Shared SQL fragment: distinct 3-token shingles per doc (DuckDB dialect).
+_SH_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t)-2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS shingle
+      FROM toks)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles per doc (Spark side of ``_SH_SQL``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """
+                    CASE WHEN size(split(text, ' ')) >= 3
+                    THEN transform(sequence(1, size(split(text, ' ')) - 2),
+                         i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                             element_at(split(text, ' '), i + 1),
+                                             element_at(split(text, ' '), i + 2)))
+                    ELSE array() END
+                    """
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS fingerprint,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, keep min id.
+
+    At 100 TB this is the canonical first pass: the shuffle key is the
+    16-byte digest, not the document body, so exchange volume is
+    O(rows), not O(bytes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """doc_id -> h0..h{k-1} minhash signature columns."""
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)).alias(
+            f"h{i}"
+        )
+        for i in range(_N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_LSH_ORACLE = f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS h{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, md5(h{2 * b} || h{2 * b + 1} || '/{b}') AS bk FROM sig" for b in range(_N_BANDS))}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           FLOOR((n_common * 1.0 / (sa.n + sb.n - n_common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_LSH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: shingle -> minhash -> LSH bands -> verify.
+
+    Scale path: candidate generation is a self-join on *band keys* (tiny
+    strings), so the quadratic all-pairs comparison never happens — only
+    docs sharing a band collide, and the exact-Jaccard verify join runs
+    on that small candidate set.  8 hashes, 4 bands of 2 => P(collide) =
+    1-(1-j^2)^4, catching j>=0.9 with >99% probability.
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sig = _minhash_sig(sh)
+    bands = None
+    for b in range(_N_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.md5(
+                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(f"/{b}"))
+            ).alias("bk"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sha = sh.alias("sa")
+    shb = sh.alias("sb")
+    inter = (
+        cand.join(sha, F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            shb,
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dround(
+                F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_SH_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               FLOOR((n_common * 1.0 / (sa.n + sb.n - n_common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (>= 0.12) via shared-shingle self-join.
+
+    The inverted-index join (on shingle) only pairs docs sharing at
+    least one shingle — still superlinear on pathological corpora, which
+    is why :func:`dedup_minhash_lsh` is the scale path; this is the
+    exact baseline it's validated against.
+    """
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(jac >= 0.12)
+        .select("id_a", "id_b", dround(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+        WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        bits AS (
+          SELECT doc_id, j,
+                 CASE WHEN SUM(CASE WHEN strpos('89abcdef', substr(md5(tok), j, 1)) > 0
+                                    THEN 1 ELSE -1 END) >= 0
+                      THEN '1' ELSE '0' END AS bit
+          FROM toks, generate_series(1, 16) AS g(j)
+          GROUP BY doc_id, j)
+        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash16
+        FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from distinct-token md5 high bits.
+
+    Each of the 16 hex digits of a token's md5 contributes its high bit
+    (+1/-1); the per-position vote sign is the fingerprint bit.  Docs
+    with small Hamming distance are near-dups; bucketing on the
+    fingerprint (or its bands) gives the scale path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    positions = toks.select(
+        "doc_id",
+        F.md5("tok").alias("h"),
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
+    )
+    bits = positions.groupBy("doc_id", "j").agg(
+        F.when(
+            F.sum(
+                F.when(F.expr("instr('89abcdef', substr(h, j, 1))") > 0, 1).otherwise(
+                    -1
+                )
+            )
+            >= 0,
+            "1",
+        )
+        .otherwise("0")
+        .alias("bit")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "bit"))),
+                lambda x: x["bit"],
+            ),
+            "",
+        ).alias("simhash16")
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_unique_tokens,
+               FLOOR((length(text) * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0
+                   AS chars_per_token
+        FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, chars/token.
+
+    Pure JVM-side split/size — the BPE-ish regex variant is in
+    ``functions.text``; this is the whitespace baseline every corpus
+    report starts from.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        dround(F.length("text") * 1.0 / F.size(toks), 4).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+        SELECT doc_id,
+               n_tokens,
+               stop_ratio,
+               unique_ratio,
+               FLOOR((0.4 * LEAST(n_tokens / 50.0, 1.0)
+                     + 0.3 * stop_ratio + 0.3 * unique_ratio) * 10000.0 + 0.5) / 10000.0 AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   FLOOR((len(list_filter(string_split(text, ' '),
+                                         x -> x IN ('the', 'a')))
+                         * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                   FLOOR((len(list_distinct(string_split(text, ' ')))
+                         * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS unique_ratio
+            FROM documents
+        )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, stopword ratio, lexical diversity.
+
+    The standard pre-training filter shape (Gopher/C4-style rules):
+    every term is a JVM-side expression, so scoring 100 TB is a single
+    narrow projection with no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    stop_ratio = dround(
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))) * 1.0 / F.size(toks), 4
+    )
+    unique_ratio = dround(F.size(F.array_distinct(toks)) * 1.0 / F.size(toks), 4)
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        unique_ratio.alias("unique_ratio"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "stop_ratio",
+        "unique_ratio",
+        dround(
+            0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+            + 0.3 * F.col("stop_ratio")
+            + 0.3 * F.col("unique_ratio"),
+            4,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_language_id",
+    oracle="""
+        SELECT doc_id, lang AS lang_meta,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         x -> x IN ('the', 'a', 'of', 'and'))) >= 2
+                    THEN 'en'
+                    WHEN len(list_filter(string_split(text, ' '),
+                                         x -> x IN ('el', 'la', 'de', 'y'))) >= 2
+                    THEN 'es'
+                    ELSE 'unknown' END AS lang_pred
+        FROM documents
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic family).
+
+    Deterministic rule: >= 2 hits in a language's stopword list wins, in
+    fixed priority order.  (The fixture's ``lang`` column is synthetic
+    metadata — the predictor runs on the text itself.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
+    es_hits = F.size(F.filter(toks, lambda x: x.isin("el", "la", "de", "y")))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        F.when(en_hits >= 2, "en")
+        .when(es_hits >= 2, "es")
+        .otherwise("unknown")
+        .alias("lang_pred"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(trim(text))) AS full_fp,
+               md5(substr(lower(trim(text)), 1, 64)) AS prefix_fp,
+               CAST(length(text) AS BIGINT) AS n_chars_actual
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized full + 64-char-prefix digests.
+
+    The prefix digest catches boilerplate-prefix duplicates that full
+    hashing misses; both are shuffle-free projections.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("full_fp"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )

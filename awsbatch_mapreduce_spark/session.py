@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-aware defaults.
+
+Replaces the reference's orchestration substrate (AWS Batch array jobs +
+S3 manifests + job dependencies, ``src/awsbatch-mapreduce/Implementation.cs:14-79``
+and ``infra/Program.cs:47-274``) with Spark's scheduler: partitioned reads
+give fan-out (X1), the DAG gives stage barriers (X3), and the shuffle
+replaces S3 as the exchange medium (X4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for the local[32] test harness; on a real cluster these
+# are overridden by spark-submit conf.  AQE handles runtime re-planning
+# (coalescing small shuffle partitions, skew-join splitting) so the same
+# logical plans survive a 100x scale-up without re-tuning.
+_DEFAULT_CONF: dict[str, str] = {
+    # Adaptive execution: coalesce post-shuffle partitions, split skewed
+    # join partitions, convert to broadcast at runtime when a side is small.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas_udf / toPandas — the reference's vectorized-numpy
+    # stance (src/awsbatch-map/main.py:67-72) maps to Arrow batches.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Broadcast threshold: dims (region/nation/supplier) stay broadcast
+    # even at 100 TB fact scale; AQE may upgrade others at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Parquet: vectorized reader + pushdown are on by default; keep
+    # explicit so a conf audit shows intent.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+}
+
+
+def get_spark(
+    app_name: str = "awsbatch-mapreduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for local runs; under spark-submit the submitted master wins.
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster leave it unset and let AQE coalesce from a high initial value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(_DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

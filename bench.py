@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query runs once as a warm-up-free wall-clock measurement with a
+``noop``-format write so the full plan executes (no collect to driver,
+no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from awsbatch_mapreduce_spark.plans import QUERIES
+from awsbatch_mapreduce_spark.session import get_spark
+
+# Headline set: one per operator family — scan+agg, joins, window,
+# dedup/LSH, similarity, sessionization.
+HEADLINE = [
+    "frame_histogram2d",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "window_top_orders_per_customer",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="awsbatch-mapreduce-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL side by side, then
+compares row count, column names, and (order-insensitively) values —
+the same contract as CORRECTNESS_r{N}.json, so a green
+``tests/test_oracle_parity.py`` predicts a green driver run.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from awsbatch_mapreduce_spark.sources.tables import TABLES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row counts differ: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+        return problems
+    a = _normalize(spark_pdf)
+    b = _normalize(oracle_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            close = np.isclose(av, bv, rtol=1e-9, atol=1e-9) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                problems.append(
+                    f"column {c!r}: {int((~close).sum())} value mismatches, "
+                    f"first at row {i}: spark={av[i]!r} oracle={bv[i]!r}"
+                )
+        else:
+            eq = (a[c].to_numpy() == b[c].to_numpy()) | (a[c].isna() & b[c].isna()).to_numpy()
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"column {c!r}: {int((~eq).sum())} value mismatches, "
+                    f"first at row {i}: spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r}"
+                )
+    return problems
+
+
+def check_query(spark, con, name: str, builder, oracle: str | None, sf_dir: str) -> list[str]:
+    sdf = builder(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if oracle is None:
+        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+    oracle_pdf = con.execute(oracle).fetchdf()
+    if math.isnan(len(spark_pdf)):  # pragma: no cover - defensive
+        return ["spark produced no frame"]
+    return compare_frames(spark_pdf, oracle_pdf)
