@@ -1,0 +1,139 @@
+"""Multimodal (binary) column support for large-scale data pipelines.
+
+Images/audio/video are opaque ``binary`` payload columns plus a typed
+metadata struct; per-item decode / feature-extraction / frame-sampling
+run as Arrow-batched ``mapInPandas`` so each Python worker handles one
+batch of payloads without ever materializing the corpus on the driver.
+
+The container has no image/audio codecs, so the actual decode is a
+deterministic stand-in (documented below) behind the same plumbing a
+real decoder would use: the Spark-side schema, partitioning, UDF
+signature, and batch iteration are the production shape — swap
+``_fake_decode`` for PIL/ffmpeg and nothing else changes.
+
+Scale notes: payload bytes never shuffle — features are extracted in
+the same stage as the scan and only the (tiny) feature columns flow
+onward.  ``maxPartitionBytes`` bounds batch memory; Arrow transfers the
+binary column zero-copy per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbatch_mapreduce_spark.sources.tables import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, mime STRING, n_bytes BIGINT, sha16 STRING, "
+    "fake_width INT, fake_height INT, brightness DOUBLE"
+)
+
+
+def synthesize_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, meta struct).
+
+    Stands in for a real multimodal table (payload = UTF-8 bytes of the
+    text; a real corpus would carry image/audio bytes).  The metadata
+    struct mirrors what an ingest pipeline records next to the blob.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic decoder stand-in.
+
+    A real implementation would be ``PIL.Image.open(io.BytesIO(payload))``
+    etc.; codecs aren't in this container, so derive stable pseudo-
+    features from the bytes themselves: dimensions from the sha256
+    digest, brightness = mean byte value.  Deterministic => testable via
+    a SQL oracle computing the same arithmetic.
+    """
+    digest = hashlib.sha256(payload).hexdigest()
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "sha16": digest[:16],
+        "fake_width": 64 + n % 192,
+        "fake_height": 64 + (n // 7) % 192,
+        "brightness": (sum(payload) / n) if n else 0.0,
+    }
+
+
+def decode_image_features(binary_docs: DataFrame) -> DataFrame:
+    """mapInPandas decode: (doc_id, payload, meta) -> feature rows.
+
+    One Python worker pass per Arrow batch; the payload column is
+    dropped after extraction so only narrow features leave the stage.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "mime", [m["mime"] for m in pdf["meta"]])
+            yield out[
+                [
+                    "doc_id",
+                    "mime",
+                    "n_bytes",
+                    "sha16",
+                    "fake_width",
+                    "fake_height",
+                    "brightness",
+                ]
+            ]
+
+    return binary_docs.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    binary_docs: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Deterministic "video frame sampling": split each payload into
+    ``n_frames`` evenly-spaced byte windows (stand-in for ffmpeg
+    keyframe extraction).  Output is exploded one row per frame — the
+    shape a caption/embedding stage consumes.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not data:
+                    continue
+                step = max(len(data) // n_frames, 1)
+                for i in range(min(n_frames, len(data))):
+                    chunk = data[i * step : i * step + frame_bytes]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_sha16": hashlib.sha256(chunk).hexdigest()[:16],
+                            "frame_len": len(chunk),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_sha16", "frame_len"]
+            )
+
+    return binary_docs.mapInPandas(
+        sample,
+        schema="doc_id BIGINT, frame_idx INT, frame_sha16 STRING, frame_len INT",
+    )

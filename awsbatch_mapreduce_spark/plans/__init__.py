@@ -13,5 +13,6 @@ from awsbatch_mapreduce_spark.plans import relational  # noqa: F401
 from awsbatch_mapreduce_spark.plans import events  # noqa: F401
 from awsbatch_mapreduce_spark.plans import llm_text  # noqa: F401
 from awsbatch_mapreduce_spark.plans import similarity  # noqa: F401
+from awsbatch_mapreduce_spark.plans import multimodal_q  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

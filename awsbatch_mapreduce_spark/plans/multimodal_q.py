@@ -1,0 +1,92 @@
+"""Registry entries for the multimodal (binary-column) operators.
+
+The decode stand-in is deterministic (``multimodal.binary._fake_decode``:
+features derived from the payload bytes), so even the mapInPandas path
+gets a full SQL oracle — DuckDB recomputes the same arithmetic from the
+text the payload was synthesized from (ASCII text => codepoint == byte).
+``frame_sample`` output isn't practically SQL-expressible and ships as a
+rows-only entry (the driver records the weaker check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbatch_mapreduce_spark.multimodal.binary import (
+    decode_image_features,
+    frame_sample,
+    synthesize_binary_docs,
+)
+from awsbatch_mapreduce_spark.plans.registry import query
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS payload_sha,
+               'application/octet-stream' AS mime,
+               source AS origin
+        FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata, JVM-side digests.
+
+    Exercises the binary column path without Python: octet_length and
+    sha2 run in codegen directly over the payload bytes.
+    """
+    b = synthesize_binary_docs(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.lower(F.sha2("payload", 256)).alias("payload_sha"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents
+        ), bytes AS (
+            SELECT doc_id, ord(substr(text, i, 1)) AS b FROM idx
+        ), sums AS (
+            SELECT doc_id, SUM(b) AS byte_sum, COUNT(*) AS n
+            FROM bytes GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               'application/octet-stream' AS mime,
+               CAST(s.n AS BIGINT) AS n_bytes,
+               substr(sha256(d.text), 1, 16) AS sha16,
+               CAST(64 + s.n % 192 AS INT) AS fake_width,
+               CAST(64 + (s.n // 7) % 192 AS INT) AS fake_height,
+               s.byte_sum * 1.0 / s.n AS brightness
+        FROM documents d JOIN sums s ON d.doc_id = s.doc_id
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode -> per-item features.
+
+    The production shape for image/audio feature extraction: payload
+    bytes stay in the scan stage, only narrow features flow on.  The
+    oracle reproduces the deterministic fake decoder's arithmetic.
+    """
+    return decode_image_features(synthesize_binary_docs(spark, sf_dir))
+
+
+@query("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (rows-only check).
+
+    Byte-window extraction + per-frame digests via mapInPandas — the
+    video keyframe pipeline shape.  Not SQL-expressible without
+    blob-slicing UDFs, so the driver records the weaker check.
+    """
+    return frame_sample(synthesize_binary_docs(spark, sf_dir))

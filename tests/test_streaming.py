@@ -1,0 +1,107 @@
+"""Streaming correctness = batch equivalence.
+
+Chunk the events fixture into several parquet files, run each windowed
+aggregation as a stream (availableNow, multiple micro-batches) into a
+memory sink, and assert the result equals running the same aggregation
+over the same data as one batch DataFrame.  This is the standard
+correctness contract for Structured Streaming operators: the streaming
+plan must converge to the batch answer once the watermark passes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from awsbatch_mapreduce_spark.sources.tables import load_table
+from awsbatch_mapreduce_spark.streaming import (
+    read_events_stream,
+    session_aggregate,
+    sliding_aggregate,
+    tumbling_aggregate,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_chunks(spark, tmp_path_factory):
+    """Events fixture split into 4 *time-ordered* parquet chunk files.
+
+    Chunks must arrive in event-time order: the watermark advances to
+    max(ts) - delay after each micro-batch, and rows older than the
+    watermark are dropped before stateful aggregation — randomly-ordered
+    chunks would (correctly) lose most of their rows as late data.
+    Files are written with increasing mtimes because the file source
+    processes files in modification-time order.
+    """
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("events_stream")
+    table = pq.read_table(f"{SF_DIR}/events.parquet")
+    table = table.sort_by("ts")
+    n = table.num_rows
+    for i in range(4):
+        chunk = table.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+        pq.write_table(chunk, str(out / f"chunk-{i}.parquet"))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    return str(out)
+
+
+def _run_stream(spark, agg_df, name: str) -> pd.DataFrame:
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    q.stop()
+    return out
+
+
+def _assert_frames_equal(stream_pdf: pd.DataFrame, batch_pdf: pd.DataFrame):
+    cols = sorted(stream_pdf.columns)
+    assert cols == sorted(batch_pdf.columns)
+    a = stream_pdf[cols].sort_values(by=cols, ignore_index=True)
+    b = batch_pdf[cols].sort_values(by=cols, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "agg_fn,name",
+    [
+        (tumbling_aggregate, "tumbling_sink"),
+        (sliding_aggregate, "sliding_sink"),
+        (session_aggregate, "session_sink"),
+    ],
+)
+def test_stream_equals_batch(spark, events_chunks, agg_fn, name):
+    stream_in = read_events_stream(spark, events_chunks)
+    stream_out = _run_stream(spark, agg_fn(stream_in), name)
+
+    batch_in = load_table(spark, SF_DIR, "events")
+    batch_out = agg_fn(batch_in).toPandas()
+
+    assert len(stream_out) > 0
+    _assert_frames_equal(stream_out, batch_out)
+
+
+def test_stream_multiple_batches(spark, events_chunks):
+    """The file source really produces several micro-batches (not one)."""
+    stream_in = read_events_stream(spark, events_chunks, max_files_per_trigger=1)
+    q = (
+        tumbling_aggregate(stream_in)
+        .writeStream.format("memory")
+        .queryName("batchcount_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 4, f"expected >=4 micro-batches, saw {n_batches}"
