@@ -14,5 +14,6 @@ from awsbatch_mapreduce_spark.plans import events  # noqa: F401
 from awsbatch_mapreduce_spark.plans import llm_text  # noqa: F401
 from awsbatch_mapreduce_spark.plans import similarity  # noqa: F401
 from awsbatch_mapreduce_spark.plans import multimodal_q  # noqa: F401
+from awsbatch_mapreduce_spark.plans import temporal  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

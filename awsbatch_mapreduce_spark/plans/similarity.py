@@ -115,6 +115,202 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sign_band_key(band: int, lo: int, hi: int) -> Column:
+    """Sign-random-projection LSH band key over dims [lo, hi) (0-indexed).
+
+    Specialized to axis-aligned hyperplanes (sign of each coordinate),
+    which keeps the key a pure comparison — bit-identical across engines,
+    no float arithmetic to drift.
+    """
+    bits = [
+        F.when(F.col("embedding")[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(lo, hi)
+    ]
+    return F.concat(F.concat_ws("", *bits), F.lit(f"/{band}"))
+
+
+_EMB_DEDUP_ORACLE = """
+    WITH bits AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+    keys AS (
+      SELECT vec_id,
+             STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+               || '/0' AS bk
+      FROM bits WHERE i BETWEEN 1 AND 8 GROUP BY vec_id
+      UNION ALL
+      SELECT vec_id,
+             STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+               || '/1'
+      FROM bits WHERE i BETWEEN 9 AND 16 GROUP BY vec_id),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+    cos AS (
+      SELECT c.id_a, c.id_b,
+             SUM(x.v * y.v) AS dot,
+             SUM(x.v * x.v) AS xx,
+             SUM(y.v * y.v) AS yy
+      FROM cand c
+      JOIN bits x ON x.vec_id = c.id_a
+      JOIN bits y ON y.vec_id = c.id_b AND y.i = x.i
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           FLOOR((dot / (SQRT(xx) * SQRT(yy))) * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM cos
+    WHERE FLOOR((dot / (SQRT(xx) * SQRT(yy))) * 10000.0 + 0.5) / 10000.0 >= 0.25
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: sign-LSH bucketing -> exact
+    cosine verify (threshold 0.25 — the fixture has no true near-dups,
+    so the threshold sits where the tail of the distribution is).
+
+    Scale path: the quadratic all-pairs join never happens — candidates
+    come from a self-join on two 8-bit sign-band keys (collision prob
+    rises with cosine), then only candidates pay the exact-cosine
+    verification.  Same band->verify shape as ``dedup_minhash_lsh``.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    keys = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(_sign_band_key(0, 0, 8), _sign_band_key(1, 8, 16))
+        ).alias("bk"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cosine = dround(
+        _dot(F.col("ea"), F.col("eb")) / (_norm2(F.col("ea")) * _norm2(F.col("eb"))),
+        4,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+_IVF_ORACLE = """
+    WITH bits AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+    cent AS (SELECT label, i, FLOOR(AVG(v) * 10000.0 + 0.5) / 10000.0 AS cv
+             FROM bits GROUP BY label, i),
+    vnorm AS (SELECT vec_id, SQRT(SUM(v * v)) AS nv FROM bits GROUP BY vec_id),
+    cnorm AS (SELECT label, SQRT(SUM(cv * cv)) AS nc FROM cent GROUP BY label),
+    score AS (
+      SELECT b.vec_id, c.label,
+             FLOOR((SUM(b.v * c.cv) / (MAX(vn.nv) * MAX(cn.nc))) * 1000000.0 + 0.5)
+               / 1000000.0 AS s
+      FROM bits b
+      JOIN cent c ON c.i = b.i
+      JOIN vnorm vn ON vn.vec_id = b.vec_id
+      JOIN cnorm cn ON cn.label = c.label
+      GROUP BY b.vec_id, c.label),
+    assign AS (SELECT vec_id, label AS cell FROM (
+                 SELECT vec_id, label,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rk
+                 FROM score) WHERE rk = 1),
+    probe AS (SELECT vec_id AS query_id, label AS cell FROM (
+                 SELECT vec_id, label,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rk
+                 FROM score WHERE vec_id < 8) WHERE rk <= 2),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+    cos AS (
+      SELECT c.query_id, c.neighbor_id,
+             SUM(q.v * n.v) AS dot, SUM(q.v * q.v) AS qq, SUM(n.v * n.v) AS nn
+      FROM cand c
+      JOIN bits q ON q.vec_id = c.query_id
+      JOIN bits n ON n.vec_id = c.neighbor_id AND n.i = q.i
+      GROUP BY c.query_id, c.neighbor_id)
+    SELECT query_id, neighbor_id,
+           FLOOR((dot / (SQRT(qq) * SQRT(nn))) * 10000.0 + 0.5) / 10000.0 AS cosine,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY FLOOR((dot / (SQRT(qq) * SQRT(nn))) * 10000.0 + 0.5) / 10000.0 DESC,
+                         neighbor_id) AS BIGINT) AS rk
+    FROM cos
+    QUALIFY rk <= 5
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor: coarse-quantize the corpus into
+    cells (codebook = per-label centroids), probe the 2 nearest cells per
+    query, exact top-5 cosine within the probed cells only.
+
+    Scale path vs :func:`knn_bruteforce_cosine`: the corpus is scanned
+    once to build the (tiny, broadcast) codebook and once to assign
+    cells; each query then touches ~nprobe/ncells of the data instead of
+    all of it.  Centroid values are quantized to 4 decimals and cell
+    scores to 6 so the assignment argmax is engine-independent.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    cent_flat = bits.groupBy("label", "pos").agg(dround(F.avg("v"), 4).alias("cv"))
+    centroids = cent_flat.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+    def cell_scores(side: DataFrame) -> DataFrame:
+        """score every vector against every centroid (broadcast codebook)."""
+        s = dround(
+            _dot(F.col("embedding"), F.col("centroid"))
+            / (_norm2(F.col("embedding")) * _norm2(F.col("centroid"))),
+            6,
+        )
+        return side.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", F.col("label").alias("cell"), s.alias("s")
+        )
+
+    corpus = emb.select("vec_id", "embedding")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    assign = (
+        cell_scores(corpus)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    probe = (
+        cell_scores(corpus.filter(F.col("vec_id") < 8))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= 2)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = probe.join(assign, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    cosine = dround(
+        _dot(F.col("qv"), F.col("nv")) / (_norm2(F.col("qv")) * _norm2(F.col("nv"))),
+        4,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
 @query(
     "embedding_centroid_per_label",
     oracle="""
