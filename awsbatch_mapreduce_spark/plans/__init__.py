@@ -15,5 +15,6 @@ from awsbatch_mapreduce_spark.plans import llm_text  # noqa: F401
 from awsbatch_mapreduce_spark.plans import similarity  # noqa: F401
 from awsbatch_mapreduce_spark.plans import multimodal_q  # noqa: F401
 from awsbatch_mapreduce_spark.plans import temporal  # noqa: F401
+from awsbatch_mapreduce_spark.plans import tpch_extra  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]
