@@ -16,5 +16,8 @@ from awsbatch_mapreduce_spark.plans import similarity  # noqa: F401
 from awsbatch_mapreduce_spark.plans import multimodal_q  # noqa: F401
 from awsbatch_mapreduce_spark.plans import temporal  # noqa: F401
 from awsbatch_mapreduce_spark.plans import tpch_extra  # noqa: F401
+from awsbatch_mapreduce_spark.plans import streaming_q  # noqa: F401
+from awsbatch_mapreduce_spark.plans import drift_q  # noqa: F401
+from awsbatch_mapreduce_spark.plans import manifest_io  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

@@ -18,7 +18,9 @@ from awsbatch_mapreduce_spark.plans import QUERIES
 from awsbatch_mapreduce_spark.session import get_spark
 
 # Headline set: one per operator family — scan+agg, joins, window,
-# dedup/LSH, similarity, sessionization.
+# dedup/LSH, similarity, sessionization; widened in round 1 with the
+# temporal joins, ANN/embedding-dedup scale paths, sliding windows,
+# multi-join top-k, and the multimodal decode stage.
 HEADLINE = [
     "frame_histogram2d",
     "q1_pricing_summary",
@@ -30,6 +32,13 @@ HEADLINE = [
     "events_sessionization",
     "dedup_minhash_lsh",
     "knn_bruteforce_cosine",
+    "q10_returned_revenue",
+    "events_sliding_windows",
+    "asof_join_purchase_attribution",
+    "range_join_error_context",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "multimodal_decode_features",
 ]
 
 
