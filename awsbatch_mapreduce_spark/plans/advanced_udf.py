@@ -1,0 +1,152 @@
+"""Full-outer join evidence + the two Arrow UDF aggregation surfaces
+(GROUPED_AGG pandas_udf and ``applyInPandas`` grouped map) under the
+oracle gate — completing the §2.5/§2.6 engine-parity matrix alongside
+the scalar ``mapInPandas`` path in ``multimodal/binary.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbatch_mapreduce_spark.functions.rounding import dround, dround_sql
+from awsbatch_mapreduce_spark.plans.registry import query
+from awsbatch_mapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "full_outer_nation_coverage",
+    oracle="""
+        WITH cs AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+                    FROM customer GROUP BY c_nationkey),
+        sp AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+        SELECT COALESCE(cs.nk, sp.nk) AS nationkey,
+               COALESCE(cs.n_customers, 0) AS n_customers,
+               COALESCE(sp.n_suppliers, 0) AS n_suppliers
+        FROM cs FULL OUTER JOIN sp ON sp.nk = cs.nk
+    """,
+)
+def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of customer vs supplier presence per nation —
+    at sf0.001 suppliers cover only 10 of 25 nations, so the unmatched
+    side is genuinely exercised (15 supplier-null rows).
+
+    Both inputs are pre-aggregated to <=25 rows before the join: the
+    full-outer shuffle is on aggregate cardinality, never fact rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cs = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sp = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cs.join(sp, cs.nk_c == sp.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "udaf_geomean_value",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               {dround_sql('EXP(AVG(LN(value)))', 4)} AS geomean_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def udaf_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via Arrow GROUPED_AGG pandas_udf: geometric mean
+    of event value per type (values are strictly positive in fixture).
+
+    The UDAF computes exp(mean(log(x))) in one Arrow batch per group —
+    the same log-sum the oracle expresses as EXP(AVG(LN(v))).  At scale
+    a GROUPED_AGG udf receives each group whole; for sum-decomposable
+    aggregates like this, pre-combining with built-ins is the faster
+    path (see oracle form) — the query exists to pin the UDAF surface.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() — the count rides along as a second pandas UDF.
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        n_rows("value").alias("n"),
+        dround(geomean("value"), 4).alias("geomean_value"),
+    )
+
+
+@query(
+    "grouped_map_regression",
+    oracle=f"""
+        WITH t AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS x,
+                 value AS y
+          FROM events)
+        SELECT event_type,
+               COUNT(*) AS n,
+               {dround_sql('REGR_SLOPE(y, x)', 4)} AS slope_per_day,
+               {dround_sql('REGR_INTERCEPT(y, x)', 4)} AS intercept
+        FROM t
+        GROUP BY event_type
+    """,
+)
+def grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (value vs event-time in days) via ``applyInPandas``
+    — the grouped-map surface where each group arrives as one pandas
+    frame and returns an arbitrary-shape result.
+
+    The slope/intercept use the same co-moment formula as SQL
+    ``REGR_SLOPE``/``REGR_INTERCEPT`` so the oracle matches to 4dp;
+    time is rescaled to days so the coefficients are O(1), not 1e-7
+    (which would round to a vacuous 0).
+    """
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        xm, ym = x.mean(), y.mean()
+        dx = x - xm
+        slope = (dx * (y - ym)).sum() / (dx * dx).sum()
+        inter = ym - slope * xm
+
+        def dr(v: float) -> float:
+            return math.floor(v * 10000.0 + 0.5) / 10000.0
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "slope_per_day": [dr(slope)],
+                "intercept": [dr(inter)],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts").cast("double") / F.lit(86400000000.0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return ev.groupBy("event_type").applyInPandas(
+        ols, schema="event_type STRING, n BIGINT, slope_per_day DOUBLE, intercept DOUBLE"
+    )

@@ -267,29 +267,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid")
     )
 
-    def cell_scores(side: DataFrame) -> DataFrame:
-        """score every vector against every centroid (broadcast codebook)."""
-        s = dround(
-            _dot(F.col("embedding"), F.col("centroid"))
-            / (_norm2(F.col("embedding")) * _norm2(F.col("centroid"))),
-            6,
-        )
-        return side.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", F.col("label").alias("cell"), s.alias("s")
-        )
-
+    # ONE corpus x codebook scoring pass feeds both the cell assignment
+    # (rk=1, all vectors) and the query probes (rk<=2, query vectors):
+    # queries are corpus members, so scoring them separately would
+    # rescan the table — persist the ranked scores instead.
     corpus = emb.select("vec_id", "embedding")
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
-    assign = (
-        cell_scores(corpus)
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cell")
+    s = dround(
+        _dot(F.col("embedding"), F.col("centroid"))
+        / (_norm2(F.col("embedding")) * _norm2(F.col("centroid"))),
+        6,
     )
-    probe = (
-        cell_scores(corpus.filter(F.col("vec_id") < 8))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
+    scored = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select("vec_id", F.col("label").alias("cell"), s.alias("s"))
         .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") <= 2)
+        .persist()
+    )
+    assign = scored.filter(F.col("rk") == 1).select("vec_id", "cell")
+    probe = (
+        scored.filter((F.col("vec_id") < 8) & (F.col("rk") <= 2))
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
     cand = probe.join(assign, "cell").filter(
