@@ -20,5 +20,6 @@ from awsbatch_mapreduce_spark.plans import streaming_q  # noqa: F401
 from awsbatch_mapreduce_spark.plans import drift_q  # noqa: F401
 from awsbatch_mapreduce_spark.plans import manifest_io  # noqa: F401
 from awsbatch_mapreduce_spark.plans import advanced_udf  # noqa: F401
+from awsbatch_mapreduce_spark.plans import sql_surface  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

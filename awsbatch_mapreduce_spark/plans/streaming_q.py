@@ -121,3 +121,35 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_ENGAGEMENT_ORACLE = """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap_us
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(cents) / 100.0 AS total_value,
+           CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+    FROM t
+    GROUP BY user_id
+"""
+
+
+@query("user_engagement_profile", oracle=_ENGAGEMENT_ORACLE)
+def user_engagement_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator
+    (``streaming.stateful.user_engagement_stateful``): per-user event
+    count, fixed-point value total, and max inactivity gap.
+
+    The streaming path maintains this as O(1) state per user via
+    ``applyInPandasWithState``; equivalence across micro-batches is
+    pinned in ``tests/test_streaming.py``, and this query puts the
+    shared semantics under the driver's oracle gate.
+    """
+    from awsbatch_mapreduce_spark.streaming.stateful import user_engagement_batch
+
+    return user_engagement_batch(load_table(spark, sf_dir, "events"))

@@ -1,3 +1,7 @@
+from awsbatch_mapreduce_spark.streaming.stateful import (
+    user_engagement_batch,
+    user_engagement_stateful,
+)
 from awsbatch_mapreduce_spark.streaming.windows import (
     read_events_stream,
     session_aggregate,
@@ -10,4 +14,6 @@ __all__ = [
     "tumbling_aggregate",
     "sliding_aggregate",
     "session_aggregate",
+    "user_engagement_stateful",
+    "user_engagement_batch",
 ]

@@ -19,6 +19,8 @@ from awsbatch_mapreduce_spark.streaming import (
     session_aggregate,
     sliding_aggregate,
     tumbling_aggregate,
+    user_engagement_batch,
+    user_engagement_stateful,
 )
 from tests.conftest import SF_DIR
 
@@ -105,3 +107,31 @@ def test_stream_multiple_batches(spark, events_chunks):
     n_batches = len(q.recentProgress)
     q.stop()
     assert n_batches >= 4, f"expected >=4 micro-batches, saw {n_batches}"
+
+
+def test_stateful_engagement_equals_batch(spark, events_chunks):
+    """applyInPandasWithState across multiple micro-batches converges to
+    the batch fold: final per-user snapshot (max cumulative n_events in
+    update-mode output) == one-pass batch computation."""
+    stream_in = read_events_stream(spark, events_chunks, max_files_per_trigger=1)
+    q = (
+        user_engagement_stateful(stream_in)
+        .writeStream.format("memory")
+        .queryName("stateful_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM stateful_sink").toPandas()
+    q.stop()
+    # update mode emits one snapshot per (user, touched micro-batch);
+    # n_events is cumulative, so the final snapshot has the max
+    final = (
+        updates.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    batch = user_engagement_batch(load_table(spark, SF_DIR, "events")).toPandas()
+    assert len(updates) > len(final), "expected multiple updates per user"
+    _assert_frames_equal(final, batch)
