@@ -21,5 +21,6 @@ from awsbatch_mapreduce_spark.plans import drift_q  # noqa: F401
 from awsbatch_mapreduce_spark.plans import manifest_io  # noqa: F401
 from awsbatch_mapreduce_spark.plans import advanced_udf  # noqa: F401
 from awsbatch_mapreduce_spark.plans import sql_surface  # noqa: F401
+from awsbatch_mapreduce_spark.plans import iterative  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]
