@@ -135,3 +135,61 @@ def test_stateful_engagement_equals_batch(spark, events_chunks):
     batch = user_engagement_batch(load_table(spark, SF_DIR, "events")).toPandas()
     assert len(updates) > len(final), "expected multiple updates per user"
     _assert_frames_equal(final, batch)
+
+
+def test_stateful_checkpoint_recovery(spark, tmp_path):
+    """Stop/restart with a checkpoint: the restarted query must resume
+    from persisted state — consuming only new files, keeping old
+    accumulator values.  Failure modes this catches: re-processing old
+    chunks (inflated counts) or losing state (undercounted gaps)."""
+    import shutil
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{SF_DIR}/events.parquet").sort_by("ts")
+    n = table.num_rows
+    chunks = []
+    stage = tmp_path / "stage"
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    stage.mkdir(), src.mkdir(), out.mkdir()
+    for i in range(4):
+        p = stage / f"chunk-{i}.parquet"
+        pq.write_table(table.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4), str(p))
+        chunks.append(p)
+
+    def run_once() -> None:
+        stream = user_engagement_stateful(
+            read_events_stream(spark, str(src), max_files_per_trigger=1)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # phase 1: first two chunks
+    for p in chunks[:2]:
+        shutil.copy(p, src / p.name)
+        _time.sleep(1.1)
+    run_once()
+    # phase 2: remaining chunks, SAME checkpoint -> resume, not replay
+    for p in chunks[2:]:
+        shutil.copy(p, src / p.name)
+        _time.sleep(1.1)
+    run_once()
+
+    updates = spark.read.parquet(str(out)).toPandas()
+    final = updates.sort_values("n_events").groupby("user_id", as_index=False).last()
+    batch = user_engagement_batch(load_table(spark, SF_DIR, "events")).toPandas()
+    _assert_frames_equal(final, batch)
