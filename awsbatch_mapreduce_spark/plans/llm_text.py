@@ -444,3 +444,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
     )
+
+
+_BPE_ORACLE = """
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           list_sum(list_transform(string_split(text, ' '),
+                    w -> CAST(CEIL(len(w) / 4.0) AS BIGINT))) AS n_bpe_pieces,
+           FLOOR((list_sum(list_transform(string_split(text, ' '),
+                    w -> CAST(CEIL(len(w) / 4.0) AS BIGINT)))
+                  * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5)
+             / 10000.0 AS pieces_per_word
+    FROM documents
+"""
+
+
+@query("text_bpe_token_count", oracle=_BPE_ORACLE)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: length-capped subword pieces (~4 chars /
+    piece, the English BPE average) next to the whitespace word count —
+    the pair every data-mixing report tracks (``functions.text``).
+
+    One higher-order aggregate per row, JVM-side: counting 100 TB of
+    text is a narrow projection with zero shuffle.
+    """
+    from awsbatch_mapreduce_spark.functions.text import bpe_ish_piece_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("bigint")
+    pieces = bpe_ish_piece_count("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        words.alias("n_words"),
+        pieces.alias("n_bpe_pieces"),
+        dround(pieces * 1.0 / words, 4).alias("pieces_per_word"),
+    )

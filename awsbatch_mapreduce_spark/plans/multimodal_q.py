@@ -1,11 +1,11 @@
 """Registry entries for the multimodal (binary-column) operators.
 
 The decode stand-in is deterministic (``multimodal.binary._fake_decode``:
-features derived from the payload bytes), so even the mapInPandas path
-gets a full SQL oracle — DuckDB recomputes the same arithmetic from the
-text the payload was synthesized from (ASCII text => codepoint == byte).
-``frame_sample`` output isn't practically SQL-expressible and ships as a
-rows-only entry (the driver records the weaker check).
+features derived from the payload bytes), so every mapInPandas path —
+including ``frame_sample``'s byte-window slicing — gets a full SQL
+oracle: DuckDB recomputes the same arithmetic from the text the payload
+was synthesized from (ASCII text => codepoint == byte, substr == byte
+slice).
 """
 
 from __future__ import annotations
@@ -81,12 +81,31 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(synthesize_binary_docs(spark, sf_dir))
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    # byte windows over ASCII payloads are char windows: substr + sha256
+    # express the sampler exactly (every fixture doc has >= 48 bytes, so
+    # min(n_frames, len) = 4 and step = len // 4 >= 1)
+    oracle="""
+        WITH f AS (
+          SELECT doc_id, text,
+                 GREATEST(length(text) // 4, 1) AS step,
+                 unnest(generate_series(0, 3)) AS frame_idx
+          FROM documents
+          WHERE length(text) > 0)
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               substr(sha256(substr(text, frame_idx * step + 1, 16)), 1, 16)
+                 AS frame_sha16,
+               CAST(length(substr(text, frame_idx * step + 1, 16)) AS INT)
+                 AS frame_len
+        FROM f
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary payloads (rows-only check).
-
-    Byte-window extraction + per-frame digests via mapInPandas — the
-    video keyframe pipeline shape.  Not SQL-expressible without
-    blob-slicing UDFs, so the driver records the weaker check.
+    """Frame sampling over binary payloads: byte-window extraction +
+    per-frame digests via mapInPandas — the video keyframe pipeline
+    shape.  The oracle slices the same windows with substr/sha256
+    (payloads are synthesized from ASCII text, so byte == char).
     """
     return frame_sample(synthesize_binary_docs(spark, sf_dir))
