@@ -137,3 +137,54 @@ def frame_sample(
         sample,
         schema="doc_id BIGINT, frame_idx INT, frame_sha16 STRING, frame_len INT",
     )
+
+
+def resize_payload(
+    binary_docs: DataFrame, factor: int = 2, chunk: int = 1
+) -> DataFrame:
+    """Deterministic "resize": keep every ``factor``-th byte (stride
+    sampling — the stand-in for a real image downsample, which would be
+    PIL ``Image.resize`` over the decoded pixels; codecs absent here).
+
+    Output carries the resized payload's size, digest, and the halved
+    fake dimensions, mirroring what a thumbnailing stage emits.  Payload
+    bytes still never shuffle: resize happens in the scan stage and only
+    metadata flows on.
+    """
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                small = data[::factor]
+                feats = _fake_decode(data)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "orig_bytes": len(data),
+                        "resized_bytes": len(small),
+                        "resized_sha16": hashlib.sha256(small).hexdigest()[:16],
+                        "new_width": feats["fake_width"] // factor,
+                        "new_height": feats["fake_height"] // factor,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "orig_bytes",
+                    "resized_bytes",
+                    "resized_sha16",
+                    "new_width",
+                    "new_height",
+                ],
+            )
+
+    return binary_docs.mapInPandas(
+        shrink,
+        schema=(
+            "doc_id BIGINT, orig_bytes BIGINT, resized_bytes BIGINT, "
+            "resized_sha16 STRING, new_width INT, new_height INT"
+        ),
+    )

@@ -109,3 +109,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (payloads are synthesized from ASCII text, so byte == char).
     """
     return frame_sample(synthesize_binary_docs(spark, sf_dir))
+
+
+@query(
+    "multimodal_resize",
+    # stride-2 byte sampling over ASCII == every-odd-position chars:
+    # rebuild the same string in SQL and hash it
+    oracle="""
+        WITH s AS (
+          SELECT doc_id, text, length(text) AS n,
+                 string_agg(substr(text, i, 1), '' ORDER BY i) AS small
+          FROM (SELECT doc_id, text, length(text) AS n,
+                       unnest(generate_series(1, length(text), 2)) AS i
+                FROM documents) t
+          GROUP BY doc_id, text, n)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS orig_bytes,
+               CAST(length(small) AS BIGINT) AS resized_bytes,
+               substr(sha256(small), 1, 16) AS resized_sha16,
+               CAST((64 + n % 192) // 2 AS INT) AS new_width,
+               CAST((64 + (n // 7) % 192) // 2 AS INT) AS new_height
+        FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize stage: stride-sampled payload + halved fake
+    dimensions via mapInPandas (PIL-shaped plumbing, codec stubbed
+    deterministically).  Oracle rebuilds the strided string in SQL and
+    verifies size, digest, and dimensions.
+    """
+    from awsbatch_mapreduce_spark.multimodal.binary import resize_payload
+
+    return resize_payload(synthesize_binary_docs(spark, sf_dir), factor=2)

@@ -351,3 +351,114 @@ def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
         dround(F.expr("percentile(l_quantity, 0.9)"), 2).alias("p90_qty"),
     )
+
+
+@query(
+    "q7_nation_trade_volume",
+    oracle=f"""
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
+               COUNT(*) AS n_lines,
+               {fps('l.l_extendedprice * (1 - l.l_discount)', 4, 2)} AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE cn.n_nationkey < 10 AND sn.n_nationkey < 10
+          AND cn.n_name <> sn.n_name
+        GROUP BY cn.n_name, sn.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume among the first ten
+    nations by ship year — the same dimension (nation) joined in two roles.
+
+    Both nation copies broadcast; the customer/supplier filters reduce
+    the fact stream before the final aggregate.  Year extraction is a
+    codegen scalar, so the group key costs nothing extra.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.filter(F.col("n_nationkey") < 10).select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.filter(F.col("n_nationkey") < 10).select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            fixed_point_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+        WITH all_rev AS (
+          SELECT EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+                 sn.n_name AS supp_nation,
+                 SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000.0 + 0.5) AS BIGINT)) AS rev_fp
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+          GROUP BY 1, 2)
+        SELECT order_year, supp_nation,
+               {dround_sql('rev_fp / 10000.0', 2)} AS revenue,
+               {dround_sql('rev_fp * 1.0 / SUM(rev_fp) OVER (PARTITION BY order_year)', 6)}
+                 AS market_share
+        FROM all_rev
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: each supplier nation's share of yearly revenue —
+    grouped aggregate + windowed share over the (tiny) aggregate.
+
+    The share denominator is integer fixed-point summed per year, so
+    the ratio is bit-stable across engines and partitionings.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    rev_fp = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + F.lit(0.5)
+        ).cast("bigint")
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("order_year"), "supp_nation")
+        .agg(rev_fp.alias("rev_fp"))
+    )
+    w = Window.partitionBy("order_year")
+    return agg.select(
+        "order_year",
+        "supp_nation",
+        dround(F.col("rev_fp") / 10000.0, 2).alias("revenue"),
+        dround(F.col("rev_fp") * 1.0 / F.sum("rev_fp").over(w), 6).alias(
+            "market_share"
+        ),
+    )
