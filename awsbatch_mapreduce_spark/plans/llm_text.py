@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.functions.rounding import dround
 
@@ -479,4 +480,95 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.alias("n_words"),
         pieces.alias("n_bpe_pieces"),
         dround(pieces * 1.0 / words, 4).alias("pieces_per_word"),
+    )
+
+
+_FUNNEL_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) * 1.0
+                 / len(string_split(text, ' ')) AS stop_ratio,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS unique_ratio,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       x -> x IN ('the', 'a', 'of', 'and'))) >= 2
+                  THEN 'en' ELSE 'other' END AS lang_pred,
+             md5(substr(lower(trim(text)), 1, 64)) AS fp
+      FROM documents),
+    scored AS (
+      SELECT *, 0.4 * LEAST(n_tokens / 50.0, 1.0)
+              + 0.3 * stop_ratio + 0.3 * unique_ratio AS quality
+      FROM t),
+    s1 AS (SELECT * FROM scored WHERE lang_pred = 'en'),
+    s2 AS (SELECT * FROM s1 WHERE quality >= 0.5),
+    s3 AS (SELECT * FROM s2
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+    SELECT * FROM (
+      SELECT '0_raw' AS stage, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+      FROM scored
+      UNION ALL
+      SELECT '1_lang_en', COUNT(*), SUM(n_tokens) FROM s1
+      UNION ALL
+      SELECT '2_quality', COUNT(*), SUM(n_tokens) FROM s2
+      UNION ALL
+      SELECT '3_dedup', COUNT(*), SUM(n_tokens) FROM s3)
+"""
+
+
+@query("corpus_curation_funnel", oracle=_FUNNEL_ORACLE)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation pipeline, reported as a
+    funnel: raw -> language filter -> quality gate -> near-dup keep-one.
+
+    Composes the engine's text operators (language-ID stopword rule,
+    Gopher-style quality score, prefix-fingerprint dedup) into the
+    single pass a data-curation job actually runs, and reports
+    docs/tokens surviving each stage — the acceptance report every
+    corpus build ships with.
+
+    Scale: the scored base frame is one narrow projection (no shuffle);
+    each funnel stage adds only a filter, so Catalyst collapses the
+    whole thing into one scan + four partial aggregates.  The only
+    shuffle is the keep-one dedup (window over fp), whose key domain
+    is the document fingerprint — uniform by construction, no skew.
+    Token sums are exact integers, so no fixed-point quantization is
+    needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin("the", "a"))) * 1.0 / F.size(toks)
+    unique_ratio = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    en_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
+    scored = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (
+            0.4 * F.least(n_tokens / 50.0, F.lit(1.0))
+            + 0.3 * stop_ratio
+            + 0.3 * unique_ratio
+        ).alias("quality"),
+        F.when(en_hits >= 2, "en").otherwise("other").alias("lang_pred"),
+        F.md5(F.substring(F.lower(F.trim(F.col("text"))), 1, 64)).alias("fp"),
+    )
+    s1 = scored.filter(F.col("lang_pred") == "en")
+    s2 = s1.filter(F.col("quality") >= 0.5)
+    s3 = s2.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    return (
+        _stage(scored, "0_raw")
+        .unionByName(_stage(s1, "1_lang_en"))
+        .unionByName(_stage(s2, "2_quality"))
+        .unionByName(_stage(s3, "3_dedup"))
     )

@@ -462,3 +462,97 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "market_share"
         ),
     )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+        WITH per_cust AS (
+          SELECT c.c_custkey,
+                 COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer.
+
+    The fixtures carry no ``o_comment`` (TESTDATA.md), so the classic
+    ``NOT LIKE '%special%requests%'`` exclusion becomes "exclude URGENT
+    orders" — same left-outer + two-level aggregation shape.
+
+    Scale: the left join shuffles on custkey; the second groupBy runs
+    on a #customers-sized intermediate (tiny vs orders) and its key
+    domain (distinct order counts) is tinier still — both aggregates
+    get map-side partials for free.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q4_order_priority_checking",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late lineitem, counted
+    by priority.
+
+    The fixtures carry no ``l_commitdate``/``l_receiptdate``
+    (TESTDATA.md), so "commit missed" becomes "shipped more than 60
+    days after the order date" — preserving the correlated-EXISTS
+    semi-join shape.
+
+    Spark side: a LEFT SEMI join (one shuffle on orderkey, no
+    duplicate-row blowup from multi-lineitem orders, build side never
+    materializes non-matching rows) followed by a 5-group aggregate.
+    The date filter prunes orders before the shuffle.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
