@@ -24,5 +24,6 @@ from awsbatch_mapreduce_spark.plans import sql_surface  # noqa: F401
 from awsbatch_mapreduce_spark.plans import iterative  # noqa: F401
 from awsbatch_mapreduce_spark.plans import udtf_sketch  # noqa: F401
 from awsbatch_mapreduce_spark.plans import quality  # noqa: F401
+from awsbatch_mapreduce_spark.plans import sampling  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "query"]

@@ -1,0 +1,107 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines.
+
+Random sampling (``df.sample``, ``sampleBy``, ``TABLESAMPLE``) is
+engine- and partitioning-dependent — useless for a reproducible corpus
+build and impossible to oracle-check.  The industry-standard fix is
+*hash bucketing*: bucket = ``md5(stable_id) mod N``, which is (a)
+deterministic across engines, runs, and cluster sizes, (b) uniform,
+(c) stable under appends — a document keeps its split forever, so
+train/test contamination can't creep in when the corpus grows.  Both
+queries here are single narrow projections + filters: at 100 TB they
+are one scan with zero shuffles (the aggregate in the split report is
+map-side partial over a 15-row key domain).
+
+The reference has no sampling surface (SURVEY.md §2 — none); this is
+part of the LLM-data-pipeline extension mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbatch_mapreduce_spark.plans.registry import query
+from awsbatch_mapreduce_spark.sources.tables import load_table
+
+
+def md5_bucket(col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from a stable id.
+
+    First 8 hex chars of md5 → 32-bit uint → mod.  Identical maths in
+    any engine with md5 (DuckDB twin: ``('0x' || substr(md5(x),1,8))::
+    UBIGINT % n``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle="""
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS n_tokens
+        FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                     % 100 AS b,
+                     lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+        GROUP BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by md5 bucket of doc_id, reported
+    as per-(split, lang) doc and token counts.
+
+    The split is a pure function of the document id: reproducible on
+    any engine, any partitioning, any corpus size — the property that
+    keeps eval sets uncontaminated across corpus versions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id", 100)
+    return (
+        docs.select(
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias(
+                "split"
+            ),
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle="""
+        SELECT doc_id, lang
+        FROM (SELECT doc_id, lang,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                     % 100 AS b
+              FROM documents)
+        WHERE b < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsample with per-language rates (en 20%, others
+    60%) — the corpus-balancing move that upweights low-resource
+    languages.  Same md5-bucket determinism as the splitter, so the
+    exact kept-set is engine-independent (checked doc-by-doc, not just
+    counts).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = md5_bucket("doc_id", 100)
+    rate = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(60))
+    return docs.filter(b < rate).select("doc_id", "lang")

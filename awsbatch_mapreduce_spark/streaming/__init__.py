@@ -1,3 +1,4 @@
+from awsbatch_mapreduce_spark.streaming.dedup import dedup_events_stream
 from awsbatch_mapreduce_spark.streaming.stateful import (
     user_engagement_batch,
     user_engagement_stateful,
@@ -10,6 +11,7 @@ from awsbatch_mapreduce_spark.streaming.windows import (
 )
 
 __all__ = [
+    "dedup_events_stream",
     "read_events_stream",
     "tumbling_aggregate",
     "sliding_aggregate",

@@ -15,6 +15,7 @@ import pytest
 
 from awsbatch_mapreduce_spark.sources.tables import load_table
 from awsbatch_mapreduce_spark.streaming import (
+    dedup_events_stream,
     read_events_stream,
     session_aggregate,
     sliding_aggregate,
@@ -135,6 +136,56 @@ def test_stateful_engagement_equals_batch(spark, events_chunks):
     batch = user_engagement_batch(load_table(spark, SF_DIR, "events")).toPandas()
     assert len(updates) > len(final), "expected multiple updates per user"
     _assert_frames_equal(final, batch)
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
+    """At-least-once delivery: each chunk replays the tail of the
+    previous one (the redelivery pattern of producer retries and file
+    replays).  dropDuplicatesWithinWatermark must emit every distinct
+    event exactly once — stream output == batch distinct over the
+    physical (duplicated) input, == the original fixture."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{SF_DIR}/events.parquet").sort_by("ts")
+    n = table.num_rows
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    overlap = n // 20
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        # replay `overlap` rows from the previous chunk in front
+        replay_lo = max(lo - overlap, 0)
+        pq.write_table(
+            table.slice(replay_lo, hi - replay_lo),
+            str(src / f"chunk-{i}.parquet"),
+        )
+        _time.sleep(1.1)
+
+    stream_in = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        dedup_events_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_sink").toPandas()
+    q.stop()
+
+    physical_rows = sum(
+        pq.read_table(str(p)).num_rows for p in src.glob("*.parquet")
+    )
+    assert physical_rows > n, "fixture setup failed to inject duplicates"
+    assert len(out) == n, f"stream emitted {len(out)} rows, want {n}"
+    assert out["event_id"].is_unique
+    batch_ids = set(
+        load_table(spark, SF_DIR, "events").select("event_id").toPandas()["event_id"]
+    )
+    assert set(out["event_id"]) == batch_ids
 
 
 def test_stateful_checkpoint_recovery(spark, tmp_path):
