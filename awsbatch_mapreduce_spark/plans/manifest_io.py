@@ -49,3 +49,29 @@ object.__setattr__(
     "oracle",
     QUERIES["month_manifest"].oracle,
 )
+
+
+@query(
+    "pysource_month_manifest",
+    oracle="""
+        SELECT strftime(m, '%Y-%m') AS year_month,
+               'https://example.com/trip-data/yellow_tripdata_'
+                 || strftime(m, '%Y-%m') || '.parquet' AS file_url,
+               CAST(ROW_NUMBER() OVER (ORDER BY m) - 1 AS INT) AS iteration
+        FROM (SELECT unnest(generate_series(DATE '2009-01-01',
+                                            DATE '2010-12-01',
+                                            INTERVAL 1 MONTH)) AS m)
+    """,
+)
+def pysource_month_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python data source (``sources/pysource.py``) read end
+    to end: 24 manifest rows, one input partition per month — the
+    reference's array-job fan-out (``Implementation.cs:54-58``) as a
+    pluggable Spark source instead of a driver-side loop.
+    """
+    from awsbatch_mapreduce_spark.sources.pysource import (
+        register_month_manifest_source,
+    )
+
+    register_month_manifest_source(spark)
+    return spark.read.format("month_manifest").load()

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
@@ -105,3 +106,45 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = md5_bucket("doc_id", 100)
     rate = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(60))
     return docs.filter(b < rate).select("doc_id", "lang")
+
+
+@query(
+    "corpus_shard_plan",
+    oracle="""
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS n_tokens
+        FROM (SELECT CAST((ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                              doc_id) - 1)
+                          % 8 AS BIGINT) AS shard,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+        GROUP BY shard
+    """,
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export sharding: deterministically shuffle the corpus (order by
+    md5 of the id — a reproducible random permutation) and deal docs
+    round-robin into 8 shards; report per-shard doc/token totals.
+
+    The report shows the balance an exporter gets from hash-shuffled
+    round-robin — within a few percent on token totals without any
+    bin-packing.  At scale the same expression feeds
+    ``repartitionByRange``/``partitionBy('shard')`` for the actual
+    write; the global ROW_NUMBER here is over doc ids only (never doc
+    bodies), and a rank-within-bucket two-level variant removes even
+    that single-partition step when ids alone exceed executor memory.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select(
+            ((F.row_number().over(w) - 1) % 8).cast("bigint").alias("shard"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

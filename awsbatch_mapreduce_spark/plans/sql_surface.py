@@ -156,3 +156,34 @@ def csv_roundtrip_part_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         dround(F.avg("p_retailprice"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "orc_roundtrip_orders_summary",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def orc_roundtrip_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> ORC source round trip, then aggregate — the second
+    columnar format besides parquet (SURVEY §2.1 S1/S5 family).
+    Timestamps ride through ORC natively, which the date-bound
+    aggregate would catch regressing.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    path = f"{tmp}/orders_orc"
+    o.select("o_orderkey", "o_orderpriority", "o_orderdate").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )
