@@ -148,3 +148,50 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "corpus_mixture_epochs",
+    oracle="""
+        SELECT source,
+               CAST(epochs AS BIGINT) AS epochs,
+               COUNT(*) AS n_rows_mixed,
+               SUM(n_tokens) AS n_tokens_mixed
+        FROM (
+          SELECT source,
+                 CAST(substr(source, 4) AS INT) % 3 + 1 AS epochs,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 unnest(generate_series(1, CAST(substr(source, 4) AS INT) % 3 + 1))
+                     AS epoch
+          FROM documents)
+        GROUP BY source, epochs
+    """,
+)
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing: each source repeats for its epoch
+    weight (derived here from the source id; a mixture config in
+    production), the standard up-weighting move when composing a
+    training mix from sources of unequal quality.
+
+    The explode multiplies *rows* before the shuffle-free aggregate;
+    in a real export the same sequence+explode feeds the shard writer,
+    so a 3-epoch source appears three times in the output corpus.  The
+    blow-up factor is bounded by max(epochs) — plan row-count estimates
+    stay accurate, unlike a join against a weights table with skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "source",
+        (F.substring("source", 4, 10).cast("int") % 3 + 1).alias("epochs"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    exploded = weighted.select(
+        "source",
+        "epochs",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch"),
+    )
+    return exploded.groupBy("source", F.col("epochs").cast("bigint").alias("epochs")).agg(
+        F.count(F.lit(1)).alias("n_rows_mixed"),
+        F.sum("n_tokens").alias("n_tokens_mixed"),
+    )

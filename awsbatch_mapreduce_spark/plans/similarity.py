@@ -335,3 +335,77 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+from awsbatch_mapreduce_spark.functions.rounding import (  # noqa: E402
+    fixed_point_avg,
+    fixed_point_avg_sql,
+)
+
+_QUANT_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, label, e,
+             list_min(e) AS mn,
+             GREATEST((list_max(e) - list_min(e)) / 255.0, 1e-12) AS sc
+      FROM v),
+    per_vec AS (
+      SELECT label,
+             list_sum(list_transform(e, x ->
+               (x - (mn + FLOOR((x - mn) / sc + 0.5) * sc))
+               * (x - (mn + FLOOR((x - mn) / sc + 0.5) * sc))))
+               / len(e) * 1000000.0 AS mse_ppm
+      FROM m)
+    SELECT CAST(label AS BIGINT) AS label,
+           COUNT(*) AS n_vecs,
+           {fixed_point_avg_sql('mse_ppm', 4, 4)} AS avg_mse_ppm
+    FROM per_vec
+    GROUP BY label
+"""
+
+
+@query("embedding_int8_quantization", oracle=_QUANT_ORACLE)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (per-vector min/max
+    codebook), reporting reconstruction MSE (in ppm) per label.
+
+    The 4x storage cut is what makes billion-vector ANN serving fit in
+    memory; the MSE report is the quality gate before swapping the
+    float index out.  Everything is JVM-side array math (transform /
+    aggregate higher-order functions) — one scan, one tiny-key
+    aggregate, no UDF, no shuffle of the vectors themselves.
+
+    The per-vector fold is sequential (left-to-right) in both engines,
+    and the per-label mean uses the fixed-point order-independent form,
+    so the oracle hash-matches despite float arithmetic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", F.col("label").cast("bigint").alias("label"), v.alias("e"))
+    mn = F.array_min("e")
+    sc = F.greatest(
+        (F.array_max("e") - F.array_min("e")) / 255.0, F.lit(1e-12)
+    )
+    with_cb = base.select("label", "e", mn.alias("mn"), sc.alias("sc"))
+    err = F.transform(
+        "e",
+        lambda x: (
+            (x - (F.col("mn") + F.floor((x - F.col("mn")) / F.col("sc") + 0.5) * F.col("sc")))
+            * (x - (F.col("mn") + F.floor((x - F.col("mn")) / F.col("sc") + 0.5) * F.col("sc")))
+        ),
+    )
+    per_vec = with_cb.select(
+        "label",
+        (
+            F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("e")
+            * 1000000.0
+        ).alias("mse_ppm"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        fixed_point_avg("mse_ppm", 4, 4).alias("avg_mse_ppm"),
+    )

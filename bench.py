@@ -39,6 +39,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "multimodal_decode_features",
+    "corpus_curation_funnel",
 ]
 
 
