@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.operators.asof import asof_join
 from awsbatch_mapreduce_spark.plans.registry import query
@@ -116,4 +117,44 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nearby",
             "n_clicks",
         )
+    )
+
+
+@query(
+    "scd2_user_value_intervals",
+    oracle="""
+        SELECT user_id,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+               value AS tier_value,
+               CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each user's purchase value becomes a
+    validity interval [valid_from, valid_to), open-ended for the
+    current row — the standard point-in-time dimension a warehouse
+    derives from a change feed (and the batch twin of what the as-of
+    join consumes).
+
+    One window over (user_id, ts): a single shuffle on user_id, state
+    linear in events-per-user.  At 100 TB the same shape runs
+    incrementally as the stateful streaming operator in
+    ``streaming/stateful.py``; event_id breaks ordering ties so the
+    intervals are deterministic under any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.col("value").alias("tier_value"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )

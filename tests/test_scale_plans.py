@@ -156,3 +156,31 @@ def test_lsh_candidate_join_not_quadratic(spark, name):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_q4_semi_join_and_date_pushdown(spark):
+    """The adapted Q4 must (a) stay a semi-join — no row blowup from
+    multi-lineitem orders — and (b) push the order-date range into the
+    orders scan."""
+    plan = _plan(spark, QUERIES["q4_order_priority_checking"].builder(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan[:1500]
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), plan[:2000]
+
+
+def test_sampling_queries_shuffle_minimally(spark):
+    """Hash-bucket sampling is a pure filter (zero exchanges); the
+    split report needs exactly one exchange (the final aggregate).
+    A regression that adds a shuffle here breaks the 'one scan over
+    100 TB' cost model the operators are documented with."""
+    plan = _plan(spark, QUERIES["stratified_sample_by_lang"].builder(spark, SF_DIR))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan[:1500]
+    plan = _plan(spark, QUERIES["train_val_test_split"].builder(spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan[:1500]
+
+
+def test_quantization_stays_jvm_side(spark):
+    """int8 quantization must run as JVM array expressions — no Python
+    UDF evaluation node may appear in the plan."""
+    plan = _plan(spark, QUERIES["embedding_int8_quantization"].builder(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
