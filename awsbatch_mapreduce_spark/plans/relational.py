@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from awsbatch_mapreduce_spark.functions.rounding import (
     dround,
+    dround_sql,
     fixed_point_avg,
     fixed_point_avg_sql,
     fixed_point_sum,
@@ -588,4 +589,92 @@ def orders_with_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         "sum_qty",
         dround("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@query(
+    "window_analytics_order_profile",
+    oracle=f"""
+        SELECT o_orderkey,
+               o_custkey,
+               first_value(o_totalprice) OVER wc AS first_order_price,
+               last_value(o_totalprice) OVER wc_full AS last_order_price,
+               CAST(ntile(4) OVER wp AS BIGINT) AS price_quartile,
+               {dround_sql('percent_rank() OVER wp', 6)} AS price_pct_rank
+        FROM orders
+        WINDOW
+          wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wc_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+          wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytics_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining analytic-function surface in one pass: first_value /
+    last_value (explicit full frame), ntile quartiles, percent_rank.
+
+    Two window families -> two shuffles (custkey, priority); both key
+    domains are uniform.  Every ordering carries o_orderkey as the tie
+    break so ntile/percent_rank assignments are engine-independent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc_full = wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(wc).alias("first_order_price"),
+        F.last("o_totalprice").over(wc_full).alias("last_order_price"),
+        F.ntile(4).over(wp).cast("bigint").alias("price_quartile"),
+        dround(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_trailing_hour_range_frame",
+    oracle=f"""
+        SELECT event_id, user_id,
+               epoch_us(ts) AS ts_us,
+               CAST(COUNT(*) OVER wr AS BIGINT) AS n_1h,
+               {dround_sql('SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER wr / 100.0', 2)}
+                   AS sum_value_1h
+        FROM events
+        WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (RANGE BETWEEN interval PRECEDING):
+    per-event trailing-1-hour activity count and value sum per user —
+    the feature-engineering shape behind "events in the last hour"
+    signals, distinct from ROWS frames (peers enter by *time distance*,
+    not row position).
+
+    One shuffle on user_id; frame state is bounded by events-per-hour.
+    Values quantize to int cents before the frame sum, so the sliding
+    accumulation is exact integer math — order-independent and
+    hash-stable across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(wr).cast("bigint").alias("n_1h"),
+        dround(F.sum("cents").over(wr) / 100.0, 2).alias("sum_value_1h"),
     )
