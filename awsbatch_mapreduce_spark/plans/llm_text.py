@@ -572,3 +572,99 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stage(s2, "2_quality"))
         .unionByName(_stage(s3, "3_dedup"))
     )
+
+
+@query(
+    "vocab_top_words",
+    oracle="""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT)
+                   AS vocab_id,
+               word,
+               n AS n_occurrences
+        FROM (SELECT word, COUNT(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              GROUP BY 1)
+        QUALIFY vocab_id <= 100
+    """,
+)
+def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building — the canonical MapReduce wordcount, ranked:
+    explode tokens, count, keep the top 100 with (count desc, word)
+    ordering, assign dense vocab ids by rank.
+
+    The count aggregate is partial+final on the token key (uniform at
+    corpus scale — hot stopwords are exactly what map-side combine
+    absorbs); only the 100-row ranked head ever passes through a single
+    partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    return (
+        counts.withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("vocab_id") <= 100)
+        .select("vocab_id", "word", "n_occurrences")
+    )
+
+
+@query(
+    "tfidf_top_term_per_doc",
+    oracle="""
+        WITH tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY 1, 2),
+        df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.word,
+                 tf.tf * ((n.n_docs * 1000) // df.df) AS score
+          FROM tf JOIN df USING (word) CROSS JOIN n)
+        SELECT doc_id, word AS top_term, CAST(score AS BIGINT) AS tfidf_scaled
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) = 1
+    """,
+)
+def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with integer-quantized idf (``(N*1000) div df``) — every
+    score is exact integer math, so ranking is bit-stable across
+    engines (a libm ``ln`` would differ by ulps and flip near-ties).
+
+    Shape: token explode -> (doc, word) count -> word-keyed df join ->
+    per-doc top-1 window.  The df frame is vocabulary-sized (small) and
+    broadcasts; the only big shuffles are the two token-keyed
+    aggregates.  The characteristic-term extraction behind keyword
+    indexing and topic labeling at corpus scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf") * F.floor(F.lit(n_docs * 1000) / F.col("df")).cast("bigint")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            F.col("score").cast("bigint").alias("tfidf_scaled"),
+        )
+    )
