@@ -668,3 +668,124 @@ def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("bigint").alias("tfidf_scaled"),
         )
     )
+
+
+_DECON_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 5
+             THEN list_transform(generate_series(1, len(t) - 4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                       || t[i+3] || ' ' || t[i+4])
+             ELSE [] END) AS g
+      FROM toks),
+    ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+    tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+    SELECT tr.doc_id AS train_doc_id,
+           ev.doc_id AS eval_doc_id,
+           COUNT(*) AS n_shared_ngrams
+    FROM tr JOIN ev USING (g)
+    GROUP BY 1, 2
+"""
+
+
+@query("decontaminate_train_vs_eval", oracle=_DECON_ORACLE)
+def decontaminate_train_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-token n-gram with the eval set (here: every 10th doc stands in
+    for the benchmark).  Distinct from dedup — the question is not
+    "are these the same doc" but "did eval text leak into train",
+    so even one shared window is a hit.
+
+    Scale shape: both sides explode to distinct n-grams and meet in a
+    *shingle-keyed* equi-join — never doc x doc.  The eval side is tiny
+    (benchmarks are ~1e5 rows vs 1e10 train docs) and broadcasts; at
+    100 TB the train side streams through map-side hash probes with no
+    shuffle of the corpus at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(t) >= 5
+                THEN transform(sequence(1, size(t) - 4),
+                     i -> concat_ws(' ', element_at(t, i), element_at(t, i+1),
+                                         element_at(t, i+2), element_at(t, i+3),
+                                         element_at(t, i+4)))
+                ELSE array() END
+                """
+            )
+        ).alias("g"),
+    ).distinct()
+    ev = grams.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    tr = grams.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+_REPETITION_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END) AS g
+      FROM toks)
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           MAX(cnt) AS max_repeat,
+           FLOOR(((COUNT(*) - COUNT(DISTINCT g)) * 1.0 / COUNT(*)) * 10000.0 + 0.5)
+               / 10000.0 AS repetition_ratio
+    FROM (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY doc_id, g) AS cnt
+          FROM tri)
+    GROUP BY doc_id
+"""
+
+
+@query("text_repetition_score", oracle=_REPETITION_ORACLE)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): trigram
+    total vs distinct counts, the hottest trigram's repeat count, and
+    the repeated fraction — degenerate looping text scores high and
+    gets filtered before training.
+
+    Per-doc only: the explode never leaves its document, so the whole
+    computation is partition-local after one shuffle on doc_id (and
+    with documents already id-partitioned on disk, none at all).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(t) >= 3
+                THEN transform(sequence(1, size(t) - 2),
+                     i -> concat_ws(' ', element_at(t, i), element_at(t, i+1),
+                                         element_at(t, i+2)))
+                ELSE array() END
+                """
+            )
+        ).alias("g"),
+    )
+    per_gram = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_trigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("cnt").alias("max_repeat"),
+        dround(
+            (F.sum("cnt") - F.count(F.lit(1))) * 1.0 / F.sum("cnt"), 4
+        ).alias("repetition_ratio"),
+    )
