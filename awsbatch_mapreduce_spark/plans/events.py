@@ -200,3 +200,119 @@ def events_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("error"),
         fixed_point_sum("value", 2, 2).alias("total_value"),
     )
+
+
+@query(
+    "conversion_funnel_users",
+    oracle="""
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                    WHERE event_type = 'click' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+               JOIN s1 ON s1.user_id = e.user_id
+               WHERE e.event_type = 'view' AND e.ts > s1.t1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+               JOIN s2 ON s2.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY e.user_id)
+        SELECT s1.user_id,
+               epoch_us(s1.t1) AS click_ts_us,
+               epoch_us(s2.t2) AS view_ts_us,
+               epoch_us(s3.t3) AS purchase_ts_us
+        FROM s1
+        LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def conversion_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (click -> view -> purchase): for each
+    user the first click, the first view strictly after it, and the
+    first purchase strictly after that — NULLs where the user dropped
+    out.  The event-order-sensitive funnel every product-analytics
+    engine ships; naive min-per-type ignores ordering and overcounts.
+
+    Three user-keyed aggregates + two user-keyed left joins: all
+    shuffles share one key, so under a single repartition on user_id
+    every stage is co-partitioned (no data moves after the first
+    exchange, and AQE coalesces the tiny sides).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("click_ts_us"),
+            F.unix_micros("t2").alias("view_ts_us"),
+            F.unix_micros("t3").alias("purchase_ts_us"),
+        )
+    )
+
+
+@query(
+    "cohort_retention_daily",
+    oracle="""
+        WITH cohort AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS c_day
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        activity AS (
+          SELECT DISTINCT e.user_id, c.c_day,
+                 date_diff('day', c.c_day, CAST(e.ts AS DATE)) AS day_offset
+          FROM events e JOIN cohort c ON c.user_id = e.user_id
+          WHERE CAST(e.ts AS DATE) >= c.c_day)
+        SELECT strftime(c_day, '%Y-%m-%d') AS cohort_day,
+               CAST(day_offset AS BIGINT) AS day_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM activity
+        GROUP BY c_day, day_offset
+    """,
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by signup day, counted active on
+    each day-offset after it — the retention triangle behind every
+    growth dashboard.
+
+    Two user-keyed shuffles (cohort min, activity distinct) and a
+    cohort-sized final aggregate.  The distinct on
+    (user, cohort, offset) bounds state at users x active-days, and the
+    cohort frame (one row per user) broadcasts at any realistic scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("c_day"))
+    )
+    activity = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .filter(F.to_date("ts") >= F.col("c_day"))
+        .select(
+            "user_id",
+            "c_day",
+            F.datediff(F.to_date("ts"), F.col("c_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
