@@ -150,3 +150,60 @@ def grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         ols, schema="event_type STRING, n BIGINT, slope_per_day DOUBLE, intercept DOUBLE"
     )
+
+
+@query(
+    "cogroup_user_activity_reconcile",
+    oracle="""
+        WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events
+                    GROUP BY user_id),
+        od AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders FROM orders
+               GROUP BY o_custkey)
+        SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+               COALESCE(ev.n_events, 0) AS n_events,
+               COALESCE(od.n_orders, 0) AS n_orders,
+               CASE WHEN ev.user_id IS NULL THEN 'orders_only'
+                    WHEN od.user_id IS NULL THEN 'events_only'
+                    ELSE 'both' END AS presence
+        FROM ev FULL OUTER JOIN od ON od.user_id = ev.user_id
+    """,
+)
+def cogroup_user_activity_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feed reconciliation via ``cogroup().applyInPandas`` — the
+    remaining Arrow UDF surface (scalar mapInPandas, GROUPED_AGG, and
+    grouped-map are covered elsewhere).  Each key's event rows and
+    order rows arrive as two pandas frames in one call; the UDF counts
+    both sides and labels the presence — the audit shape for "does the
+    clickstream agree with the order system".
+
+    Cogroup shuffles both inputs once on the shared key and never
+    materializes a join product; per-key memory is the two groups only.
+    The SQL oracle is the equivalent aggregate-then-full-outer.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+
+    def reconcile(key: tuple, ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
+        n_ev, n_od = len(ev_pdf), len(od_pdf)
+        presence = (
+            "both" if n_ev and n_od else ("events_only" if n_ev else "orders_only")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_ev],
+                "n_orders": [n_od],
+                "presence": [presence],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id BIGINT, n_events BIGINT, n_orders BIGINT, presence STRING",
+        )
+    )

@@ -16,6 +16,7 @@ import pytest
 from awsbatch_mapreduce_spark.sources.tables import load_table
 from awsbatch_mapreduce_spark.streaming import (
     dedup_events_stream,
+    enrich_events_with_customer,
     read_events_stream,
     session_aggregate,
     sliding_aggregate,
@@ -136,6 +137,36 @@ def test_stateful_engagement_equals_batch(spark, events_chunks):
     batch = user_engagement_batch(load_table(spark, SF_DIR, "events")).toPandas()
     assert len(updates) > len(final), "expected multiple updates per user"
     _assert_frames_equal(final, batch)
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_chunks):
+    """Stream-static broadcast join: enriching the event stream with
+    the customer dimension must produce exactly the batch join's rows
+    (left join keeps profile-less events with NULL attributes)."""
+    dim = load_table(spark, SF_DIR, "customer")
+    stream_in = read_events_stream(spark, events_chunks)
+    stream_out = _run_stream_append(
+        spark, enrich_events_with_customer(stream_in, dim), "enrich_sink"
+    )
+    batch_out = enrich_events_with_customer(
+        load_table(spark, SF_DIR, "events"), dim
+    ).toPandas()
+    assert len(stream_out) == len(batch_out) > 0
+    _assert_frames_equal(stream_out, batch_out)
+
+
+def _run_stream_append(spark, df, name: str) -> pd.DataFrame:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    q.stop()
+    return out
 
 
 def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
