@@ -1,0 +1,257 @@
+"""Analytics surface extensions: time-series gap-fill, ordered string
+aggregation, arg-extremes (max_by/min_by), outlier gating, and
+fixed-size document chunking for training-data prep.
+
+These widen the engine-parity surface past the reference (whose only
+aggregation is the 2-D bin count, ``src/awsbatch-map/main.py:76-77``)
+with shapes every production pipeline needs: densifying a sparse
+series against a generated spine, deterministic list aggregation,
+argmax-style selection without a self-join, sigma-based anomaly
+gating, and exploding documents into bounded token windows (the unit
+of work for LLM tokenization downstream).
+
+Scale notes per query in the docstrings; the common theme is that
+generated spines (hour slots, chunk indexes) are tiny or per-row
+bounded, so nothing here materializes beyond the fact table's own
+cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from awsbatch_mapreduce_spark.functions.rounding import dround, dround_sql
+from awsbatch_mapreduce_spark.plans.registry import query
+from awsbatch_mapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+        WITH b AS (
+          SELECT date_trunc('hour', MIN(ts)) AS hmin,
+                 date_trunc('hour', MAX(ts)) AS hmax
+          FROM events),
+        slots AS (
+          SELECT UNNEST(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hour_ts
+          FROM b),
+        types AS (SELECT DISTINCT event_type FROM events),
+        hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT t.event_type, s.hour_ts,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+        FROM slots s
+        CROSS JOIN types t
+        LEFT JOIN hourly h
+          ON h.event_type = t.event_type AND h.hour_ts = s.hour_ts
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with zero-filled gaps.
+
+    The spine is generated with ``sequence(min_hour, max_hour, interval
+    1 hour)`` from a 1-row aggregate — #hours x #types rows total
+    (tiny, broadcast side), left-joined against the sparse hourly
+    rollup.  At 100 TB the rollup is the only large operand and it
+    shuffles once on (type, hour); the spine stays driver-small no
+    matter the data volume because it scales with the *time range*.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("hmin"),
+        F.date_trunc("hour", F.max("ts")).alias("hmax"),
+    )
+    slots = bounds.select(
+        F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        slots.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "nation_segment_listagg",
+    oracle="""
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               string_agg(DISTINCT c.c_mktsegment, ','
+                          ORDER BY c.c_mktsegment) AS segments
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def nation_segment_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg surface): the
+    sorted distinct market segments served per nation.
+
+    ``collect_set`` -> ``array_sort`` -> ``array_join`` is the
+    deterministic Spark form — the set dedups executor-side, the sort
+    canonicalizes the nondeterministic collection order, so the result
+    is partitioning-independent (safe under the cross-engine hash).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+        )
+    )
+
+
+@query(
+    "nation_customer_extremes",
+    oracle=f"""
+        SELECT n.n_name,
+               arg_max(c.c_custkey,
+                       CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * 100000
+                       + c.c_custkey) AS richest_custkey,
+               arg_min(c.c_custkey,
+                       CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * 100000
+                       + c.c_custkey) AS poorest_custkey,
+               {dround_sql('MAX(c.c_acctbal)', 2)} AS max_bal,
+               {dround_sql('MIN(c.c_acctbal)', 2)} AS min_bal
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def nation_customer_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-extreme) surface: richest and poorest
+    customer per nation in one grouped pass — no self-join, no window.
+
+    The ordering key packs (cents, custkey) into one exact int64 so
+    balance ties resolve by custkey identically in both engines;
+    max_by on a float key with ties would be engine-dependent.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    key = (
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+        * F.lit(100000)
+        + F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_custkey", key).alias("richest_custkey"),
+            F.min_by("c_custkey", key).alias("poorest_custkey"),
+            dround(F.max("c_acctbal"), 2).alias("max_bal"),
+            dround(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle=f"""
+        WITH stats AS (
+          SELECT event_type,
+                 {dround_sql('AVG(value) + 3 * STDDEV_SAMP(value)', 6)} AS hi
+          FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE e.value > s.hi) AS n_outliers,
+               {dround_sql('MAX(e.value)', 4)} AS max_value,
+               s.hi AS threshold
+        FROM events e JOIN stats s ON s.event_type = e.event_type
+        GROUP BY e.event_type, s.hi
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sigma-based anomaly gate: per event type, how many values exceed
+    mean + 3 sigma (two-pass: tiny stats aggregate broadcast back onto
+    the stream).
+
+    The threshold rounds at 6dp before comparison so both engines gate
+    on the identical constant; the value distribution is O(100) wide so
+    a 1e-6 grid cannot flip a verdict except exactly at the boundary.
+    At scale this is the standard "aggregate, broadcast, re-scan"
+    pattern — no window over the full stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        dround(F.avg("value") + 3 * F.stddev_samp("value"), 6).alias("hi")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value") > F.col("hi")).alias("n_outliers"),
+            dround(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            "max_value",
+            F.col("hi").alias("threshold"),
+        )
+    )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               array_to_string(toks[i * 25 + 1 : i * 25 + 25], ' ')
+                 AS chunk_text,
+               CAST(LEAST(25, len(toks) - i * 25) AS BIGINT) AS n_tokens
+        FROM t, UNNEST(range(CAST(CEIL(len(toks) / 25.0) AS BIGINT))) AS u(i)
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking: split each document into
+    25-token chunks (the unit LLM pipelines tokenize/pack downstream).
+
+    All array ops are JVM-side higher-order functions — no Python UDF:
+    ``split`` -> ``transform(sequence(...))`` builds the chunk array,
+    ``posexplode`` emits (chunk_id, chunk_text).  Work per row is
+    bounded by that row's own token count, so the operator is
+    embarrassingly parallel and scales linearly; no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(25.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 25 + 1, 25), " "),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_toks"),
+            F.posexplode(chunks).alias("pos", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("chunk_id"),
+            "chunk_text",
+            F.least(F.lit(25), F.col("n_toks") - F.col("pos") * 25)
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
