@@ -211,6 +211,50 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_join_click_purchase",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               epoch_us(c.ts) AS click_us,
+               epoch_us(p.ts) AS purchase_us,
+               epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+    """,
+)
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (two-sided range) join: every purchase within one hour
+    after each click, per user — the batch twin of the stream-stream
+    join in ``streaming/join.py`` (same function, batch inputs).
+
+    Timestamps compare as epoch microseconds so both engines evaluate
+    the identical integers (the fixture is nanos; Spark loads it
+    us-truncated, and DuckDB's epoch_us truncates the same way).
+    """
+    from awsbatch_mapreduce_spark.streaming.join import (
+        click_purchase_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    joined = click_purchase_interval_join(ev, ev, max_delay="1 hour")
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "delay_us"
+        ),
+    )
+
+
+@query(
     "doc_chunk_windows",
     oracle="""
         WITH t AS (

@@ -1,5 +1,6 @@
 from awsbatch_mapreduce_spark.streaming.dedup import dedup_events_stream
 from awsbatch_mapreduce_spark.streaming.enrich import enrich_events_with_customer
+from awsbatch_mapreduce_spark.streaming.join import click_purchase_interval_join
 from awsbatch_mapreduce_spark.streaming.stateful import (
     user_engagement_batch,
     user_engagement_stateful,
@@ -12,6 +13,7 @@ from awsbatch_mapreduce_spark.streaming.windows import (
 )
 
 __all__ = [
+    "click_purchase_interval_join",
     "dedup_events_stream",
     "enrich_events_with_customer",
     "read_events_stream",

@@ -169,6 +169,25 @@ def _run_stream_append(spark, df, name: str) -> pd.DataFrame:
     return out
 
 
+def test_stream_stream_interval_join_equals_batch(spark, events_chunks):
+    """Stream-stream interval join: click->purchase pairs within one
+    hour must match the batch join over the same rows.  Inner interval
+    joins emit eagerly per micro-batch; the watermark only bounds
+    buffered state, so availableNow drains to exactly the batch answer.
+    """
+    from awsbatch_mapreduce_spark.streaming import click_purchase_interval_join
+
+    s1 = read_events_stream(spark, events_chunks)
+    s2 = read_events_stream(spark, events_chunks)
+    stream_out = _run_stream_append(
+        spark, click_purchase_interval_join(s1, s2), "ssjoin_sink"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    batch_out = click_purchase_interval_join(ev, ev).toPandas()
+    assert len(stream_out) == len(batch_out) > 0
+    _assert_frames_equal(stream_out, batch_out)
+
+
 def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
     """At-least-once delivery: each chunk replays the tail of the
     previous one (the redelivery pattern of producer retries and file
