@@ -211,6 +211,135 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_status_metrics",
+    oracle=f"""
+        WITH agg AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                 {dround_sql(
+                     'SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))'
+                     ' / 100.0', 2)} AS sum_price,
+                 {dround_sql(
+                     'SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))'
+                     ' * 1.0 / (100.0 * COUNT(*))', 2)} AS avg_price
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS metric_value
+        FROM agg
+        UNION ALL
+        SELECT o_orderstatus, 'sum_price', sum_price FROM agg
+        UNION ALL
+        SELECT o_orderstatus, 'avg_price', avg_price FROM agg
+    """,
+)
+def unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) surface: a wide per-status aggregate turned into
+    (status, metric, value) long form via ``stack`` — the inverse of
+    the pivot query, and the standard shape for metric stores.
+
+    The melt happens on the 3-row aggregate, not the fact table, so it
+    is free at any scale; money sums are fixed-point for the hash gate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    )
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dround(cents / 100.0, 2).alias("sum_price"),
+        dround(cents * 1.0 / (100.0 * F.count(F.lit(1))), 2).alias("avg_price"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'sum_price', sum_price,"
+            " 'avg_price', avg_price) AS (metric, metric_value)"
+        ),
+    )
+
+
+@query(
+    "customer_value_deciles",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT c_acctbal,
+                 NTILE(10) OVER (
+                   ORDER BY CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT),
+                            c_custkey) AS decile
+          FROM customer)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               COUNT(*) AS n_customers,
+               {dround_sql('MIN(c_acctbal)', 2)} AS min_bal,
+               {dround_sql('MAX(c_acctbal)', 2)} AS max_bal
+        FROM ranked GROUP BY decile
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equal-frequency bucket) analysis over customer balances:
+    NTILE(10) with an exact integer ordering key (cents, custkey) so
+    bucket boundaries are engine-independent, then per-decile stats.
+
+    At scale an unpartitioned NTILE is a single-reducer sort — fine for
+    dimension-sized inputs like customers; for fact-scale data the
+    operator swaps to ``width_bucket`` over ``percentile_approx``
+    cut-points (same output schema), which is the documented scale path.
+    """
+    from pyspark.sql.window import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    key = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    ranked = c.select(
+        "c_acctbal",
+        F.ntile(10)
+        .over(W.orderBy(key.asc(), F.col("c_custkey").asc()))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dround(F.min("c_acctbal"), 2).alias("min_bal"),
+        dround(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+        SELECT o.o_custkey AS c_custkey, COUNT(*) AS n_above
+        FROM orders o
+        WHERE o.o_totalprice > (
+          SELECT SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS BIGINT))
+                 * 1.0 / (100.0 * COUNT(*))
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o.o_custkey
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery shape: orders priced above their own
+    customer's average order value, counted per customer.
+
+    The oracle keeps the literal correlated form; the Spark plan
+    decorrelates it to a window aggregate over o_custkey — one shuffle,
+    no re-scan, which is exactly what Catalyst's subquery decorrelation
+    would emit.  The per-customer average is exact integer cents, so
+    the comparison is engine-stable.
+    """
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    ).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        o.withColumn("cust_avg", cents * 1.0 / (100.0 * cnt))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@query(
     "interval_join_click_purchase",
     oracle="""
         SELECT c.user_id,

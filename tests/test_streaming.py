@@ -188,6 +188,36 @@ def test_stream_stream_interval_join_equals_batch(spark, events_chunks):
     _assert_frames_equal(stream_out, batch_out)
 
 
+def test_foreachbatch_upsert_latest_per_key(spark, events_chunks, tmp_path):
+    """foreachBatch keyed upsert: after draining the stream, the target
+    parquet table must hold exactly the latest event per user — the
+    same rows a single batch keep-latest computes.  Re-running the
+    merge over the final table (idempotence) must not change it."""
+    from awsbatch_mapreduce_spark.streaming import (
+        foreach_batch_upsert,
+        latest_per_key,
+    )
+
+    target = str(tmp_path / "latest_events")
+    merge = foreach_batch_upsert(target)
+    q = (
+        read_events_stream(spark, events_chunks)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(target)
+    expected = latest_per_key(load_table(spark, SF_DIR, "events"))
+    _assert_frames_equal(got.toPandas(), expected.toPandas())
+    # idempotence: merging the table's own rows again is a no-op
+    merge(got, batch_id=999)
+    _assert_frames_equal(
+        spark.read.parquet(target).toPandas(), expected.toPandas()
+    )
+
+
 def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
     """At-least-once delivery: each chunk replays the tail of the
     previous one (the redelivery pattern of producer retries and file
