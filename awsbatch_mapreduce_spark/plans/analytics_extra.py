@@ -384,6 +384,100 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_fill_forward",
+    oracle=f"""
+        WITH m AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                   AS v
+          FROM events)
+        SELECT event_id, user_id, ts_us,
+               {dround_sql(
+                   "COALESCE(LAST_VALUE(v IGNORE NULLS) OVER ("
+                   "PARTITION BY user_id ORDER BY ts_us, event_id "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)",
+                   4)} AS value_filled
+        FROM m
+    """,
+)
+def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill imputation (LOCF): error events carry no usable
+    value, so each takes the user's most recent non-error value —
+    ``last(..., ignorenulls=True)`` over an ordered per-user frame.
+
+    One shuffle on user_id; the frame is running (no full-partition
+    buffering).  Leading errors with no prior value fill with -1 so
+    the output is total.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        dround(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0)), 4
+        ).alias("value_filled"),
+    )
+
+
+@query(
+    "shuffle_hash_priority_revenue",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_lines,
+               {dround_sql(
+                   'SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)'
+                   ' * 10000.0 + 0.5) AS BIGINT)) / 10000.0', 2)} AS revenue
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def shuffle_hash_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-hash join strategy surface: revenue per order priority
+    through an explicitly SHUFFLE_HASH-hinted fact-fact join.
+
+    When both sides are too big to broadcast but one partition's build
+    side fits in memory, shuffle-hash beats sort-merge by skipping both
+    sorts — the right call for this orders-lineitem shape at 100 TB
+    with AQE guarding against skewed builds.  The plan test pins
+    ``ShuffledHashJoin`` so the hint survives refactors.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    rev_fp = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dround(rev_fp / 10000.0, 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "doc_chunk_windows",
     oracle="""
         WITH t AS (

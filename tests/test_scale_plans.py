@@ -184,3 +184,52 @@ def test_quantization_stays_jvm_side(spark):
     UDF evaluation node may appear in the plan."""
     plan = _plan(spark, QUERIES["embedding_int8_quantization"].builder(spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    """Token-window chunking is per-row work — its plan must contain no
+    Exchange at all and no Python evaluation node (all JVM HOFs)."""
+    plan = _plan(spark, QUERIES["doc_chunk_windows"].builder(spark, SF_DIR))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gapfill_spine_stays_broadcast(spark):
+    """The gap-fill spine (hours x types) must join the hourly rollup
+    via broadcast — densification must never shuffle proportionally to
+    the spine, only to the fact rollup."""
+    plan = _plan(spark, QUERIES["events_hourly_gapfill"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q2_dimensions_broadcast(spark):
+    """Q2's part slice and regional supplier list are dimension-sized:
+    both must broadcast onto the derived-partsupp rollup, leaving the
+    lineitem aggregation as the only shuffle."""
+    plan = _plan(spark, QUERIES["q2_min_cost_supplier"].builder(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_interval_join_is_equi_on_user(spark):
+    """The click->purchase interval join must hash on user_id (equi
+    component extracted), never degrade to a cartesian with a time
+    filter."""
+    plan = _plan(
+        spark, QUERIES["interval_join_click_purchase"].builder(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_shuffle_hash_hint_is_honored(spark):
+    """The SHUFFLE_HASH-hinted fact-fact join must plan as
+    ShuffledHashJoin (no broadcast of the orders side, no sort-merge) —
+    the strategy the operator documents for the 100 TB regime."""
+    plan = _plan(
+        spark, QUERIES["shuffle_hash_priority_revenue"].builder(spark, SF_DIR)
+    )
+    assert "ShuffledHashJoin" in plan, plan[:1500]
