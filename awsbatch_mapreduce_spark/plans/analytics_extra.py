@@ -384,6 +384,122 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "monthly_revenue_mom_change",
+    oracle=f"""
+        WITH monthly AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_fp
+          FROM orders GROUP BY 1)
+        SELECT month,
+               {dround_sql('rev_fp / 100.0', 2)} AS revenue,
+               {dround_sql(
+                   '(rev_fp - LAG(rev_fp) OVER (ORDER BY month)) / 100.0',
+                   2)} AS mom_change,
+               {dround_sql(
+                   '(rev_fp - LAG(rev_fp) OVER (ORDER BY month)) * 1.0'
+                   ' / LAG(rev_fp) OVER (ORDER BY month)', 6)} AS mom_pct
+        FROM monthly
+    """,
+)
+def monthly_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: monthly revenue with LAG deltas and
+    percent change (NULL on the first month, as LAG defines).
+
+    The fact table aggregates once into ~84 month rows; the LAG window
+    runs on that tiny series, so the unpartitioned ordering costs
+    nothing at any scale.  Deltas subtract exact integer cents.
+    """
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("rev_fp")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("rev_fp").over(w)
+    return monthly.select(
+        "month",
+        dround(F.col("rev_fp") / 100.0, 2).alias("revenue"),
+        dround((F.col("rev_fp") - prev) / 100.0, 2).alias("mom_change"),
+        dround((F.col("rev_fp") - prev) * 1.0 / prev, 6).alias("mom_pct"),
+    )
+
+
+@query(
+    "customer_pareto_abc",
+    oracle=f"""
+        WITH rev AS (
+          SELECT o_custkey,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS rev_fp
+          FROM orders GROUP BY o_custkey),
+        c AS (
+          SELECT rev_fp,
+                 SUM(rev_fp) OVER (ORDER BY rev_fp DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_fp,
+                 SUM(rev_fp) OVER () AS total_fp
+          FROM rev),
+        k AS (
+          SELECT CASE WHEN cum_fp * 1.0 <= total_fp * 0.5 THEN 'A'
+                      WHEN cum_fp * 1.0 <= total_fp * 0.8 THEN 'B'
+                      ELSE 'C' END AS abc_class,
+                 rev_fp
+          FROM c)
+        SELECT abc_class,
+               COUNT(*) AS n_customers,
+               {dround_sql('SUM(rev_fp) / 100.0', 2)} AS class_revenue
+        FROM k GROUP BY abc_class
+    """,
+)
+def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC segmentation: customers ranked by lifetime revenue,
+    classed A (first 50% of revenue), B (to 80%), C (tail) via a
+    cumulative share over the ranked aggregate.
+
+    The cumulative window is unpartitioned but runs over the
+    per-customer rollup (dimension-sized), never the fact table — the
+    standard shape for "who are our top customers" at any scale.
+    Cumulative sums and the class boundaries compare exact integer
+    cents, so classes are engine-identical even at the 50%/80% edges.
+    """
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("rev_fp")
+    )
+    w_cum = (
+        W.orderBy(F.desc("rev_fp"), F.asc("o_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy()
+    c = rev.select(
+        "rev_fp",
+        F.sum("rev_fp").over(w_cum).alias("cum_fp"),
+        F.sum("rev_fp").over(w_all).alias("total_fp"),
+    )
+    k = c.select(
+        "rev_fp",
+        F.when(F.col("cum_fp") * 1.0 <= F.col("total_fp") * 0.5, "A")
+        .when(F.col("cum_fp") * 1.0 <= F.col("total_fp") * 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dround(F.sum("rev_fp") / 100.0, 2).alias("class_revenue"),
+    )
+
+
+@query(
     "events_fill_forward",
     oracle=f"""
         WITH m AS (
