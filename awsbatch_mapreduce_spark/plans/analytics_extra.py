@@ -384,6 +384,112 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "price_histogram_width_bucket",
+    oracle="""
+        SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                    WHEN l_extendedprice >= 100000.0 THEN 21
+                    ELSE CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) + 1
+               END AS bucket,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY bucket
+    """,
+)
+def price_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D equi-width histogram via the SQL-standard ``width_bucket``
+    (the scalar sibling of the flagship 2-D floor-bin rasterization,
+    SURVEY.md §2.3 A1 / src/awsbatch-map/main.py:76-77).
+
+    DuckDB has no ``width_bucket``, so the oracle states the exact
+    arithmetic Spark's WidthBucket expression evaluates (bucket width
+    100000/20 = 5000.0 is an exact double, so FLOOR(x/5000)+1 is
+    bit-identical to the builtin).  Fixed bucket edges make the binning
+    a pure codegen scalar — the aggregate is a ~22-key hash rollup with
+    map-side partials, the cheapest possible full-scan summary at any
+    scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.expr("width_bucket(l_extendedprice, 0.0D, 100000.0D, 20)")
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "json_malformed_handling",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE NOT json_valid(
+                 substr(props, 1, length(props) - 1))) AS n_malformed,
+               COUNT(*) FILTER (WHERE json_valid(props)) AS n_valid,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS k_total
+        FROM events
+    """,
+)
+def json_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSON robustness: ``from_json`` must yield NULLs (not
+    fail) on a corrupted payload — counted against a deliberately
+    broken copy of each payload (final brace truncated; a trailing
+    extra token would NOT do, Jackson stops at the first complete
+    value) — while the intact payload parses and aggregates.  In
+    PERMISSIVE mode a malformed row comes back as a struct of NULL
+    fields (not a NULL struct), so the detector tests the field.
+
+    This is the PERMISSIVE-parse contract a pipeline relies on when
+    1-in-a-million events are garbage: the job completes and the bad
+    rows are countable, not fatal (the reference's manifest reader
+    instead hard-raises on malformed input, main.py:26-30).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed_ok = F.from_json("props", "k BIGINT")
+    parsed_bad = F.from_json(
+        F.expr("substr(props, 1, length(props) - 1)"), "k BIGINT"
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(parsed_bad["k"].isNull()).alias("n_malformed"),
+        F.count_if(parsed_ok["k"].isNotNull()).alias("n_valid"),
+        F.sum(parsed_ok["k"]).alias("k_total"),
+    )
+
+
+@query(
+    "decimal_exact_revenue",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+                 AS total_revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-typed aggregation surface: money cast to DECIMAL(18,2)
+    sums exactly (no float accumulation-order drift), then casts to
+    double once for output.
+
+    The engine-native alternative to the fixed-point-int64 helpers for
+    the same determinism guarantee — SURVEY.md §1.2 notes the
+    reference never touches decimals; a query engine must.  Spark
+    plans decimal sums as UnscaledValue long arithmetic inside
+    codegen, so the exactness is nearly free.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
     "monthly_revenue_mom_change",
     oracle=f"""
         WITH monthly AS (
