@@ -1,0 +1,41 @@
+"""CLI entry point (`python -m awsbatch_mapreduce_spark`)."""
+
+from __future__ import annotations
+
+import pytest
+
+from awsbatch_mapreduce_spark.__main__ import main
+from tests.conftest import SF_DIR
+
+
+def test_cli_list(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "dedup_minhash_lsh" in out
+
+
+def test_cli_oracle(capsys):
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "lineitem" in capsys.readouterr().out
+    assert main(["oracle", "kmeans_embeddings"]) == 0
+    assert "rows-only" in capsys.readouterr().out
+
+
+def test_cli_unknown_query_exits_2():
+    with pytest.raises(SystemExit) as e:
+        main(["run", "nope_not_a_query"])
+    assert e.value.code == 2
+
+
+def test_cli_run_and_out(spark, capsys, tmp_path):
+    # `spark` fixture keeps getOrCreate cheap — the CLI reuses the session
+    assert main(["run", "month_manifest", "--sf-dir", SF_DIR, "--limit", "3"]) == 0
+    assert "iteration" in capsys.readouterr().out
+    out = str(tmp_path / "res.parquet")
+    assert main(["run", "top_customers", "--sf-dir", SF_DIR, "--out", out]) == 0
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_explain(spark, capsys):
+    assert main(["explain", "q6_forecast_revenue", "--sf-dir", SF_DIR]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
