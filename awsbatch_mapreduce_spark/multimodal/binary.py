@@ -139,6 +139,91 @@ def frame_sample(
     )
 
 
+PHASH_SCHEMA = "doc_id BIGINT, phash BIGINT, b0 INT, b1 INT, b2 INT, b3 INT"
+
+
+def perceptual_hash(binary_docs: DataFrame, grid: int = 8) -> DataFrame:
+    """dHash-style perceptual hash per payload: resample the bytes into
+    a ``grid x grid`` cell mean "image", emit one bit per horizontally
+    adjacent cell pair (left > right), packed into a signed int64.
+
+    With a real decoder the cell means would be downsampled grayscale
+    pixels (PIL ``resize((9, 8))``); the stand-in resamples raw bytes,
+    which preserves the property the operator needs — near-identical
+    payloads produce near-identical hashes (small hamming distance).
+    Also emits 4 x 16-bit band keys for LSH-style candidate bucketing:
+    two hashes within hamming distance 3 must agree on >=1 band
+    (pigeonhole), so a 4-band equi-join finds every close pair without
+    a quadratic comparison.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_cells = grid * grid
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not data:
+                    rows.append({"doc_id": doc_id, "phash": 0})
+                    continue
+                step = len(data) / n_cells
+                cells = []
+                for i in range(n_cells):
+                    lo, hi = int(i * step), max(int((i + 1) * step), int(i * step) + 1)
+                    window = data[lo:hi] or data[-1:]
+                    cells.append(sum(window) / len(window))
+                bits = 0
+                for r in range(grid):
+                    for c in range(grid):
+                        right = cells[r * grid + (c + 1) % grid]
+                        bits = (bits << 1) | (1 if cells[r * grid + c] > right else 0)
+                # wrap to signed int64 (Spark BIGINT)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                rows.append({"doc_id": doc_id, "phash": bits})
+            out = pd.DataFrame(rows, columns=["doc_id", "phash"])
+            u = out["phash"].astype("int64").to_numpy().astype("uint64")
+            for b in range(4):
+                out[f"b{b}"] = ((u >> (16 * b)) & 0xFFFF).astype("int32")
+            yield out
+
+    return binary_docs.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
+def visual_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate payload pairs from perceptual hashes: candidates
+    via the 4-band equi-join (union of 4 bucket joins, never a cross
+    join), verified with a JVM-side popcount of the XOR — ``bit_count``
+    runs inside codegen, so verification costs one instruction per
+    candidate.  Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    a = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "b0", "b1", "b2", "b3",
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"),
+        F.col("b3").alias("c3"),
+    )
+    cands = None
+    for i in range(4):
+        band = a.join(b, (F.col(f"b{i}") == F.col(f"c{i}")) & (F.col("doc_a") < F.col("doc_b")))
+        part = band.select("doc_a", "doc_b", "ph_a", "ph_b")
+        cands = part if cands is None else cands.unionByName(part)
+    hamming = F.bit_count(F.expr("ph_a ^ ph_b"))
+    return (
+        cands.distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def resize_payload(
     binary_docs: DataFrame, factor: int = 2, chunk: int = 1
 ) -> DataFrame:

@@ -141,3 +141,40 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from awsbatch_mapreduce_spark.multimodal.binary import resize_payload
 
     return resize_payload(synthesize_binary_docs(spark, sf_dir), factor=2)
+
+
+@query("multimodal_visual_near_dup", oracle=None)
+def multimodal_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate pairs via perceptual (dHash-style) hashing:
+    band-bucketed candidate join + JVM-side popcount verify
+    (``multimodal/binary.py:perceptual_hash`` / ``visual_near_dup_pairs``).
+
+    The synthetic corpus has no natural byte-level near-dups, so the
+    query plants them the way detector evaluations do: every 25th
+    document gets a re-encoded twin (one corrupted leading byte,
+    doc_id + 1_000_000).  The detector must recover exactly those
+    planted pairs — which also makes the rows-only hash a meaningful
+    regression signal instead of a vacuous empty set.
+
+    Rows-only: the hash needs byte-level resampling no SQL engine
+    expresses; invariants (identical payloads pair at hamming 0, every
+    pair survives the band pigeonhole, determinism) are pinned in
+    ``tests/test_multimodal.py``.
+    """
+    from awsbatch_mapreduce_spark.multimodal.binary import (
+        perceptual_hash,
+        visual_near_dup_pairs,
+    )
+    from awsbatch_mapreduce_spark.sources.tables import load_table
+
+    base = synthesize_binary_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.encode(
+            F.concat(F.lit("X"), F.expr("substr(text, 2)")), "UTF-8"
+        ).alias("payload"),
+    )
+    everything = base.select("doc_id", "payload").unionByName(planted)
+    hashed = perceptual_hash(everything)
+    return visual_near_dup_pairs(hashed, max_hamming=3)

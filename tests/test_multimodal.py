@@ -41,3 +41,39 @@ def test_frame_sample_shape(spark):
         assert len(frs) <= 4
         assert sorted(f.frame_idx for f in frs) == list(range(len(frs)))
         assert all(1 <= f.frame_len <= 16 for f in frs)
+
+
+def test_perceptual_hash_near_dup_pairs(spark):
+    """Identical payloads must pair at hamming 0; a lightly corrupted
+    payload must still pair with its original within the threshold; an
+    unrelated payload must not pair with anything."""
+    from awsbatch_mapreduce_spark.multimodal.binary import (
+        perceptual_hash,
+        visual_near_dup_pairs,
+    )
+
+    base = ("spark engine row batch " * 40).encode()
+    corrupt = bytearray(base)
+    corrupt[100] ^= 0xFF  # one flipped byte
+    other = bytes(range(256)) * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(base)), (3, bytes(corrupt)), (4, other)],
+        "doc_id bigint, payload binary",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in visual_near_dup_pairs(perceptual_hash(df), max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_perceptual_hash_deterministic_on_fixture(spark):
+    from awsbatch_mapreduce_spark.multimodal.binary import perceptual_hash
+    from awsbatch_mapreduce_spark.multimodal.binary import synthesize_binary_docs
+
+    docs = synthesize_binary_docs(spark, SF_DIR)
+    a = {r.doc_id: r.phash for r in perceptual_hash(docs).collect()}
+    b = {r.doc_id: r.phash for r in perceptual_hash(docs.repartition(7)).collect()}
+    assert a == b and len(a) == docs.count()
