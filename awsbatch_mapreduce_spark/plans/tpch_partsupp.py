@@ -304,6 +304,138 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q12_shipping_speed_priority",
+    oracle="""
+        SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                    THEN 'FAST' ELSE 'SLOW' END AS speed_class,
+               COUNT(*) FILTER (WHERE o.o_orderpriority IN
+                 ('1-URGENT', '2-HIGH')) AS high_line_count,
+               COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN
+                 ('1-URGENT', '2-HIGH')) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY speed_class
+    """,
+)
+def q12_shipping_speed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two-way priority counts per shipping class
+    (conditional-sum pivot inside one aggregate).
+
+    The fixtures carry no ``l_shipmode`` (TESTDATA.md), so the mode
+    dimension is re-cut as shipping *speed* — shipped within 30 days of
+    the order or not — preserving the join + CASE-bucket + filtered
+    count shape.  Everything after the join is codegen scalars feeding
+    a 2-group hash aggregate; the date range prunes at the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "speed_class",
+            F.when(
+                F.col("l_shipdate")
+                <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                "FAST",
+            ).otherwise("SLOW"),
+        )
+        .groupBy("speed_class")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+        WITH l AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      AS INT) AS is_late
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        per_order AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(is_late) AS supp_late
+          FROM l GROUP BY l_orderkey, l_suppkey),
+        marked AS (
+          SELECT l_orderkey, l_suppkey, supp_late,
+                 COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+                 SUM(supp_late) OVER (PARTITION BY l_orderkey)
+                   AS n_late_supps
+          FROM per_order)
+        SELECT s.s_suppkey, s.s_name,
+               COUNT(*) AS numwait
+        FROM marked m
+        JOIN supplier s ON s.s_suppkey = m.l_suppkey
+        WHERE m.n_supps > 1 AND m.supp_late = 1 AND m.n_late_supps = 1
+        GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *only* late supplier on
+    multi-supplier orders.
+
+    The classic correlated EXISTS (another supplier on the order) +
+    NOT EXISTS (another *late* supplier) pair decorrelates into one
+    per-order window pass: count suppliers and late suppliers per
+    order, keep rows where this supplier is late, others exist, and
+    none of the others are late.  No commit/receipt dates in the
+    fixtures (TESTDATA.md), so "late" is shipped >90 days after the
+    order date.  One shuffle on orderkey for the rollup+window, one on
+    suppkey for the final count — versus the classic plan's three
+    lineitem self-join passes.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "is_late",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("supp_late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    marked = per_order.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_late",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.sum("supp_late").over(w).alias("n_late_supps"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        marked.filter(
+            (F.col("n_supps") > 1)
+            & (F.col("supp_late") == 1)
+            & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(s), marked.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
     "q20_concentrated_suppliers",
     oracle=f"""
         WITH ps AS ({PS_SQL}),
