@@ -154,10 +154,12 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit (revenue minus derived supply cost) by
     supplier nation and order year, for parts matching a name pattern.
 
-    The fact stream joins ps back on its own grouping keys — at scale
-    this is a self-co-partitioned join (both sides hash on
-    partkey+suppkey), so AQE coalesces it into one exchange reuse; the
-    part filter broadcasts and prunes before the wide join.
+    The fact stream joins ps back on ps's own grouping keys.  At
+    fixture scale AQE broadcasts the small ps aggregate (the observed
+    plan is all-broadcast with two shuffles); at fact scale the
+    aggregate's output is already hash-partitioned on
+    (partkey, suppkey), so the sort-merge join re-shuffles only the
+    probe side.  The part filter broadcasts and prunes first.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
