@@ -384,6 +384,33 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_unique_users",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY date_trunc('hour', ts)
+    """,
+)
+def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour: the time-windowed COUNT(DISTINCT)
+    every activity dashboard runs.
+
+    Spark expands it to a two-phase aggregate (dedup on
+    (hour, user), then count) — both phases get map-side partials.
+    At 100 TB with high-cardinality keys the swap is one word:
+    ``approx_count_distinct`` (HLL, mergeable sketch), which drops the
+    oracle to rows-only; the exact form stays hash-gated here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
     "price_histogram_width_bucket",
     oracle="""
         SELECT CASE WHEN l_extendedprice < 0.0 THEN 0

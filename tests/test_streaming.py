@@ -268,6 +268,51 @@ def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
     assert set(out["event_id"]) == batch_ids
 
 
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """Native parquet file sink + checkpoint: stopping after the first
+    chunk and restarting with the same checkpoint must append only the
+    new chunks — the sink's transaction log makes output exactly-once,
+    no row lost, no row doubled."""
+    import shutil
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{SF_DIR}/events.parquet").sort_by("ts")
+    n = table.num_rows
+    stage, src = tmp_path / "stage", tmp_path / "src"
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    stage.mkdir(), src.mkdir()
+    chunks = []
+    for i in range(3):
+        p = stage / f"chunk-{i}.parquet"
+        pq.write_table(table.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3), str(p))
+        chunks.append(p)
+
+    def run_once():
+        q = (
+            read_events_stream(spark, str(src), max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    shutil.copy(chunks[0], src / chunks[0].name)
+    run_once()
+    for p in chunks[1:]:
+        shutil.copy(p, src / p.name)
+        _time.sleep(1.1)
+    run_once()
+
+    got = spark.read.parquet(str(out))
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
 def test_stateful_checkpoint_recovery(spark, tmp_path):
     """Stop/restart with a checkpoint: the restarted query must resume
     from persisted state — consuming only new files, keeping old
