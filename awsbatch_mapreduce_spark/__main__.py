@@ -59,7 +59,31 @@ def main(argv: list[str] | None = None) -> int:
         if cmd == "explain":
             p.add_argument("--sf-dir", default=_default_sf_dir())
 
+    pipe = sub.add_parser(
+        "pipeline", help="run the full reference-parity pipeline (frames -> PNGs -> video)"
+    )
+    pipe.add_argument("--sf-dir", default=_default_sf_dir())
+    pipe.add_argument("--out", required=True)
+    pipe.add_argument("--months", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        from awsbatch_mapreduce_spark.pipeline import run_reference_pipeline
+        from awsbatch_mapreduce_spark.session import get_spark
+
+        manifest = run_reference_pipeline(
+            get_spark(app_name="amrs-pipeline"),
+            args.sf_dir,
+            args.out,
+            max_months=args.months,
+        )
+        print(
+            f"{len(manifest['frames'])} frames "
+            f"({manifest['months'][0]}..{manifest['months'][-1]}) -> "
+            f"{manifest['video']}"
+        )
+        return 0
 
     if args.cmd == "list":
         for name in sorted(QUERIES):

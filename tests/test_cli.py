@@ -39,3 +39,21 @@ def test_cli_run_and_out(spark, capsys, tmp_path):
 def test_cli_explain(spark, capsys):
     assert main(["explain", "q6_forecast_revenue", "--sf-dir", SF_DIR]) == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_cli_pipeline_end_to_end(spark, capsys, tmp_path):
+    """The reference demo end-to-end: per-month shaded PNG frames in
+    %03d order plus the stitch output (ffmpeg absent -> the ordered
+    frames manifest, same as the operator contract)."""
+    out = tmp_path / "pipeline"
+    assert main(
+        ["pipeline", "--sf-dir", SF_DIR, "--out", str(out), "--months", "3"]
+    ) == 0
+    frames = sorted(out.glob("output-iteration-*.png"))
+    assert [f.name for f in frames] == [
+        f"output-iteration-{i:03d}.png" for i in range(3)
+    ]
+    for f in frames:
+        assert f.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    listing = out / "output.frames.txt"
+    assert listing.exists() and "output-iteration-000.png" in listing.read_text()
