@@ -233,3 +233,37 @@ def test_shuffle_hash_hint_is_honored(spark):
         spark, QUERIES["shuffle_hash_priority_revenue"].builder(spark, SF_DIR)
     )
     assert "ShuffledHashJoin" in plan, plan[:1500]
+
+
+def test_window_group_limit_pushdown(spark):
+    """Top-k-per-group must plan with WindowGroupLimit (rank-limit
+    pushed below the full window sort): each partition keeps only k
+    candidates before the shuffle, which is what makes per-entity
+    top-k viable on a 100 TB fact table."""
+    plan = _plan(
+        spark, QUERIES["window_top_orders_per_customer"].builder(spark, SF_DIR)
+    )
+    assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim filter joined on the partition column must
+    inject a dynamicpruning expression into the fact scan's
+    PartitionFilters — at scale this skips whole partition directories
+    at runtime, the difference between scanning 100 TB and 1 TB."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "li_part")
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.withColumn("ship_year", F.year("l_shipdate")).write.partitionBy(
+        "ship_year"
+    ).mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("ship_year"), "o_orderkey")
+    )
+    j = fact.join(dim, ["ship_year"]).groupBy("ship_year").count()
+    plan = _plan(spark, j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
