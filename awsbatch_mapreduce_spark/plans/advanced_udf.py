@@ -207,3 +207,46 @@ def cogroup_user_activity_reconcile(spark: SparkSession, sf_dir: str) -> DataFra
             "user_id BIGINT, n_events BIGINT, n_orders BIGINT, presence STRING",
         )
     )
+
+
+@query(
+    "sql_registered_udf_mercator",
+    oracle="""
+        SELECT c_custkey,
+               FLOOR((((c_custkey % 360) - 180.0) * 6378137.0 * PI() / 180.0)
+                     * 10000.0 + 0.5) / 10000.0 AS merc_x,
+               FLOOR((6378137.0 * LN(TAN(PI() / 4.0
+                     + (((ABS(c_acctbal) % 160.0) - 80.0)) * PI() / 360.0)))
+                     * 10000.0 + 0.5) / 10000.0 AS merc_y
+        FROM customer
+    """,
+)
+def sql_registered_udf_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-callable vectorized UDF surface: the Arrow pandas-UDF
+    Mercator projection registered with ``spark.udf.register`` and
+    invoked from pure SQL text over a temp view — the path by which
+    SQL-only users reach Python extensions.
+
+    Registration is idempotent per session; the UDF executes exactly
+    as in the DataFrame API (one Arrow batch per Python call), so the
+    SQL entry point costs nothing extra.  Same closed form and 4dp
+    canonicalization as ``mercator_projection``.
+    """
+    from awsbatch_mapreduce_spark.operators.geo import mercator_pandas_udf
+
+    spark.udf.register("merc_project", mercator_pandas_udf())
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_udf_v"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               FLOOR(p.x * 10000.0D + 0.5D) / 10000.0D AS merc_x,
+               FLOOR(p.y * 10000.0D + 0.5D) / 10000.0D AS merc_y
+        FROM (SELECT c_custkey,
+                     merc_project(CAST((c_custkey % 360) - 180.0 AS DOUBLE),
+                                  CAST((ABS(c_acctbal) % 160.0) - 80.0
+                                       AS DOUBLE)) AS p
+              FROM customer_udf_v)
+        """
+    )
