@@ -771,3 +771,65 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+@query(
+    "events_rolling_7d_active_users",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ), days AS (SELECT DISTINCT day FROM pairs)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT p.user_id) AS wau_7d,
+               COUNT(DISTINCT CASE WHEN p.day = d.day THEN p.user_id END)
+                   AS dau
+        FROM days d
+        JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+)
+def events_rolling_7d_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day distinct active users (WAU) plus same-day DAU per
+    calendar day — the stickiness metric every activity dashboard pairs
+    with ``events_hourly_unique_users``.
+
+    Rolling COUNT(DISTINCT) over a date range is not window-expressible
+    in Spark, and the naive form is a range join (days x user-days with
+    a BETWEEN predicate -> nested-loop).  Instead each distinct
+    (user, day) pair is exploded onto the <=7 future days it keeps the
+    user "active" for (``sequence(day, day+6)``), turning the range
+    join into a plain hash aggregate with map-side partials — a fixed
+    7x fan-out of the *deduplicated* pairs, not of raw events.  The
+    left-semi join against the observed-day spine (broadcast: one row
+    per calendar day, tiny at any scale) trims phantom trailing days.
+    At 100 TB the pre-aggregation to distinct pairs is the load-bearing
+    step: the explode and final aggregate see per-user-day rows, orders
+    of magnitude smaller than the event stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.to_date("ts").alias("active_day"), "user_id"
+    ).distinct()
+    days = pairs.select(F.col("active_day").alias("day")).distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(F.col("active_day"), F.date_add("active_day", 6))
+        ).alias("day"),
+        "active_day",
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").alias("wau_7d"),
+            F.count_distinct(
+                F.when(F.col("active_day") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "wau_7d", "dau"
+        )
+    )
