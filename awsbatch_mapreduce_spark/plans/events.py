@@ -316,3 +316,58 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day"),
         F.col("day_offset").cast("bigint").alias("day_offset"),
     ).agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                   ) AS next_type
+            FROM events)
+        SELECT event_type, next_type,
+               COUNT(*) AS n_transitions,
+               COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                   AS p_next
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each (event_type, next event_type) pair, the count and
+    conditional probability of the transition.
+
+    ``LEAD`` over (user, time) needs one shuffle on ``user_id`` plus a
+    per-user sort — at 100 TB that sort is partition-local and
+    spillable, and the follow-on aggregate collapses to the tiny
+    type x type grid, so partials do almost all the work map-side.
+    Ordering crosses engines as (epoch-microseconds, event_id): the
+    integer pair is exact and the unique id breaks same-instant ties
+    identically in both engines.  ``p_next`` is a single IEEE division
+    of two exact integers — bit-identical without quantization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(total).cast("double")
+        ).alias("p_next"),
+    )
