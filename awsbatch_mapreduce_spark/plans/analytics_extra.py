@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from awsbatch_mapreduce_spark.functions.rounding import dround, dround_sql
+from awsbatch_mapreduce_spark.functions.rounding import (
+    dround,
+    dround_sql,
+    fixed_point_sum,
+    fixed_point_sum_sql,
+)
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
@@ -832,4 +837,37 @@ def events_rolling_7d_active_users(
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"), "wau_7d", "dau"
         )
+    )
+
+
+@query(
+    "orders_weekday_seasonality",
+    oracle=f"""
+        SELECT CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT)
+                   AS weekday,
+               COUNT(*) AS n_orders,
+               {fixed_point_sum_sql('o_totalprice', 2, 2)} AS total_revenue
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume and revenue by day of week — the seasonality
+    feature every demand model starts from.
+
+    Day-of-week numbering crosses engines as ISO-Monday=0: Spark's
+    ``weekday()`` is already 0=Monday, DuckDB's ``isodow`` is
+    1=Monday so the oracle subtracts one (plain ``dayofweek`` starts
+    on Sunday in Spark and 0-bases in DuckDB — a silent off-by-one
+    trap).  A 7-key hash aggregate: map-side partials reduce each
+    scan task to seven rows, so the shuffle is bytes regardless of
+    scale; revenue uses the int64 fixed-point sum for
+    order-independent cross-engine equality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.weekday("o_orderdate").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fixed_point_sum("o_totalprice", 2, 2).alias("total_revenue"),
     )
