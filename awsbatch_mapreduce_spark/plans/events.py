@@ -371,3 +371,56 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(total).cast("double")
         ).alias("p_next"),
     )
+
+
+@query(
+    "event_type_cooccurrence",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT user_id, event_type FROM events),
+        u AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM events)
+        SELECT a.event_type AS type_a,
+               b.event_type AS type_b,
+               COUNT(*) AS n_users,
+               COUNT(*) / (SELECT n_total FROM u) AS support
+        FROM pairs a
+        JOIN pairs b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    """,
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of event
+    types, how many users did both, and the support fraction — the
+    "users who did X also did Y" primitive behind recommendations.
+
+    Dedup to (user, type) first, then self-join on ``user_id`` with
+    ``type_a < type_b`` to emit each unordered pair once.  The dedup is
+    the scale lever: the join operand is at most users x |types|, not
+    the raw stream, and both sides co-partition on ``user_id`` so the
+    self-join reuses one shuffle.  Per-user fan-out is bounded by
+    |types|^2 (tiny), so no skew salting is needed even for power
+    users.  Support divides two exact counts once — IEEE-identical in
+    both engines; the 1-row totals frame is a broadcast cross join,
+    never a driver collect.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("user_id", "event_type").distinct()
+    totals = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    a = pairs.select("user_id", F.col("event_type").alias("type_a"))
+    b = pairs.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            (F.col("n_users") / F.col("n_total")).alias("support"),
+        )
+    )
