@@ -787,3 +787,42 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cnt") - F.count(F.lit(1))) * 1.0 / F.sum("cnt"), 4
         ).alias("repetition_ratio"),
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="""
+        WITH clusters AS (
+            SELECT md5(text) AS h, COUNT(*) AS cluster_size
+            FROM documents GROUP BY md5(text))
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        FROM clusters
+        GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster-size distribution: how many exact-duplicate
+    clusters of each size exist, and how many documents they hold —
+    the diagnostic run before choosing a dedup strategy (a fat head
+    of giant clusters needs different handling than a long tail of
+    pairs).
+
+    Two hash aggregates: first keyed on ``md5(text)`` so the shuffle
+    carries 16-byte digests instead of document bodies (the scale
+    lever at 100 TB), then the tiny size->count rollup where map-side
+    partials collapse each task to a handful of rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
