@@ -5,7 +5,12 @@ Importing this package populates the registry; ``__spark_entry__.py``
 exposes it to the driver's correctness harness.
 """
 
-from awsbatch_mapreduce_spark.plans.registry import QUERIES, QuerySpec, query
+from awsbatch_mapreduce_spark.plans.registry import (
+    QUERIES,
+    QuerySpec,
+    grading_order,
+    query,
+)
 
 # Import for side effect: each module registers its queries.
 from awsbatch_mapreduce_spark.plans import reference_parity  # noqa: F401
@@ -29,4 +34,4 @@ from awsbatch_mapreduce_spark.plans import tpch_partsupp  # noqa: F401
 from awsbatch_mapreduce_spark.plans import analytics_extra  # noqa: F401
 from awsbatch_mapreduce_spark.plans import packing  # noqa: F401
 
-__all__ = ["QUERIES", "QuerySpec", "query"]
+__all__ = ["QUERIES", "QuerySpec", "grading_order", "query"]

@@ -458,8 +458,8 @@ def price_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) FILTER (WHERE NOT json_valid(
                  substr(props, 1, length(props) - 1))) AS n_malformed,
                COUNT(*) FILTER (WHERE json_valid(props)) AS n_valid,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                 AS k_total
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS k_total
         FROM events
     """,
 )

@@ -448,8 +448,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ORACLE = """
     SELECT doc_id, lang,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-           list_sum(list_transform(string_split(text, ' '),
-                    w -> CAST(CEIL(len(w) / 4.0) AS BIGINT))) AS n_bpe_pieces,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                    w -> CAST(CEIL(len(w) / 4.0) AS BIGINT))) AS BIGINT)
+               AS n_bpe_pieces,
            FLOOR((list_sum(list_transform(string_split(text, ' '),
                     w -> CAST(CEIL(len(w) / 4.0) AS BIGINT)))
                   * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5)
@@ -504,14 +505,15 @@ _FUNNEL_ORACLE = """
     s3 AS (SELECT * FROM s2
            QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
     SELECT * FROM (
-      SELECT '0_raw' AS stage, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+      SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
       FROM scored
       UNION ALL
-      SELECT '1_lang_en', COUNT(*), SUM(n_tokens) FROM s1
+      SELECT '1_lang_en', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s1
       UNION ALL
-      SELECT '2_quality', COUNT(*), SUM(n_tokens) FROM s2
+      SELECT '2_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s2
       UNION ALL
-      SELECT '3_dedup', COUNT(*), SUM(n_tokens) FROM s3)
+      SELECT '3_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s3)
 """
 
 

@@ -29,6 +29,100 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
+# Queries already driver-green in CORRECTNESS_r01.json.  The driver
+# grades ``queries()`` in insertion order and capped round 1 at 50
+# entries, leaving 77 registry queries with no driver correctness row
+# (VERDICT r1, next-round #1).  ``grading_order`` floats never-graded
+# and just-fixed entries to the front so each round's graded window
+# converts "claimed" coverage into driver-proven coverage; the green
+# set stays protected by the dtype-strict local gate
+# (tests/test_oracle_parity.py).
+DRIVER_GREEN_R01: frozenset[str] = frozenset(
+    {
+        "frame_histogram2d",
+        "bbox_filter_project",
+        "bbox_summary_stats",
+        "month_manifest",
+        "monthly_frames_ordered",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_nation_revenue",
+        "q6_forecast_revenue",
+        "top_customers",
+        "window_top_orders_per_customer",
+        "window_running_revenue",
+        "rollup_region_nation",
+        "cube_status_priority",
+        "except_custkeys",
+        "intersect_custkeys",
+        "union_all_priority_counts",
+        "anti_join_customers_without_orders",
+        "semi_join_customers_with_open_orders",
+        "distinct_customers_per_status",
+        "scalar_functions_showcase",
+        "orders_with_lineitem_stats",
+        "window_analytics_order_profile",
+        "events_trailing_hour_range_frame",
+        "events_tumbling_hourly",
+        "events_json_extract",
+        "events_sessionization",
+        "events_user_activity_pivot",
+        "conversion_funnel_users",
+        "cohort_retention_daily",
+        "event_transition_matrix",
+        "event_type_cooccurrence",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "text_token_stats",
+        "text_quality_score",
+        "text_language_id",
+        "text_fingerprint",
+        "vocab_top_words",
+        "tfidf_top_term_per_doc",
+        "decontaminate_train_vs_eval",
+        "text_repetition_score",
+        "dedup_cluster_size_histogram",
+        "embedding_norms",
+        "knn_bruteforce_cosine",
+        "dedup_embedding_cosine",
+    }
+)
+
+# Graded in round 1 but hash-failed (HUGEINT oracle typing, now fixed),
+# plus never-graded queries whose oracles carried the same latent bug
+# (ADVICE r1) — these must land inside round 2's graded window to prove
+# the fixes.
+PRIORITY_REGRADE: tuple[str, ...] = (
+    "text_bpe_token_count",
+    "corpus_curation_funnel",
+    "range_join_error_context",
+    "train_val_test_split",
+    "corpus_shard_plan",
+    "corpus_mixture_epochs",
+    "json_malformed_handling",
+)
+
+
+def grading_order(queries: dict[str, QuerySpec]) -> list[str]:
+    """Registry names ordered for the driver's capped grading window:
+    fix-verification first, then never-graded (oracle-backed before
+    rows-only, since the oracle hash is the strong signal), then the
+    driver-green set last."""
+
+    def prio(name: str) -> tuple[int, int]:
+        spec = queries[name]
+        if name in PRIORITY_REGRADE:
+            return (0, PRIORITY_REGRADE.index(name))
+        if name not in DRIVER_GREEN_R01:
+            return (1, spec.oracle is None)
+        return (2, 0)
+
+    # sorted() is stable: within a priority class, registration order holds.
+    return sorted(queries, key=prio)
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 

@@ -49,7 +49,7 @@ def md5_bucket(col: Column | str, n_buckets: int = 100) -> Column:
                     ELSE 'test' END AS split,
                lang,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS n_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                      % 100 AS b,
                      lang,
@@ -113,7 +113,7 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT shard,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS n_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         FROM (SELECT CAST((ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
                                               doc_id) - 1)
                           % 8 AS BIGINT) AS shard,
@@ -156,7 +156,7 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(epochs AS BIGINT) AS epochs,
                COUNT(*) AS n_rows_mixed,
-               SUM(n_tokens) AS n_tokens_mixed
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_mixed
         FROM (
           SELECT source,
                  CAST(substr(source, 4) AS INT) % 3 + 1 AS epochs,

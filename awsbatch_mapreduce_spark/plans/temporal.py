@@ -64,7 +64,8 @@ _RANGE_ORACLE = """
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
     SELECT err.event_id, err.user_id, epoch_us(err.ts) AS ts_us,
            COUNT(a.event_id) AS n_nearby,
-           COALESCE(SUM(CASE WHEN a.event_type = 'click' THEN 1 ELSE 0 END), 0)
+           CAST(COALESCE(SUM(CASE WHEN a.event_type = 'click' THEN 1 ELSE 0 END),
+                         0) AS BIGINT)
              AS n_clicks
     FROM err
     LEFT JOIN events a

@@ -40,6 +40,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+# numpy dtype.kind -> the coarse type class the driver's value hash
+# distinguishes.  int-vs-float divergence (DuckDB HUGEINT -> float64 vs
+# Spark int64) hash-fails at the driver even when values are equal, so
+# the local gate must reject it too (VERDICT r1 §What's wrong #3).
+_KIND_CLASS = {
+    "i": "int",
+    "u": "int",
+    "b": "bool",
+    "f": "float",
+    "M": "datetime",
+    "m": "timedelta",
+    "O": "object",
+    "S": "object",
+    "U": "object",
+}
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []
@@ -48,6 +65,17 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
             f"columns differ: spark={sorted(spark_pdf.columns)} "
             f"oracle={sorted(oracle_pdf.columns)}"
         )
+        return problems
+    for c in sorted(spark_pdf.columns):
+        ka = _KIND_CLASS.get(spark_pdf[c].dtype.kind, spark_pdf[c].dtype.kind)
+        kb = _KIND_CLASS.get(oracle_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind)
+        if ka != kb:
+            problems.append(
+                f"column {c!r}: dtype class mismatch "
+                f"spark={spark_pdf[c].dtype}({ka}) oracle={oracle_pdf[c].dtype}({kb})"
+                " — driver value-hash is type-sensitive"
+            )
+    if problems:
         return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row counts differ: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")

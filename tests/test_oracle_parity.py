@@ -26,6 +26,70 @@ def test_query_matches_oracle(spark, con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_comparator_rejects_int_float_divergence():
+    """The driver's value hash is dtype-sensitive: 3 (int64) != 3.0
+    (float64).  The local gate must reject what the driver rejects —
+    round 1 shipped two hash-fails because it didn't."""
+    import pandas as pd
+
+    from tests.oracle_utils import compare_frames
+
+    a = pd.DataFrame({"k": [1, 2], "v": pd.Series([3, 4], dtype="int64")})
+    b = pd.DataFrame({"k": [1, 2], "v": pd.Series([3.0, 4.0], dtype="float64")})
+    problems = compare_frames(a, b)
+    assert problems and "dtype class" in problems[0]
+    assert not compare_frames(a, a.copy())
+
+
+def test_oracles_have_no_uncast_integer_aggregates(con):
+    """Sweep: every oracle's exposed columns must not materialize as
+    float64 when the Spark side is integer-typed.  Proxy check that is
+    cheap and engine-only: run each oracle, flag float64 columns whose
+    values are all integral — those are almost always an uncast
+    SUM/list_sum/COUNT over BIGINT (DuckDB HUGEINT -> float64)."""
+    import numpy as np
+
+    suspicious: list[str] = []
+    for name in sorted(QUERIES):
+        oracle = QUERIES[name].oracle
+        if oracle is None:
+            continue
+        pdf = con.execute(oracle).fetchdf()
+        for c in pdf.columns:
+            s = pdf[c]
+            if s.dtype.kind != "f" or len(s) == 0:
+                continue
+            vals = s.dropna().to_numpy()
+            if len(vals) and np.all(vals == np.floor(vals)) and np.all(np.abs(vals) < 2**53):
+                suspicious.append(f"{name}.{c}")
+    allowed = ALLOWED_INTEGRAL_FLOAT_COLUMNS
+    unexpected = [s for s in suspicious if s not in allowed]
+    assert not unexpected, (
+        "oracle columns materialize as integral float64 (likely uncast "
+        f"SUM/list_sum -> HUGEINT): {unexpected}"
+    )
+
+
+# Columns that are genuinely float-typed on BOTH sides but happen to be
+# integer-valued on the sf0.01 fixture (rounded metrics landing on .0000,
+# double quantity sums, nullable-bigint -> float64 on both engines).
+# Each entry verified by the dtype-strict test_query_matches_oracle run.
+ALLOWED_INTEGRAL_FLOAT_COLUMNS: set[str] = {
+    "asof_join_purchase_attribution.purchase_id",
+    "asof_join_purchase_attribution.purchase_ts_us",
+    "bbox_filter_project.y",
+    "bbox_summary_stats.y_min",
+    "bbox_summary_stats.y_max",
+    "embedding_norms.l2_norm",
+    "event_type_cooccurrence.support",
+    "orders_with_lineitem_stats.sum_qty",
+    "q18_large_orders.sum_qty",
+    "q1_pricing_summary.sum_qty",
+    "scd2_user_value_intervals.valid_to_us",
+    "stats_numeric_profile.p90_qty",
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_nonempty_or_known_empty(spark, con, name):
     """Every query should produce rows at sf0.01 (catches vacuous filters).
