@@ -131,16 +131,37 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-robin — within a few percent on token totals without any
     bin-packing.  At scale the same expression feeds
     ``repartitionByRange``/``partitionBy('shard')`` for the actual
-    write; the global ROW_NUMBER here is over doc ids only (never doc
-    bodies), and a rank-within-bucket two-level variant removes even
-    that single-partition step when ids alone exceed executor memory.
+    write.
+
+    The global rank is computed two-level so no single partition ever
+    holds the whole corpus: md5 order is lexicographic, so bucket =
+    first 2 hex chars partitions the permutation into 256 contiguous
+    runs.  Rank within bucket is a *partitioned* window; bucket start
+    offsets come from a 256-row count rollup joined triangle-style
+    (broadcast, non-equi) — bounded work independent of corpus size.
+    global_rank = offset[bucket] + rank_in_bucket, identical to the
+    oracle's single ROW_NUMBER.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    keyed = docs.select(
+        F.md5(F.col("doc_id").cast("string")).alias("pkey"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).withColumn("bucket", F.substring("pkey", 1, 2))
+    wb = Window.partitionBy("bucket").orderBy("pkey", "doc_id")
+    ranked = keyed.withColumn("rk", F.row_number().over(wb))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    prior = counts.select(F.col("bucket").alias("pb"), F.col("n").alias("pn"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("off"))
+    )
     return (
-        docs.select(
-            ((F.row_number().over(w) - 1) % 8).cast("bigint").alias("shard"),
-            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            ((F.col("off") + F.col("rk") - 1) % 8).cast("bigint").alias("shard"),
+            "n_tokens",
         )
         .groupBy("shard")
         .agg(

@@ -127,9 +127,10 @@ def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving max revenue.
 
-    The scalar-subquery max becomes an unpartitioned window max over the
-    per-supplier aggregate (cardinality = #suppliers).  Revenue is
-    fixed-point so 'equals max' is exact, not float-fuzzy.
+    The scalar-subquery max becomes a one-row global max broadcast
+    back onto the per-supplier rollup (never an unpartitioned window,
+    which funnels the supplier-sized rollup through one partition).
+    Revenue is fixed-point so 'equals max' is exact, not float-fuzzy.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -138,8 +139,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
         ).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("mx", F.max("total_revenue").over(w)).filter(
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("mx")
     )
     return top.join(s, "s_suppkey").select("s_suppkey", "s_name", "total_revenue")

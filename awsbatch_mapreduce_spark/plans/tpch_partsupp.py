@@ -224,9 +224,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x the average part value" is the scale-free equivalent, so the
     query is non-vacuous at every SF.  Stock value is fixed-point int64
     per part, so the global total/count are exact and the threshold
-    comparison is bit-stable.  The scalar subqueries become
-    unpartitioned window aggregates over the per-part rollup
-    (cardinality = #parts, tiny).
+    comparison is bit-stable.  The scalar subqueries become a one-row
+    global aggregate broadcast-cross-joined onto the per-part rollup —
+    never an unpartitioned window, which would drag the whole
+    parts-sized rollup through one partition at 100x scale.
     """
     ps = derived_partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -244,10 +245,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ps_partkey")
         .agg(value_fp.alias("value_fp"))
     )
-    total = Window.partitionBy()
+    totals = val.agg(
+        F.sum("value_fp").alias("total_fp"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
-        val.withColumn("total_fp", F.sum("value_fp").over(total))
-        .withColumn("n_parts", F.count(F.lit(1)).over(total))
+        val.crossJoin(F.broadcast(totals))
         .filter(
             F.col("value_fp") * 1.0 * F.col("n_parts") > 2.0 * F.col("total_fp")
         )

@@ -246,6 +246,31 @@ def test_window_group_limit_pushdown(spark):
     assert "WindowGroupLimit" in plan, plan[:1500]
 
 
+@pytest.mark.parametrize("name", ["q11_important_stock", "q15_top_supplier"])
+def test_scalar_subquery_is_broadcast_not_global_window(spark, name):
+    """The TPC-H scalar subqueries (global total / global max) must be
+    a one-row aggregate broadcast-cross-joined onto the rollup.  An
+    unpartitioned Window here drags the entire parts-/supplier-sized
+    rollup through one partition at 100x scale (VERDICT r1 #4/#5)."""
+    plan = _plan(spark, QUERIES[name].builder(spark, SF_DIR))
+    assert "Window" not in plan, f"{name} still plans a window:\n{plan[:1500]}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_corpus_shard_plan_rank_is_partitioned(spark):
+    """The export-shard permutation rank must be two-level: row_number
+    partitioned by the md5-prefix bucket, with the 256-row offset
+    rollup broadcast back — never a global ROW_NUMBER whose Exchange
+    SinglePartition holds every doc id (VERDICT r1 #6).  The only
+    single-partition exchange allowed is none at all: offsets use a
+    broadcast triangle join over the bounded bucket domain."""
+    plan = _plan(spark, QUERIES["corpus_shard_plan"].builder(spark, SF_DIR))
+    assert re.search(r"row_number\(\) windowspecdefinition\(bucket", plan), (
+        plan[:2000]
+    )
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """A selective dim filter joined on the partition column must
     inject a dynamicpruning expression into the fact scan's
