@@ -102,6 +102,44 @@ def test_binaryfile_source_reads_frames(spark, tmp_path):
     assert all(r.length == sizes[r.name] == len(r.content) for r in rows)
 
 
+def test_stitch_video_ffmpeg_present_branch(tmp_path, monkeypatch):
+    """S9 ffmpeg-present branch (reference ``Reduce.ps1:8``).  The
+    container has no real ffmpeg, so a stand-in executable on PATH
+    receives the exact invocation; the test asserts stitch_video
+    (a) passes concat-demuxer args with the manifest as input,
+    (b) returns the materialized output path.  With a real ffmpeg on
+    PATH the same code produces a real mp4 (the stand-in is only the
+    codec, never the orchestration)."""
+    import os
+    import stat
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "ffmpeg"
+    fake.write_text(
+        "#!/usr/bin/env python3\n"
+        "import pathlib, sys\n"
+        "args = sys.argv[1:]\n"
+        "assert '-f' in args and args[args.index('-f') + 1] == 'concat'\n"
+        "manifest = pathlib.Path(args[args.index('-i') + 1])\n"
+        "assert manifest.exists(), manifest\n"
+        "pathlib.Path(args[-1]).write_bytes(b'FAKEMP4' + manifest.read_bytes())\n"
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+    monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+
+    frames = []
+    for i in range(2):
+        p = tmp_path / f"f{i:03d}.png"
+        write_png(p, 1, 1, b"\x00\x00\x00")
+        frames.append(p)
+    out = tmp_path / "out.mp4"
+    result = stitch_video(frames, out)
+    assert result == out and out.read_bytes().startswith(b"FAKEMP4")
+    manifest = (tmp_path / "out.frames.txt").read_text()
+    assert manifest.splitlines() == [f"file '{p.resolve()}'" for p in frames]
+
+
 def test_stitch_video_manifest_stub(tmp_path):
     frames = []
     for i in range(3):
