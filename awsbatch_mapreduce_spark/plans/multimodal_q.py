@@ -143,7 +143,57 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_payload(synthesize_binary_docs(spark, sf_dir), factor=2)
 
 
-@query("multimodal_visual_near_dup", oracle=None)
+_VISUAL_NEAR_DUP_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'X' || substr(text, 2) AS text
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    cells AS (
+      -- replicate _fake phash cell windows EXACTLY: step = n/64.0 is
+      -- rounded once, then i*step truncates (floor == trunc, nonneg)
+      SELECT doc_id, n, c,
+             CAST(floor(c * (n / 64.0)) AS INT) AS lo,
+             LEAST(GREATEST(CAST(floor((c + 1) * (n / 64.0)) AS INT),
+                            CAST(floor(c * (n / 64.0)) AS INT) + 1), n) AS hi
+      FROM (SELECT doc_id, length(text) AS n,
+                   unnest(generate_series(0, 63)) AS c
+            FROM base)
+    ),
+    cell_means AS (
+      -- ASCII payloads: ord(char) == byte; int-sum/int-len division is
+      -- one IEEE op, identical in both engines
+      SELECT cl.doc_id, cl.c,
+             CAST(SUM(ord(substr(b.text, j.j + 1, 1))) AS DOUBLE)
+                 / (cl.hi - cl.lo) AS m
+      FROM cells cl
+      JOIN base b ON b.doc_id = cl.doc_id,
+      LATERAL unnest(generate_series(cl.lo, cl.hi - 1)) AS j(j)
+      GROUP BY cl.doc_id, cl.c, cl.hi, cl.lo
+    ),
+    bits AS (
+      -- bit k (row-major cell index) has signed weight 2^(63-k); k=0 is
+      -- the sign bit, matching the Python int64 wrap
+      SELECT p.doc_id,
+             CAST(SUM(CASE WHEN p.m > r.m THEN
+                  CASE WHEN p.c = 0 THEN -9223372036854775808
+                       ELSE (CAST(1 AS BIGINT) << (63 - p.c)) END
+                  ELSE 0 END) AS BIGINT) AS phash
+      FROM (SELECT doc_id, c, m,
+                   (c // 8) * 8 + ((c % 8) + 1) % 8 AS rc
+            FROM cell_means) p
+      JOIN cell_means r ON r.doc_id = p.doc_id AND r.c = p.rc
+      GROUP BY p.doc_id
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+    FROM bits x JOIN bits y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.phash, y.phash)) <= 3
+"""
+
+
+@query("multimodal_visual_near_dup", oracle=_VISUAL_NEAR_DUP_ORACLE)
 def multimodal_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate pairs via perceptual (dHash-style) hashing:
     band-bucketed candidate join + JVM-side popcount verify
@@ -153,13 +203,14 @@ def multimodal_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     query plants them the way detector evaluations do: every 25th
     document gets a re-encoded twin (one corrupted leading byte,
     doc_id + 1_000_000).  The detector must recover exactly those
-    planted pairs — which also makes the rows-only hash a meaningful
-    regression signal instead of a vacuous empty set.
+    planted pairs.
 
-    Rows-only: the hash needs byte-level resampling no SQL engine
-    expresses; invariants (identical payloads pair at hamming 0, every
-    pair survives the band pigeonhole, determinism) are pinned in
-    ``tests/test_multimodal.py``.
+    The oracle is the brute-force all-pairs hamming filter over the
+    same phash arithmetic (feasible in DuckDB at oracle scale; the
+    Spark path stays banded LSH).  Because hamming <= 3 over 4 x 16-bit
+    bands pigeonholes into >= 1 exact band match, the banded candidate
+    set provably contains every qualifying pair — so LSH output ==
+    brute force output, exactly.
     """
     from awsbatch_mapreduce_spark.multimodal.binary import (
         perceptual_hash,
