@@ -46,7 +46,7 @@ from awsbatch_mapreduce_spark.sources.tables import load_table
           SELECT event_type, date_trunc('hour', ts) AS hour_ts,
                  COUNT(*) AS n
           FROM events GROUP BY 1, 2)
-        SELECT t.event_type, s.hour_ts,
+        SELECT t.event_type, epoch_us(s.hour_ts) AS hour_ts_us,
                CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
         FROM slots s
         CROSS JOIN types t
@@ -81,7 +81,9 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hourly, ["event_type", "hour_ts"], "left")
         .select(
             "event_type",
-            "hour_ts",
+            # epoch_us output: raw timestamp columns materialize with
+            # different pandas units per engine (repo convention)
+            F.unix_micros("hour_ts").alias("hour_ts_us"),
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
@@ -391,11 +393,11 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_hourly_unique_users",
     oracle="""
-        SELECT date_trunc('hour', ts) AS hour_ts,
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_ts_us,
                COUNT(DISTINCT user_id) AS n_users,
                COUNT(*) AS n_events
         FROM events
-        GROUP BY date_trunc('hour', ts)
+        GROUP BY 1
     """,
 )
 def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +411,9 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle to rows-only; the exact form stays hash-gated here.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_ts_us")
+    ).agg(
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -529,7 +533,7 @@ def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                    AS rev_fp
           FROM orders GROUP BY 1)
-        SELECT month,
+        SELECT strftime(month, '%Y-%m') AS month,
                {dround_sql('rev_fp / 100.0', 2)} AS revenue,
                {dround_sql(
                    '(rev_fp - LAG(rev_fp) OVER (ORDER BY month)) / 100.0',
@@ -561,7 +565,9 @@ def monthly_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("month")
     prev = F.lag("rev_fp").over(w)
     return monthly.select(
-        "month",
+        # string month output (repo convention: no raw timestamp columns
+        # cross the comparator — pandas units differ per engine)
+        F.date_format("month", "yyyy-MM").alias("month"),
         dround(F.col("rev_fp") / 100.0, 2).alias("revenue"),
         dround((F.col("rev_fp") - prev) / 100.0, 2).alias("mom_change"),
         dround((F.col("rev_fp") - prev) * 1.0 / prev, 6).alias("mom_pct"),

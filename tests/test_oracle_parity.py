@@ -91,6 +91,39 @@ ALLOWED_INTEGRAL_FLOAT_COLUMNS: set[str] = {
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_comparator_safe(spark, name):
+    """Repo convention: oracle-gated outputs carry only scalar
+    hash-stable types.  Raw TIMESTAMP/DATE materialize with different
+    pandas units/objects per engine (emit epoch_us bigint or a
+    formatted string instead); BINARY/STRUCT/MAP/ARRAY have no stable
+    cross-engine hash.  Rows-only queries are exempt (count check
+    only)."""
+    import pyspark.sql.types as T
+
+    if QUERIES[name].oracle is None:
+        return
+    df = QUERIES[name].builder(spark, SF_DIR_ORACLE)
+    offenders = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType,
+            (
+                T.TimestampType,
+                T.TimestampNTZType,
+                T.DateType,
+                T.BinaryType,
+                T.StructType,
+                T.MapType,
+                T.ArrayType,
+                T.DecimalType,
+            ),
+        )
+    ]
+    assert not offenders, f"{name} outputs comparator-unsafe columns: {offenders}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_nonempty_or_known_empty(spark, con, name):
     """Every query should produce rows at sf0.01 (catches vacuous filters).
 
