@@ -292,3 +292,14 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     j = fact.join(dim, ["ship_year"]).groupBy("ship_year").count()
     plan = _plan(spark, j)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_detector_queries_scale_shape(spark):
+    """Detectors (plans/detectors.py): PII redaction must stay a pure
+    map stage (zero Exchange — at 100 TB it pipelines into the sink),
+    and the OOV join must broadcast the tiny vocabulary rather than
+    shuffle the token stream."""
+    pii = _plan(spark, QUERIES["pii_detect_redact"].builder(spark, SF_DIR))
+    assert "Exchange" not in pii, pii[:2000]
+    oov = _plan(spark, QUERIES["vocab_oov_rate"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in oov, oov[:2000]
