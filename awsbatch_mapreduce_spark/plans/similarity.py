@@ -409,3 +409,86 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         fixed_point_avg("mse_ppm", 4, 4).alias("avg_mse_ppm"),
     )
+
+
+_LSH_TOPK_ORACLE = """
+    WITH bits AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+    keys AS (
+      SELECT vec_id,
+             STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+               || '/' || CAST((i - 1) // 6 AS VARCHAR) AS bk
+      FROM bits WHERE i <= 18
+      GROUP BY vec_id, (i - 1) // 6),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM keys q JOIN keys c
+               ON q.bk = c.bk AND q.vec_id < 8 AND c.vec_id <> q.vec_id),
+    cos AS (
+      SELECT c.query_id, c.neighbor_id,
+             SUM(x.v * y.v) AS dot, SUM(x.v * x.v) AS qq, SUM(y.v * y.v) AS nn
+      FROM cand c
+      JOIN bits x ON x.vec_id = c.query_id
+      JOIN bits y ON y.vec_id = c.neighbor_id AND y.i = x.i
+      GROUP BY c.query_id, c.neighbor_id)
+    SELECT query_id, neighbor_id,
+           FLOOR((dot / (SQRT(qq) * SQRT(nn))) * 10000.0 + 0.5) / 10000.0
+             AS cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY FLOOR((dot / (SQRT(qq) * SQRT(nn))) * 10000.0 + 0.5)
+                     / 10000.0 DESC, neighbor_id) AS rk
+          FROM cos)
+    WHERE rk <= 5
+"""
+
+
+@query("ann_lsh_topk", oracle=_LSH_TOPK_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH bucketing — the third leg of the
+    similarity-search ladder (brute force -> IVF -> LSH): three 6-bit
+    sign bands generate candidates, exact cosine re-ranks them.
+
+    Unlike IVF (``ann_ivf_topk``) there is no trained codebook — the
+    index is purely hash-derived, so it builds in one map pass and
+    appends incrementally; the trade is lower recall per probe.  The
+    candidate join is band-key equi (never query x corpus); only
+    candidates pay the exact-cosine verify.  At 100 TB the band keys
+    shuffle 24-byte strings, not vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    keys = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                _sign_band_key(0, 0, 6),
+                _sign_band_key(1, 6, 12),
+                _sign_band_key(2, 12, 18),
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk")
+    q = keys.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "bk"
+    )
+    cand = (
+        keys.join(F.broadcast(q), "bk")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    vb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    cosine = dround(
+        _dot(F.col("qv"), F.col("nv")) / (_norm2(F.col("qv")) * _norm2(F.col("nv"))),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(va), "query_id")
+        .join(vb, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )
