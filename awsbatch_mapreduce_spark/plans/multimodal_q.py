@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from awsbatch_mapreduce_spark.multimodal.binary import (
+    audio_frame_energy,
     decode_image_features,
     frame_sample,
     synthesize_binary_docs,
@@ -229,3 +230,49 @@ def multimodal_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything = base.select("doc_id", "payload").unionByName(planted)
     hashed = perceptual_hash(everything)
     return visual_near_dup_pairs(hashed, max_hamming=3)
+
+
+_AUDIO_ORACLE = """
+    WITH frames AS (
+      SELECT doc_id,
+             unnest(generate_series(0, length(text) // 32 - 1)) AS f
+      FROM documents WHERE length(text) >= 32),
+    fe AS (
+      SELECT fr.doc_id, fr.f,
+             SUM(ord(substr(d.text, fr.f * 32 + i, 1))
+                 * ord(substr(d.text, fr.f * 32 + i, 1))) AS energy
+      FROM frames fr
+      JOIN documents d ON d.doc_id = fr.doc_id
+      CROSS JOIN UNNEST(generate_series(1, 32)) AS u(i)
+      GROUP BY fr.doc_id, fr.f),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(first(f ORDER BY energy DESC, f) AS BIGINT) AS peak_frame,
+             CAST(MAX(energy) AS BIGINT) AS peak_energy,
+             CAST(SUM(energy) AS BIGINT) AS total_energy
+      FROM fe GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_frames, 0) AS n_frames,
+           COALESCE(a.peak_frame, -1) AS peak_frame,
+           COALESCE(a.peak_energy, 0) AS peak_energy,
+           COALESCE(a.total_energy, 0) AS total_energy
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@query("multimodal_audio_energy", oracle=_AUDIO_ORACLE)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality stand-in: PCM-8 frame energies via Arrow-batched
+    ``mapInPandas`` (``multimodal/binary.py:audio_frame_energy``) —
+    per-doc frame count, total/peak energy, peak-frame index (the
+    silence-detection / loudness-normalization primitive).
+
+    All-integer arithmetic keeps the oracle exact; the Python stage is
+    numpy-vectorized per batch and emits five integers per doc, so
+    payload bytes never shuffle.  Swap the fake PCM interpretation for
+    a real decoder (soundfile/ffmpeg) and the plumbing is unchanged —
+    same environment-gate stance as S9 (reference ``Reduce.ps1:8``).
+    """
+    b = synthesize_binary_docs(spark, sf_dir)
+    return audio_frame_energy(b)
