@@ -105,17 +105,48 @@ PRIORITY_REGRADE: tuple[str, ...] = (
 )
 
 
+def _driver_proven() -> frozenset[str]:
+    """Names with a fully-green row in ANY ``CORRECTNESS_r*.json`` the
+    driver has written so far (repo root).  Reading the record files
+    directly makes the rotation self-maintaining: each round's newly
+    proven queries automatically drop to the back of the next round's
+    grading window without anyone editing a frozen set.  Falls back to
+    the round-1 snapshot if no record files are readable."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    proven: set[str] = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        found = True
+        for name, row in rows.items():
+            if isinstance(row, dict) and all(
+                row.get(k) is not False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ) and row.get("err") is None:
+                proven.add(name)
+    return frozenset(proven) if found else DRIVER_GREEN_R01
+
+
 def grading_order(queries: dict[str, QuerySpec]) -> list[str]:
     """Registry names ordered for the driver's capped grading window:
-    fix-verification first, then never-graded (oracle-backed before
-    rows-only, since the oracle hash is the strong signal), then the
-    driver-green set last."""
+    fix-verification first, then never-driver-proven (oracle-backed
+    before rows-only, since the oracle hash is the strong signal),
+    then the already-proven set last."""
+    proven = _driver_proven()
 
     def prio(name: str) -> tuple[int, int]:
         spec = queries[name]
-        if name in PRIORITY_REGRADE:
+        if name in PRIORITY_REGRADE and name not in proven:
             return (0, PRIORITY_REGRADE.index(name))
-        if name not in DRIVER_GREEN_R01:
+        if name not in proven:
             return (1, spec.oracle is None)
         return (2, 0)
 

@@ -303,3 +303,38 @@ def test_detector_queries_scale_shape(spark):
     assert "Exchange" not in pii, pii[:2000]
     oov = _plan(spark, QUERIES["vocab_oov_rate"].builder(spark, SF_DIR))
     assert "BroadcastHashJoin" in oov, oov[:2000]
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime row-level bloom filtering: a selective dim predicate on
+    a shuffle join must inject a might_contain() filter into the fact
+    scan side — at 100 TB this drops non-matching fact rows before the
+    exchange instead of shuffling them.  Thresholds are sized for
+    clusters, so the test lowers the application-side floor to prove
+    the optimizer wiring (production leaves the defaults)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        plan = _plan(spark, j)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
