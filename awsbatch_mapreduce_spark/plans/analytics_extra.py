@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from awsbatch_mapreduce_spark.functions.rounding import (
     dround,
     dround_sql,
+    fixed_point_avg,
+    fixed_point_avg_sql,
     fixed_point_sum,
     fixed_point_sum_sql,
 )
@@ -876,4 +878,60 @@ def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         fixed_point_sum("o_totalprice", 2, 2).alias("total_revenue"),
+    )
+
+
+_WINSOR_ORACLE = f"""
+    WITH pct AS (
+      SELECT event_type,
+             FLOOR(quantile_cont(value, 0.05) * 10000.0 + 0.5) / 10000.0
+               AS lo,
+             FLOOR(quantile_cont(value, 0.95) * 10000.0 + 0.5) / 10000.0
+               AS hi
+      FROM events GROUP BY event_type),
+    cl AS (
+      SELECT e.event_type,
+             LEAST(GREATEST(e.value, p.lo), p.hi) AS v,
+             CASE WHEN e.value < p.lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN e.value > p.hi THEN 1 ELSE 0 END AS is_hi
+      FROM events e JOIN pct p USING (event_type))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_lo) AS BIGINT) AS n_clamped_low,
+           CAST(SUM(is_hi) AS BIGINT) AS n_clamped_high,
+           {fixed_point_avg_sql('v', 4, 4)} AS winsorized_mean
+    FROM cl GROUP BY event_type
+"""
+
+
+@query("events_winsorized_stats", oracle=_WINSOR_ORACLE)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (P05/P95-clamped) robust mean per event type — the
+    outlier-tolerant aggregate a metrics pipeline uses where a single
+    corrupt reading would skew a plain mean.
+
+    Scale shape: the per-group percentile table is ONE grouped
+    aggregate over a bounded key domain (5 event types), then
+    BROADCAST back onto the stream — never a global window.  Exact
+    interpolated percentiles keep the oracle checkable; at 100 TB swap
+    ``percentile_approx`` into the same plan.  Clamp comparisons run
+    on 4dp-rounded bounds so both engines clamp identical row sets;
+    the clamped mean uses the fixed-point order-independent form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        dround(F.expr("percentile(value, 0.05)"), 4).alias("lo"),
+        dround(F.expr("percentile(value, 0.95)"), 4).alias("hi"),
+    )
+    cl = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        F.least(F.greatest("value", F.col("lo")), F.col("hi")).alias("v"),
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
+    )
+    return cl.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("is_lo").cast("bigint").alias("n_clamped_low"),
+        F.sum("is_hi").cast("bigint").alias("n_clamped_high"),
+        fixed_point_avg("v", 4, 4).alias("winsorized_mean"),
     )
