@@ -66,7 +66,33 @@ def main(argv: list[str] | None = None) -> int:
     pipe.add_argument("--out", required=True)
     pipe.add_argument("--months", type=int, default=None)
 
+    cur = sub.add_parser(
+        "curate",
+        help="run the composed curation build (dedup -> quality -> lang -> sharded export)",
+    )
+    cur.add_argument("--sf-dir", default=_default_sf_dir())
+    cur.add_argument("--out", required=True)
+    cur.add_argument("--shards", type=int, default=8)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "curate":
+        from awsbatch_mapreduce_spark.curate import run_curation_pipeline
+        from awsbatch_mapreduce_spark.session import get_spark
+
+        manifest = run_curation_pipeline(
+            get_spark(app_name="amrs-curate"),
+            args.sf_dir,
+            args.out,
+            n_shards=args.shards,
+        )
+        st = manifest["stages"]
+        print(
+            f"{st['input']} -> dedup {st['exact_dedup']} -> "
+            f"quality {st['quality_gate']} -> lang {st['lang_filter']} "
+            f"-> {manifest['export_dir']}"
+        )
+        return 0
 
     if args.cmd == "pipeline":
         from awsbatch_mapreduce_spark.pipeline import run_reference_pipeline

@@ -57,3 +57,37 @@ def test_cli_pipeline_end_to_end(spark, capsys, tmp_path):
         assert f.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
     listing = out / "output.frames.txt"
     assert listing.exists() and "output-iteration-000.png" in listing.read_text()
+
+
+def test_cli_curate_end_to_end(tmp_path, capsys):
+    """The composed curation build: monotone funnel counts, hive-layout
+    export that prunes on read, and a manifest that reproduces run-over-
+    run (md5 assignments are deterministic)."""
+    import json
+
+    from awsbatch_mapreduce_spark.__main__ import main
+
+    out = tmp_path / "build"
+    rc = main(
+        ["curate", "--sf-dir", "/root/testdata/sf0.001", "--out", str(out)]
+    )
+    assert rc == 0
+    man = json.loads((out / "manifest.json").read_text())
+    st = man["stages"]
+    assert (
+        st["input"] >= st["exact_dedup"] >= st["quality_gate"] >= st["lang_filter"]
+    )
+    assert st["lang_filter"] > 0, "funnel must not be vacuous"
+    assert sum(man["shard_counts"].values()) == st["lang_filter"]
+    # hive layout exists and is prunable by directory
+    splits = {p.name for p in (out / "corpus").iterdir() if p.is_dir()}
+    assert splits <= {"split=train", "split=val", "split=test"} and splits
+
+    out2 = tmp_path / "build2"
+    rc = main(
+        ["curate", "--sf-dir", "/root/testdata/sf0.001", "--out", str(out2)]
+    )
+    assert rc == 0
+    man2 = json.loads((out2 / "manifest.json").read_text())
+    assert man2["stages"] == man["stages"]
+    assert man2["shard_counts"] == man["shard_counts"]
