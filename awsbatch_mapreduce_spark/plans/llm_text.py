@@ -595,8 +595,9 @@ def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The count aggregate is partial+final on the token key (uniform at
     corpus scale — hot stopwords are exactly what map-side combine
-    absorbs); only the 100-row ranked head ever passes through a single
-    partition.
+    absorbs); the top-100 head is a distributed TakeOrderedAndProject,
+    so only the 100 survivors ever pass through a single partition for
+    vocab-id assignment.
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -604,10 +605,10 @@ def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(100)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
     return (
-        counts.withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("vocab_id") <= 100)
+        top.withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
         .select("vocab_id", "word", "n_occurrences")
     )
 

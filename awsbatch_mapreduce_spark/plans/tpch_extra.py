@@ -49,8 +49,11 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top 20 customers by revenue on returned items.
 
     nation (25 rows) broadcasts; customer/orders/lineitem shuffle on
-    their join keys; the top-20 is a single-partition sort over the
-    per-customer aggregate (cardinality = #customers, tiny vs lineitem).
+    their join keys; the top-20 is a distributed TakeOrderedAndProject
+    over the per-customer aggregate — only the 20 survivors ever pass
+    through a single partition for rank assignment (the per-customer
+    rollup is customer-cardinality, far too big for a global window at
+    100x).
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -67,11 +70,9 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+    top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
-    )
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
 
 @query(

@@ -257,6 +257,26 @@ def test_scalar_subquery_is_broadcast_not_global_window(spark, name):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+@pytest.mark.parametrize("name", ["q10_returned_revenue", "vocab_top_words"])
+def test_global_topk_is_take_ordered_not_window(spark, name):
+    """Global top-k with rank output must plan the k-selection as a
+    distributed TakeOrderedAndProject (per-partition heap + merge of
+    k-row heads), with the unpartitioned rank window running only on
+    the k survivors — never a global WindowExec over the full rollup
+    (customer- / vocabulary-cardinality at 100x)."""
+    plan = _plan(spark, QUERIES[name].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan[:1500]}"
+    # The window may exist, but it must CONSUME the TakeOrdered output
+    # (k rows), not feed it: formatted explain numbers operators
+    # leaf-first, so the Window's number must be higher.
+    ops = [l for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
+    w_idx = [i for i, l in enumerate(ops) if "Window" in l]
+    t_idx = [i for i, l in enumerate(ops) if "TakeOrderedAndProject" in l]
+    assert w_idx and t_idx and min(w_idx) > max(t_idx), (
+        f"{name}: window below the top-k\n" + "\n".join(ops)
+    )
+
+
 def test_corpus_shard_plan_rank_is_partitioned(spark):
     """The export-shard permutation rank must be two-level: row_number
     partitioned by the md5-prefix bucket, with the 256-row offset
