@@ -829,3 +829,78 @@ def dedup_cluster_size_histogram(
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+@query(
+    "tokenize_with_vocab",
+    oracle="""
+        WITH counts AS (
+          SELECT word, COUNT(*) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          GROUP BY 1),
+        v AS (
+          SELECT word,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS id
+          FROM counts QUALIFY id <= 16),
+        t AS (
+          SELECT doc_id, i AS pos,
+                 list_extract(string_split(text, ' '), i) AS w
+          FROM documents,
+               UNNEST(generate_series(1,
+                 LEAST(len(string_split(text, ' ')), 32))) AS u(i)),
+        j AS (
+          SELECT t.doc_id, t.pos, CAST(COALESCE(v.id, 0) AS BIGINT) AS id
+          FROM t LEFT JOIN v ON v.word = t.w)
+        SELECT doc_id,
+               string_agg(CAST(id AS VARCHAR), '-' ORDER BY pos) AS token_ids,
+               CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM j GROUP BY doc_id
+    """,
+)
+def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary tokenization at scale: learn a top-16 vocabulary
+    (count desc, word tie-break), then map each document's first 32
+    tokens to vocab ids (0 = OOV) — the join-based way to run a fixed
+    tokenizer over a corpus when the vocab is too big to ship in a
+    closure but small enough to broadcast as a table.
+
+    Scale shape: the vocab build is the wordcount aggregate plus a
+    distributed top-k (TakeOrderedAndProject); the application side is
+    posexplode -> broadcast hash join against the vocab -> re-assemble
+    per doc.  Order within a doc survives the shuffle because the
+    (pos, id) pairs are array_sort-ed after collect_list — never
+    relying on collect_list's arrival order.  Ids are emitted as a
+    dash-joined string (repo convention for cross-engine array
+    hashing).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(16)
+    wv = Window.orderBy(F.desc("n"), F.asc("word"))
+    vocab = top.withColumn("id", F.row_number().over(wv).cast("bigint")).select(
+        "word", "id"
+    )
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 32)).alias("pos", "w"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab), toks.w == vocab.word, "left"
+    ).select("doc_id", "pos", F.coalesce("id", F.lit(0).cast("bigint")).alias("id"))
+    return joined.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"].cast("string"),
+            ),
+            "-",
+        ).alias("token_ids"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )

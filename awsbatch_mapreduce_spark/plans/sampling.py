@@ -216,3 +216,119 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows_mixed"),
         F.sum("n_tokens").alias("n_tokens_mixed"),
     )
+
+
+@query(
+    "domain_cap_sample",
+    oracle="""
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+        WHERE rk <= 10
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most 10 documents per source, chosen in
+    deterministic md5 order — the standard defence against a handful
+    of giant domains dominating a crawl-derived corpus.  Unlike a
+    fraction-based downsample, a cap bounds every domain's contribution
+    absolutely, and the md5 order makes the kept set a stable pseudo-
+    random draw (append-stable: new docs only displace losers, never
+    reshuffle winners... a doc's md5 rank among its peers is fixed).
+
+    Scale shape: rank-within-domain plans as WindowGroupLimit — each
+    task keeps <=10 candidates per domain before the shuffle, so the
+    exchange carries O(domains x 10), not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "token_budget_threshold",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+                      // len(string_split(text, ' ')) AS BIGINT) AS score
+          FROM documents),
+        c AS (
+          SELECT doc_id, score, n_tokens,
+                 SUM(n_tokens) OVER (
+                   ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                 SUM(n_tokens) OVER () AS total_tokens
+          FROM t)
+        SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE 2 * cum_tokens <= total_tokens
+    """,
+)
+def token_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold calibration: keep the best documents (by
+    unique-token-ratio score, integer-scaled so ordering is exact) in
+    score order until half the corpus token budget is spent — how a
+    curation pipeline picks the score cut that hits a target token
+    count, instead of guessing a threshold.
+
+    Scale shape: the naive form is a global ORDER BY score cumulative
+    sum — one partition holding the corpus.  Here the cumsum is
+    two-level: (1) bucket docs by score band (score div 10000, <=101
+    bands), (2) per-band token totals (tiny) meet in a broadcast
+    triangle join that yields each band's prefix offset, (3) the
+    within-band cumsum windows partition on the band key.  Identical
+    result to the global window — score bands are contiguous ranges of
+    the global order — but every exchange is either hash-on-band or a
+    broadcast of <=101 rows.  All-integer maths, so the ``2*cum <=
+    total`` cut is engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 1000000L"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("score"),
+    ).withColumn("band", F.expr("score div 10000"))
+
+    per_band = t.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
+    # prefix offset per band = total tokens of strictly better bands
+    hi = per_band.select(
+        F.col("band").alias("hi_band"), F.col("band_tokens").alias("hi_tokens")
+    )
+    offsets = (
+        per_band.join(
+            F.broadcast(hi), F.col("hi_band") > F.col("band"), "left"
+        )
+        .groupBy("band")
+        .agg(F.coalesce(F.sum("hi_tokens"), F.lit(0)).alias("band_offset"))
+    )
+    total = t.agg(F.sum("n_tokens").alias("total_tokens"))
+
+    w = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.join(F.broadcast(offsets), "band")
+        .withColumn(
+            "cum_tokens",
+            (F.sum("n_tokens").over(w) + F.col("band_offset")).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(2 * F.col("cum_tokens") <= F.col("total_tokens"))
+        .select("doc_id", "score", "n_tokens", "cum_tokens")
+    )

@@ -492,3 +492,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 5)
     )
+
+
+_XMODAL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, CAST(MAX(label) AS INT) AS label,
+             FLOOR((SQRT(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                   * 10000.0 + 0.5) / 10000.0 AS l2_norm
+      FROM e GROUP BY vec_id)
+    SELECT d.lang, n.label,
+           COUNT(*) AS n_items,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+           {fixed_point_avg_sql('n.l2_norm', 4, 4)} AS avg_l2_norm
+    FROM n JOIN documents d ON d.doc_id = n.vec_id
+    GROUP BY d.lang, n.label
+"""
+
+
+@query("doc_embedding_join_profile", oracle=_XMODAL_ORACLE)
+def doc_embedding_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal corpus profile: join the text table to its embedding
+    table (doc_id = vec_id) and report per (lang, label) item counts,
+    token volume, and mean embedding norm — the sanity join every
+    multimodal pipeline runs to confirm the modalities actually line up
+    before training (and the shape of any doc+vector enrichment join).
+
+    Scale shape: an equi-join on the shared key, left to Catalyst —
+    stats pick a broadcast at test SF and a sort-merge once both sides
+    are fact-sized — then the profile aggregate is partial+final over
+    a bounded (lang x label) domain.  Norms are
+    rounded per row (deterministic single-row fold) and averaged
+    fixed-point, so the cross-engine hash is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        dround(F.sqrt(_norm2(F.col("embedding"))), 4).alias("l2_norm"),
+    )
+    return (
+        n.join(docs, n.vec_id == docs.doc_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+            fixed_point_avg("l2_norm", 4, 4).alias("avg_l2_norm"),
+        )
+    )

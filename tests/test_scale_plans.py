@@ -277,6 +277,31 @@ def test_global_topk_is_take_ordered_not_window(spark, name):
     )
 
 
+def test_domain_cap_uses_window_group_limit(spark):
+    """The per-domain cap must plan as WindowGroupLimit so each task
+    keeps <=10 candidates per domain before the shuffle — the same
+    property that makes per-entity top-k viable on a 100 TB corpus."""
+    plan = _plan(spark, QUERIES["domain_cap_sample"].builder(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_token_budget_cumsum_is_band_partitioned(spark):
+    """The corpus-wide cumulative sum must be two-level: the row-level
+    window partitions on the score band; the only single-partition
+    exchanges allowed are one-row scalar aggregates (the corpus token
+    total), never the doc-level frame."""
+    df = QUERIES["token_budget_threshold"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"windowspecdefinition\(band", plan), plan[:2000]
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            ctx = "\n".join(lines[max(0, i - 3) : i + 1])
+            assert "HashAggregate(keys=[]" in ctx, (
+                f"non-scalar single-partition exchange:\n{ctx}"
+            )
+
+
 def test_corpus_shard_plan_rank_is_partitioned(spark):
     """The export-shard permutation rank must be two-level: row_number
     partitioned by the md5-prefix bucket, with the 256-row offset
