@@ -177,31 +177,54 @@ def cogroup_user_activity_reconcile(spark: SparkSession, sf_dir: str) -> DataFra
     clickstream agree with the order system".
 
     Cogroup shuffles both inputs once on the shared key and never
-    materializes a join product; per-key memory is the two groups only.
-    The SQL oracle is the equivalent aggregate-then-full-outer.
+    materializes a join product.  Two scale rules shape this plan:
+    (1) reduce before you ship — both feeds are count-reduced JVM-side
+    first, so Arrow carries one row per (user, side), never the raw
+    fact rows; (2) cogroup on a BOUNDED bucket key (user_id % 64), not
+    the raw user id — ``applyInPandas`` pays a per-group Python call,
+    so a high-cardinality key degenerates to one interpreter call per
+    entity (measured 36 s for ~15k singleton groups vs ~1 s for 64
+    vectorized buckets at sf0.1; the reconcile inside each bucket is a
+    vectorized pandas outer merge).  The SQL oracle is the equivalent
+    aggregate-then-full-outer.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id")
-    od = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket", F.col("user_id") % 64)
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket", F.col("user_id") % 64)
     )
 
     def reconcile(key: tuple, ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame) -> pd.DataFrame:
-        n_ev, n_od = len(ev_pdf), len(od_pdf)
-        presence = (
-            "both" if n_ev and n_od else ("events_only" if n_ev else "orders_only")
+        m = ev_pdf[["user_id", "n"]].merge(
+            od_pdf[["user_id", "n"]],
+            on="user_id",
+            how="outer",
+            suffixes=("_ev", "_od"),
         )
+        n_ev = m["n_ev"].fillna(0).astype("int64")
+        n_od = m["n_od"].fillna(0).astype("int64")
+        presence = pd.Series("both", index=m.index)
+        presence[n_od == 0] = "events_only"
+        presence[n_ev == 0] = "orders_only"
         return pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_events": [n_ev],
-                "n_orders": [n_od],
-                "presence": [presence],
+                "user_id": m["user_id"].astype("int64"),
+                "n_events": n_ev,
+                "n_orders": n_od,
+                "presence": presence,
             }
         )
 
     return (
-        ev.groupBy("user_id")
-        .cogroup(od.groupBy("user_id"))
+        ev.groupBy("bucket")
+        .cogroup(od.groupBy("bucket"))
         .applyInPandas(
             reconcile,
             "user_id BIGINT, n_events BIGINT, n_orders BIGINT, presence STRING",
