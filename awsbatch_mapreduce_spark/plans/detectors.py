@@ -155,9 +155,17 @@ def ngram_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, size(t) - 2),"
+                    # The size(t) >= 3 guard matches the oracle's
+                    # range(1, len-1), which is empty for <3-token docs;
+                    # Spark's sequence(1, 0) is a *descending* [1, 0]
+                    # and element_at(t, 0) raises at runtime.  Explode
+                    # of the empty array drops the row, same as the
+                    # oracle's empty UNNEST.
+                    "CASE WHEN size(t) >= 3 THEN"
+                    " transform(sequence(1, size(t) - 2),"
                     " i -> concat_ws(' ', element_at(t, i),"
                     " element_at(t, i + 1), element_at(t, i + 2)))"
+                    " ELSE array() END"
                 )
             )
         ).alias("tg"),

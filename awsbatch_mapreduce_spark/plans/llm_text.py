@@ -606,7 +606,7 @@ def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     top = counts.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(100)
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_occurrences"), F.asc("word"))
     return (
         top.withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
         .select("vocab_id", "word", "n_occurrences")
@@ -880,7 +880,7 @@ def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     top = counts.orderBy(F.desc("n"), F.asc("word")).limit(16)
-    wv = Window.orderBy(F.desc("n"), F.asc("word"))
+    wv = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("word"))
     vocab = top.withColumn("id", F.row_number().over(wv).cast("bigint")).select(
         "word", "id"
     )

@@ -228,6 +228,10 @@ def multimodal_visual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     everything = base.select("doc_id", "payload").unionByName(planted)
+    # empty payloads have no cells, so the oracle's cell_means CTE drops
+    # them implicitly; perceptual_hash would emit phash=0 and pair every
+    # empty doc at hamming 0 — exclude them symmetrically (ADVICE r2)
+    everything = everything.filter(F.length("payload") > 0)
     hashed = perceptual_hash(everything)
     return visual_near_dup_pairs(hashed, max_hamming=3)
 

@@ -155,7 +155,7 @@ def month_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("m")
+    w = Window.partitionBy(F.lit(0)).orderBy("m")
     return (
         months.select(F.date_format("m", "yyyy-MM").alias("year_month"), "m")
         .withColumn("iteration", (F.row_number().over(w) - 1).cast("bigint"))
@@ -220,7 +220,7 @@ def monthly_frames_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed_point_avg(x, 4, 4).alias("mean_x"),
         )
     )
-    w = Window.orderBy("mon")
+    w = Window.partitionBy(F.lit(0)).orderBy("mon")
     return monthly.select(
         F.date_format("mon", "yyyy-MM").alias("year_month"),
         (F.row_number().over(w) - 1).cast("bigint").alias("iteration"),

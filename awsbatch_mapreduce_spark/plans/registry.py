@@ -24,6 +24,13 @@ class QuerySpec:
     builder: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
     doc: str = ""
+    # Round in which the query was registered.  The driver's grading
+    # window is capped (~50); within the never-proven class, earlier
+    # waves sort first so that queries added in round N can never
+    # displace still-ungraded queries from earlier rounds out of the
+    # window (round 3 must convert exactly the 50 pre-r3 ungraded
+    # entries into driver rows — VERDICT r2 #2).
+    wave: int = 2
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -105,18 +112,23 @@ PRIORITY_REGRADE: tuple[str, ...] = (
 )
 
 
-def _driver_proven() -> frozenset[str]:
+def _driver_proven(root: str | None = None) -> frozenset[str]:
     """Names with a fully-green row in ANY ``CORRECTNESS_r*.json`` the
     driver has written so far (repo root).  Reading the record files
     directly makes the rotation self-maintaining: each round's newly
     proven queries automatically drop to the back of the next round's
     grading window without anyone editing a frozen set.  Falls back to
-    the round-1 snapshot if no record files are readable."""
+    the round-1 snapshot if no record files are readable.
+
+    ``root`` overrides the record directory (tests inject a tmp dir
+    with synthetic record files to pin the rotation's behavior for
+    future rounds)."""
     import glob
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     proven: set[str] = set()
     found = False
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -127,41 +139,56 @@ def _driver_proven() -> frozenset[str]:
             continue
         found = True
         for name, row in rows.items():
-            if isinstance(row, dict) and all(
-                row.get(k) is not False
-                for k in ("rows_match", "schema_match", "hash_match")
-            ) and row.get("err") is None:
+            # rows_match must be affirmatively True (a malformed/empty
+            # row dict must NOT count as proven — it would silently drop
+            # the query to the back of every future grading window);
+            # schema/hash may be None only for rows-only checks.
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            ):
                 proven.add(name)
     return frozenset(proven) if found else DRIVER_GREEN_R01
 
 
-def grading_order(queries: dict[str, QuerySpec]) -> list[str]:
+def grading_order(
+    queries: dict[str, QuerySpec], proven: frozenset[str] | None = None
+) -> list[str]:
     """Registry names ordered for the driver's capped grading window:
-    fix-verification first, then never-driver-proven (oracle-backed
-    before rows-only, since the oracle hash is the strong signal),
-    then the already-proven set last."""
-    proven = _driver_proven()
+    fix-verification first, then never-driver-proven — earlier waves
+    before later ones (new queries must not displace older ungraded
+    ones from the window), oracle-backed before rows-only within a
+    wave (the oracle hash is the strong signal) — then the
+    already-proven set last.  ``proven`` overrides the record-file
+    scan (for tests)."""
+    if proven is None:
+        proven = _driver_proven()
 
-    def prio(name: str) -> tuple[int, int]:
+    def prio(name: str) -> tuple[int, ...]:
         spec = queries[name]
         if name in PRIORITY_REGRADE and name not in proven:
             return (0, PRIORITY_REGRADE.index(name))
         if name not in proven:
-            return (1, spec.oracle is None)
-        return (2, 0)
+            return (1, spec.wave, spec.oracle is None)
+        return (2,)
 
     # sorted() is stable: within a priority class, registration order holds.
     return sorted(queries, key=prio)
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, wave: int = 2
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = QuerySpec(
-            name=name, builder=fn, oracle=oracle, doc=fn.__doc__ or ""
+            name=name, builder=fn, oracle=oracle, doc=fn.__doc__ or "", wave=wave
         )
         return fn
 

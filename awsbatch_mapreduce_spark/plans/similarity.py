@@ -28,7 +28,7 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm2(a: Column) -> Column:
+def _l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
             a,
@@ -57,7 +57,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("label").cast("int").alias("label"),
         F.size("embedding").cast("bigint").alias("dim"),
-        dround(_norm2(F.col("embedding")), 4).alias("l2_norm"),
+        dround(_l2_norm(F.col("embedding")), 4).alias("l2_norm"),
     )
 
 
@@ -102,7 +102,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("dv"))
     pairs = d.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     cosine = dround(
-        _dot(F.col("qv"), F.col("dv")) / (_norm2(F.col("qv")) * _norm2(F.col("dv"))),
+        _dot(F.col("qv"), F.col("dv")) / (_l2_norm(F.col("qv")) * _l2_norm(F.col("dv"))),
         4,
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -188,7 +188,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     cosine = dround(
-        _dot(F.col("ea"), F.col("eb")) / (_norm2(F.col("ea")) * _norm2(F.col("eb"))),
+        _dot(F.col("ea"), F.col("eb")) / (_l2_norm(F.col("ea")) * _l2_norm(F.col("eb"))),
         4,
     )
     return (
@@ -274,7 +274,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding")
     s = dround(
         _dot(F.col("embedding"), F.col("centroid"))
-        / (_norm2(F.col("embedding")) * _norm2(F.col("centroid"))),
+        / (_l2_norm(F.col("embedding")) * _l2_norm(F.col("centroid"))),
         6,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
@@ -295,7 +295,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
     cosine = dround(
-        _dot(F.col("qv"), F.col("nv")) / (_norm2(F.col("qv")) * _norm2(F.col("nv"))),
+        _dot(F.col("qv"), F.col("nv")) / (_l2_norm(F.col("qv")) * _l2_norm(F.col("nv"))),
         4,
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -481,7 +481,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     vb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
     cosine = dround(
-        _dot(F.col("qv"), F.col("nv")) / (_norm2(F.col("qv")) * _norm2(F.col("nv"))),
+        _dot(F.col("qv"), F.col("nv")) / (_l2_norm(F.col("qv")) * _l2_norm(F.col("nv"))),
         4,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -530,7 +530,7 @@ def doc_embedding_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.select(
         "vec_id",
         F.col("label").cast("int").alias("label"),
-        dround(F.sqrt(_norm2(F.col("embedding"))), 4).alias("l2_norm"),
+        dround(_l2_norm(F.col("embedding")), 4).alias("l2_norm"),
     )
     return (
         n.join(docs, n.vec_id == docs.doc_id)

@@ -71,7 +71,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
 

@@ -80,6 +80,10 @@ ALLOWED_INTEGRAL_FLOAT_COLUMNS: set[str] = {
     "bbox_filter_project.y",
     "bbox_summary_stats.y_min",
     "bbox_summary_stats.y_max",
+    # fixture embeddings are unit-normalized (FIXTURES.md), so every
+    # l2_norm rounds to 1.0000 and their fixed-point average lands
+    # integral; both engines emit float64 (driver hash green in r2)
+    "doc_embedding_join_profile.avg_l2_norm",
     "embedding_norms.l2_norm",
     "event_type_cooccurrence.support",
     "orders_with_lineitem_stats.sum_qty",

@@ -1,22 +1,32 @@
-"""Pins the driver-grading-window ordering contract (VERDICT r1 #1).
+"""Pins the driver-grading-window ordering contract (VERDICT r1 #1, r2 #1).
 
 The round driver grades ``__spark_entry__.queries()`` in insertion
-order with a ~50-entry cap.  Round 1 graded only the first 50 of 127,
-leaving 77 queries without a driver correctness row.  ``grading_order``
-must therefore front-load (a) the round-1 hash-fail regrades and the
-latent-HUGEINT fixes, then (b) never-graded oracle-backed queries, and
-push the already-green set to the back.
+order with a ~50-entry cap.  ``grading_order`` must front-load (a)
+regrades not yet proven, then (b) never-driver-proven queries —
+earlier registration waves before later ones, oracle-backed before
+rows-only within a wave — and push the already-proven set to the back.
+
+Round 2's failure mode was hard-coding the round-1 proven snapshot,
+which went stale the moment ``CORRECTNESS_r02.json`` landed.  These
+tests derive every expectation from the live record files via
+``_driver_proven()`` so they stay green as the driver writes new
+records, and additionally pin the rotation against *synthetic* record
+files (future-round states, malformed rows) in a tmp dir.
 """
 
 from __future__ import annotations
 
+import json
+
 from awsbatch_mapreduce_spark.plans import QUERIES, grading_order
 from awsbatch_mapreduce_spark.plans.registry import (
-    DRIVER_GREEN_R01,
     PRIORITY_REGRADE,
+    _driver_proven,
 )
 
 DRIVER_WINDOW = 50
+
+PROVEN = _driver_proven()
 
 
 def test_order_is_a_permutation_of_the_registry():
@@ -24,36 +34,139 @@ def test_order_is_a_permutation_of_the_registry():
     assert sorted(order) == sorted(QUERIES)
 
 
-def test_regrades_lead_the_window():
+def test_pending_regrades_lead_the_window():
+    pending = [n for n in PRIORITY_REGRADE if n not in PROVEN]
     order = grading_order(QUERIES)
-    assert tuple(order[: len(PRIORITY_REGRADE)]) == PRIORITY_REGRADE
+    assert order[: len(pending)] == pending
 
 
 def test_window_spends_no_slot_on_already_green_queries():
+    """As long as >= DRIVER_WINDOW queries are unproven, the window must
+    contain only unproven ones; once fewer remain, every unproven query
+    must be in the window (no slot wasted either way)."""
     window = grading_order(QUERIES)[:DRIVER_WINDOW]
-    stale_green = [
-        n for n in window if n in DRIVER_GREEN_R01 and n not in PRIORITY_REGRADE
-    ]
-    assert not stale_green, f"window wastes slots on green queries: {stale_green}"
+    unproven = [n for n in QUERIES if n not in PROVEN]
+    if len(unproven) >= DRIVER_WINDOW:
+        stale_green = [n for n in window if n in PROVEN]
+        assert not stale_green, f"window wastes slots on green: {stale_green}"
+    else:
+        missing = set(unproven) - set(window)
+        assert not missing, f"unproven queries left out of window: {missing}"
 
 
-def test_window_prefers_oracle_backed_over_rows_only():
-    """Rows-only entries give the driver only a weak rows>=0 check, so
-    every oracle-backed ungraded query must be graded before any
-    rows-only one consumes a slot."""
+def test_ungraded_sort_by_wave_then_oracle_strength():
+    """Within the never-proven class: earlier waves first (new queries
+    must not displace older ungraded ones from the capped window), and
+    oracle-backed before rows-only within a wave."""
     order = grading_order(QUERIES)
-    ungraded = [n for n in order if n not in DRIVER_GREEN_R01]
-    first_rows_only = next(
-        (i for i, n in enumerate(ungraded) if QUERIES[n].oracle is None),
-        len(ungraded),
-    )
-    assert all(
-        QUERIES[n].oracle is None for n in ungraded[first_rows_only:]
-    ), "an oracle-backed ungraded query sorts after a rows-only one"
+    pending_regrades = {n for n in PRIORITY_REGRADE if n not in PROVEN}
+    ungraded = [
+        n for n in order if n not in PROVEN and n not in pending_regrades
+    ]
+    keys = [(QUERIES[n].wave, QUERIES[n].oracle is None) for n in ungraded]
+    assert keys == sorted(keys), "ungraded queries out of (wave, strength) order"
 
 
-def test_green_set_names_exist():
-    missing = DRIVER_GREEN_R01 - set(QUERIES)
-    assert not missing, f"green-list names not in registry: {missing}"
+def test_round3_window_is_exactly_the_pre_r3_ungraded_set():
+    """Round 3's contract (VERDICT r2 #2): the 50-slot window converts
+    exactly the 50 pre-r3 ungraded queries into driver rows.  Wave-3+
+    additions must all sort after them.  Skips once the driver has
+    proven any pre-r3 query count other than 98 (i.e. after round 3)."""
+    pre_r3_ungraded = [
+        n for n in QUERIES if n not in PROVEN and QUERIES[n].wave <= 2
+    ]
+    if len(pre_r3_ungraded) != DRIVER_WINDOW:
+        return  # post-r3 state: covered by the generic tests above
+    window = grading_order(QUERIES)[:DRIVER_WINDOW]
+    assert sorted(window) == sorted(pre_r3_ungraded)
+
+
+def test_regrade_and_wave_names_are_valid():
     missing_p = set(PRIORITY_REGRADE) - set(QUERIES)
     assert not missing_p, f"regrade names not in registry: {missing_p}"
+    assert all(QUERIES[n].wave >= 2 for n in QUERIES)
+
+
+def test_proven_set_reflects_live_record_files():
+    """Every fully-green row in the repo's CORRECTNESS_r*.json must be
+    in PROVEN — the rotation self-maintains from the records."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    expect: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if (
+                row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            ):
+                expect.add(name)
+    assert expect <= PROVEN
+
+
+def test_synthetic_future_record_rotates_window(tmp_path):
+    """Dropping a synthetic CORRECTNESS_r99.json in must rotate those
+    queries to the back without any code edit (the r2 staleness bug)."""
+    names = list(QUERIES)
+    green = {
+        n: {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        }
+        for n in names[:60]
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(green))
+    proven = _driver_proven(root=str(tmp_path))
+    assert proven == frozenset(names[:60])
+    order = grading_order(QUERIES, proven=proven)
+    back = order[len(names) - 60 :]
+    assert set(back) == set(names[:60])
+
+
+def test_malformed_record_rows_do_not_count_as_proven(tmp_path):
+    """ADVICE r2: an empty/malformed row dict must NOT mark a query
+    proven (it would silently drop it out of every future window).
+    Rows-only records (hash/schema None) still count."""
+    rows = {
+        "a_malformed": {},
+        "b_err": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": "boom",
+        },
+        "c_rows_only": {
+            "rows_match": True,
+            "schema_match": None,
+            "hash_match": None,
+            "err": None,
+        },
+        "d_hash_fail": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": False,
+            "err": None,
+        },
+        "e_green": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        },
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    proven = _driver_proven(root=str(tmp_path))
+    assert proven == frozenset({"c_rows_only", "e_green"})
+
+
+def test_no_records_falls_back_to_r01_snapshot(tmp_path):
+    from awsbatch_mapreduce_spark.plans.registry import DRIVER_GREEN_R01
+
+    assert _driver_proven(root=str(tmp_path)) == DRIVER_GREEN_R01
