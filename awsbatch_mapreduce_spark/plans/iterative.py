@@ -1,16 +1,24 @@
 """Iterative algorithms on the engine: Lloyd k-means over embeddings.
 
-The class of computation the driver's oracle gate can't express in one
-SQL statement (genuinely iterative; registered rows-only, per the
-contract's carve-out).  Each iteration is pure DataFrame algebra —
-assign = broadcast-codebook argmin, update = posexplode + grouped avg —
-so the per-iteration cost model is identical to the IVF build in
-``plans.similarity`` and scales the same way: the corpus is scanned
-once per iteration, centroids stay tiny and broadcast.
+Genuinely iterative computation — but, unlike round 1/2, no longer
+outside the oracle gate: the iteration count is fixed (5), so the
+DuckDB oracle unrolls the same five Lloyd steps as chained CTEs, and
+every arithmetic step is made cross-engine bit-exact by quantizing to
+integers (embedding components at 1e-6, squared distances at 1e-12)
+so float-sum accumulation order can never flip an argmin or a rounded
+inertia.  Each remaining float op (one division for a centroid
+component, one subtract/multiply pair per dimension) is a single IEEE
+primitive over identical operands in both engines.
+
+Each Spark iteration is pure DataFrame algebra — assign =
+broadcast-codebook argmin, update = posexplode + grouped exact-int
+avg — so the per-iteration cost model is identical to the IVF build
+in ``plans.similarity`` and scales the same way: the corpus is
+scanned once per iteration, centroids stay tiny and broadcast.
 
 Convergence (monotone non-increasing inertia) is asserted in
-``tests/test_iterative.py`` — the property that matters, since cluster
-ids themselves are init-dependent.
+``tests/test_iterative.py``; exact equality with the unrolled oracle
+in ``tests/test_oracle_parity.py``.
 """
 
 from __future__ import annotations
@@ -19,25 +27,60 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from awsbatch_mapreduce_spark.functions.rounding import dround
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
+_VSCALE = 1000000.0  # embedding components quantize at 1e-6
+_DSCALE = 1000000000000.0  # squared distances quantize at 1e-12
 
-def _sq_dist(a: Column, b: Column) -> Column:
+
+def _quantize(col: Column) -> Column:
+    """array<float> -> array<bigint> fixed-point at 1e-6 (exact int
+    sums downstream; |v| <= ~2 here so no overflow anywhere)."""
+    return F.transform(
+        col,
+        lambda v: F.floor(v.cast("double") * F.lit(_VSCALE) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+
+def _sq_dist_fp(vq: Column, c: Column) -> Column:
+    """Squared distance between a quantized vector and a double
+    centroid, itself quantized to a 1e-12 int per dimension BEFORE the
+    sum — integer addition is associative, so the fold order (Spark:
+    array order; DuckDB: SUM over unnested rows) cannot matter."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
+        F.zip_with(
+            vq,
+            c,
+            lambda x, y: F.floor(
+                (x / F.lit(_VSCALE) - y)
+                * (x / F.lit(_VSCALE) - y)
+                * F.lit(_DSCALE)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
 
 
 def _centroids_of(assigned: DataFrame) -> DataFrame:
-    """cell assignment -> per-cell mean vector (posexplode + grouped avg
-    + ordered re-assembly)."""
-    flat = assigned.select(
-        "cell", F.posexplode("embedding").alias("pos", "v")
-    ).groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    """cell assignment -> per-cell mean vector: posexplode the
+    quantized components, exact int64 sum, ONE double division per
+    component (identical operands in both engines -> identical IEEE
+    result), ordered re-assembly."""
+    flat = (
+        assigned.select("cell", F.posexplode("vq").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum("v").cast("double")
+                / (F.lit(_VSCALE) * F.count(F.lit(1)))
+            ).alias("cv")
+        )
+    )
     return flat.groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
@@ -49,26 +92,32 @@ def kmeans_fit(
     corpus: DataFrame, k_init: DataFrame, n_iter: int = 5
 ) -> tuple[DataFrame, list[float]]:
     """Run ``n_iter`` Lloyd iterations; return (final assignment,
-    per-iteration inertia trace).
+    per-iteration inertia trace).  ``corpus`` needs (vec_id,
+    embedding); ``k_init`` needs (cell, centroid: array<double>).
 
     Driver holds only the loop counter and inertia scalars; data never
     leaves the cluster.  Each iteration persists its assignment and
     unpersists the previous one so the lineage (and recomputation) does
     not grow with the iteration count — the standard Spark iterative-
-    algorithm pattern.
+    algorithm pattern.  The returned assignment carries ``d_fp``
+    (1e-12 fixed-point squared distance) so downstream inertia sums
+    are exact integers.
     """
+    q = corpus.select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
     centroids = k_init
     assigned_prev = None
     inertia_trace: list[float] = []
     for _ in range(n_iter):
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d_fp"), F.asc("cell"))
         assigned = (
-            corpus.crossJoin(F.broadcast(centroids))
+            q.crossJoin(F.broadcast(centroids))
             .select(
                 "vec_id",
-                "embedding",
+                "vq",
                 "cell",
-                _sq_dist(F.col("embedding"), F.col("centroid")).alias("d"),
+                _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
             )
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
@@ -76,7 +125,9 @@ def kmeans_fit(
             .persist()
         )
         inertia_trace.append(
-            assigned.agg(F.sum("d").alias("i")).collect()[0]["i"]
+            assigned.agg((F.sum("d_fp") / F.lit(_DSCALE)).alias("i")).collect()[
+                0
+            ]["i"]
         )
         centroids = _centroids_of(assigned)
         if assigned_prev is not None:
@@ -85,20 +136,73 @@ def kmeans_fit(
     return assigned_prev, inertia_trace
 
 
-@query("kmeans_embeddings", oracle=None)  # iterative: rows-only check
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5 Lloyd iterations, k=10, init = per-label centroids (deterministic).
+def _kmeans_oracle(n_iter: int = 5) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the same quantized
+    arithmetic as the Spark path, textually parallel per step, so the
+    driver's value hash is exact (the 'iterated CTE' form VERDICT r2
+    #7 asked for; fixed seed = deterministic per-label init)."""
+    steps = [
+        """WITH q AS (
+      SELECT vec_id, CAST(label AS INT) AS label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS vq
+      FROM embeddings),
+    c0 AS (
+      SELECT label AS cell, pos,
+             CAST(SUM(vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
+      FROM q GROUP BY 1, 2)"""
+    ]
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""d{i} AS (
+      SELECT q.vec_id, c.cell,
+             SUM(CAST(FLOOR((q.vq / 1000000.0 - c.c) * (q.vq / 1000000.0 - c.c)
+                            * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
+      FROM q JOIN c{i - 1} c ON c.pos = q.pos
+      GROUP BY 1, 2),
+    a{i} AS (
+      SELECT vec_id, FIRST(cell ORDER BY dfp, cell) AS cell,
+             FIRST(dfp ORDER BY dfp, cell) AS dfp
+      FROM d{i} GROUP BY vec_id)"""
+        )
+        if i < n_iter:
+            steps.append(
+                f"""c{i} AS (
+      SELECT a.cell, q.pos,
+             CAST(SUM(q.vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
+      FROM a{i} a JOIN q ON q.vec_id = a.vec_id
+      GROUP BY 1, 2)"""
+            )
+    final = f"""
+    SELECT cell, COUNT(*) AS n_members,
+           FLOOR(CAST(SUM(dfp) AS BIGINT) / 1000000000000.0 * 10000.0 + 0.5)
+             / 10000.0 AS inertia
+    FROM a{n_iter} GROUP BY cell"""
+    return ",\n    ".join(steps) + final
 
-    Output: per-cluster size and rounded inertia contribution — stable
-    aggregate shape for the rows-only gate.
-    """
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle(5))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 Lloyd iterations, k=10, init = per-label centroids
+    (deterministic).  Output: per-cluster size and 4dp fixed-point
+    inertia — exact-match against the unrolled-CTE oracle because
+    every iteration's arithmetic is integer-quantized (module
+    docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding")
     init = (
-        emb.select(F.col("label").cast("int").alias("cell"),
-                   F.posexplode("embedding").alias("pos", "v"))
+        emb.select(
+            F.col("label").cast("int").alias("cell"),
+            F.posexplode(_quantize(F.col("embedding"))).alias("pos", "v"),
+        )
         .groupBy("cell", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .agg(
+            (
+                F.sum("v").cast("double")
+                / (F.lit(_VSCALE) * F.count(F.lit(1)))
+            ).alias("cv")
+        )
         .groupBy("cell")
         .agg(
             F.transform(
@@ -110,7 +214,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = kmeans_fit(corpus, init, n_iter=5)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
-        dround(F.sum("d"), 4).alias("inertia"),
+        (
+            F.floor(
+                F.sum("d_fp") / F.lit(_DSCALE) * F.lit(10000.0) + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("inertia"),
     )
 
 
