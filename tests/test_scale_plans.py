@@ -339,6 +339,37 @@ def test_decile_and_pareto_windows_are_band_partitioned(spark, name):
             )
 
 
+def test_wave3_queries_scale_shape(spark):
+    """Wave-3 additions keep the repo's shuffle discipline: the CDC
+    compaction and PageRank windows are key-partitioned (never
+    unpartitioned), the bigram count join broadcasts its
+    vocabulary-bounded side, and the only single-partition exchanges
+    anywhere are one-row scalar aggregate merges."""
+    shapes = {
+        "events_cdc_latest_per_key": r"windowspecdefinition\(user_id",
+        "pagerank_event_graph": r"windowspecdefinition\(user_id",
+        "bigram_lm_familiarity": r"BroadcastHashJoin",
+        "column_profile_documents": r"HashAggregate",
+        "referential_integrity_audit": r"Join",
+    }
+    for name, pat in shapes.items():
+        plan = (
+            QUERIES[name]
+            .builder(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert re.search(pat, plan), f"{name} missing {pat}:\n{plan[:1500]}"
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange SinglePartition" in l:
+                ctx = "\n".join(lines[max(0, i - 3) : i + 1])
+                assert "HashAggregate(keys=[]" in ctx, (
+                    f"{name}: non-scalar single-partition exchange:\n{ctx}"
+                )
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """A selective dim filter joined on the partition column must
     inject a dynamicpruning expression into the fact scan's
