@@ -1,6 +1,7 @@
 """Wave-3 surface extensions: CDC compaction, data-quality audits,
 column profiling, bigram language-model scoring, PageRank over the
-event-transition graph, and deterministic stratified sampling.
+event-transition graph, exact per-group quantiles, containment-scored
+near-duplicates, and an oracle-gated skew-salted join.
 
 Registered with ``wave=3``: the driver's round-3 grading window is
 exactly the 50 pre-r3 ungraded queries, so these sort behind them and
@@ -11,8 +12,10 @@ of these (its whole aggregate surface is the 2-D bin count,
 ``src/awsbatch-map/main.py:76-77``); they extend the engine the way
 its users' production pipelines would need next — compacting CDC
 feeds, auditing FK integrity before a join-heavy run, profiling a new
-drop, scoring text against a corpus LM, ranking entity graphs, and
-drawing reproducible stratified samples.
+drop, scoring text against a corpus LM, ranking entity graphs,
+reporting exact latency percentiles, catching quote/expansion
+near-dups that Jaccard misses, and proving the skew-salting rescue
+path correct under the oracle.
 
 Cross-engine determinism follows the repo rules (MEMORY:
 cross-engine-determinism): fixed-point integer sums, single-IEEE-op
@@ -360,4 +363,252 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return pr.select(
         F.col("node").alias("event_type"), F.col("pr_fp").alias("pagerank_fp")
+    )
+
+
+_QUANTILES_ORACLE = """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS v_fp
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type, v_fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY v_fp, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN v_fp END) / 10000.0 AS p50,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v_fp END) / 10000.0
+             AS p90,
+           MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v_fp END) / 10000.0
+             AS p99
+    FROM r GROUP BY event_type
+"""
+
+
+@query("events_quantiles_exact", oracle=_QUANTILES_ORACLE, wave=3)
+def events_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group order statistics (p50/p90/p99 of event value per
+    event type) — the SLO/latency-report query where approximation is
+    not acceptable, defined as the value at rank ceil(q*n) on the
+    quantized (1e-4) value with event_id tie-break.
+
+    Scale shape: event types are few but HUGE groups, so a per-type
+    rank window would sort each type through one partition.  The rank
+    is two-level instead (third use of the band pattern): per-type
+    ``percentile_approx`` cut-points (grouped sketch aggregate,
+    broadcast) split each type into ~16 contiguous value bands; ranks
+    window on (type, band); per-(type, band) counts meet in a
+    broadcast triangle join for offsets.  The quantile indexes are
+    pure integer functions of the per-type count, and values divide by
+    1e4 exactly once — engine-identical output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("bigint").alias("v_fp"),
+    )
+    cuts = v.groupBy("event_type").agg(
+        F.percentile_approx(
+            "v_fp", [i / 16.0 for i in range(1, 16)], 10000
+        ).alias("cuts")
+    )
+    banded = (
+        v.join(F.broadcast(cuts), "event_type")
+        .withColumn(
+            "band",
+            F.aggregate(
+                "cuts",
+                F.lit(0),
+                lambda acc, cp: acc + (F.col("v_fp") > cp).cast("int"),
+            ),
+        )
+        .drop("cuts")
+    )
+    wb = Window.partitionBy("event_type", "band").orderBy("v_fp", "event_id")
+    ranked = banded.withColumn("rk", F.row_number().over(wb))
+    counts = banded.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    prior = counts.select(
+        F.col("event_type").alias("pt"),
+        F.col("band").alias("pb"),
+        F.col("bn").alias("pn"),
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior),
+            (F.col("pt") == F.col("event_type")) & (F.col("pb") < F.col("band")),
+            "left",
+        )
+        .groupBy("event_type", "band")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("off"))
+    )
+    totals = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    g = (
+        ranked.join(F.broadcast(offsets), ["event_type", "band"])
+        .join(F.broadcast(totals), "event_type")
+        .withColumn("grank", F.col("off") + F.col("rk"))
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("grank") == F.expr(expr), F.col("v_fp"))
+    ) / F.lit(10000.0)
+    return g.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick("(n + 1) div 2").alias("p50"),
+        pick("(9 * n + 9) div 10").alias("p90"),
+        pick("(99 * n + 99) div 100").alias("p99"),
+    )
+
+
+_CONTAINMENT_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, text, substr(text, 1, 16) AS block FROM documents),
+    tri AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(range(1, len(t) - 1)) AS u(i)),
+    nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM tri GROUP BY doc_id),
+    pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM b x JOIN b y ON x.block = y.block AND x.doc_id < y.doc_id),
+    shared AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+      FROM pairs p
+      JOIN tri a ON a.doc_id = p.doc_a
+      JOIN tri bb ON bb.doc_id = p.doc_b AND bb.tg = a.tg
+      GROUP BY p.doc_a, p.doc_b)
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared * 1000000 // LEAST(na.n_sh, nb.n_sh) AS BIGINT)
+             AS containment_fp
+    FROM shared s
+    JOIN nsh na ON na.doc_id = s.doc_a
+    JOIN nsh nb ON nb.doc_id = s.doc_b
+    WHERE s.n_shared * 1000000 // LEAST(na.n_sh, nb.n_sh) >= 500000
+"""
+
+
+@query("containment_near_dup", oracle=_CONTAINMENT_ORACLE, wave=3)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-scored near-duplicates: for candidate pairs sharing
+    a 16-char prefix block, the fraction of the SMALLER document's
+    distinct word trigrams contained in the other (>= 0.5 reported).
+    Jaccard misses sub/superset pairs (a doc embedded in a longer one
+    scores low); containment is the standard fix for quote/expansion
+    dedup.
+
+    Scale shape: same block-then-verify discipline as every near-dup
+    path in the repo — candidates come from an equi-join on the block
+    key (never all pairs), the shingle-intersection join touches only
+    candidate docs' shingles, and the score is an exact integer ratio.
+    In production the block key is a MinHash band and shingles hash to
+    8-byte digests; the fixture's planted exact-dup families make the
+    16-char prefix an honest stand-in.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select("doc_id", F.substring("text", 1, 16).alias("block"))
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tri = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(t) >= 3 THEN"
+                    " transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1), element_at(t, i + 2)))"
+                    " ELSE array() END"
+                )
+            )
+        ).alias("tg"),
+    )
+    nsh = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.block") == F.col("y.block"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    )
+    ta = tri.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a"))
+    tb = tri.select(F.col("doc_id").alias("tb_doc"), F.col("tg").alias("tg_b"))
+    shared = (
+        pairs.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("tb_doc"))
+            & (F.col("tg_b") == F.col("tg_a")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = nsh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = nsh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr(
+                "CAST(n_shared * 1000000 div least(n_a, n_b) AS BIGINT)"
+            ).alias("containment_fp"),
+        )
+    )
+    return scored.filter(F.col("containment_fp") >= 500000).select(
+        "doc_a", "doc_b", "n_shared", "containment_fp"
+    )
+
+
+_SALTED_ORACLE = """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           FLOOR((SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000.0 + 0.5) AS BIGINT)) / 10000.0)
+                 * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("salted_join_priority_revenue", oracle=_SALTED_ORACLE, wave=3)
+def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join under the oracle gate: lineitem joined to the
+    urgent-orders dim through ``operators/skew.salted_join`` (8-way
+    salting), then the usual priority revenue rollup.  The salt is
+    placement-only, so the result is row-identical to the plain join —
+    which is exactly what the oracle asserts (it runs the UNSALTED
+    join).  This promotes the salting operator from unit-tested to
+    driver-proven: the one code path trusted to rescue a pathological
+    hot key at 100 TB now has a correctness row, not just a local test.
+    """
+    from awsbatch_mapreduce_spark.functions.rounding import fixed_point_sum
+    from awsbatch_mapreduce_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+    )
+    joined = salted_join(li, urgent, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        fixed_point_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
+        ).alias("revenue"),
     )

@@ -351,6 +351,10 @@ def test_wave3_queries_scale_shape(spark):
         "bigram_lm_familiarity": r"BroadcastHashJoin",
         "column_profile_documents": r"HashAggregate",
         "referential_integrity_audit": r"Join",
+        # quantile ranks must window on the value band, not globally
+        "events_quantiles_exact": r"windowspecdefinition\(event_type.*band",
+        "containment_near_dup": r"Join",
+        "salted_join_priority_revenue": r"__salt",
     }
     for name, pat in shapes.items():
         plan = (
