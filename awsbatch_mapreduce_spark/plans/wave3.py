@@ -34,6 +34,16 @@ from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
 
+def _quantize_arr(col):
+    """array<float> -> array<bigint> fixed-point at 1e-6."""
+    return F.transform(
+        col,
+        lambda v: F.floor(v.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+
 @query(
     "events_cdc_latest_per_key",
     oracle=f"""
@@ -611,4 +621,117 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_point_sum(
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, 2
         ).alias("revenue"),
+    )
+
+
+def _pca_oracle(n_iter: int = 5) -> str:
+    """Unrolled power iteration for the top principal component, in
+    pure integer arithmetic end-to-end: quantized components (1e-6),
+    integer mean, integer covariance (1e-12, normalized by n), and
+    L-infinity-normalized iteration vectors (1e-6) — no float op ever
+    executes, so cross-engine equality is exact by construction.
+    Both engines truncate integer division toward zero (verified)."""
+    steps = [
+        """WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS vq
+      FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    m AS (
+      SELECT pos, CAST(CAST(SUM(vq) AS BIGINT) // nn.n AS BIGINT) AS m_fp
+      FROM q, nn GROUP BY pos, nn.n),
+    c AS (
+      SELECT q.vec_id, q.pos, q.vq - m.m_fp AS x
+      FROM q JOIN m USING (pos)),
+    cov AS (
+      SELECT a.pos AS j, b.pos AS k,
+             CAST(CAST(SUM(a.x * b.x) AS BIGINT) // nn.n // 1000000
+                  AS BIGINT) AS c6
+      FROM c a JOIN c b ON b.vec_id = a.vec_id, nn
+      GROUP BY a.pos, b.pos, nn.n),
+    v0 AS (SELECT pos, CAST(1000000 AS BIGINT) AS v_fp FROM m)"""
+    ]
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""w{i} AS (
+      SELECT cov.j AS pos,
+             CAST(CAST(SUM(cov.c6 * v.v_fp) AS BIGINT) AS BIGINT) AS w
+      FROM cov JOIN v{i - 1} v ON v.pos = cov.k
+      GROUP BY cov.j),
+    v{i} AS (
+      SELECT pos,
+             CAST(w // GREATEST(mx // 1000000, 1) AS BIGINT) AS v_fp
+      FROM w{i}, (SELECT MAX(ABS(w)) AS mx FROM w{i}))"""
+        )
+    return (
+        ",\n    ".join(steps)
+        + f"""
+    SELECT CAST(pos AS BIGINT) AS pos, v_fp AS eigvec_fp FROM v{n_iter}"""
+    )
+
+
+@query("pca_top_component", oracle=_pca_oracle(5), wave=3)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by 5 rounds of
+    power iteration on the integer covariance matrix — the embedding-
+    analysis primitive behind drift detection, whitening, and "is one
+    direction eating my embedding space" diagnostics.
+
+    Scale shape: the covariance build is the only fact-sized stage —
+    a self-join on vec_id (d^2 rows per vector, partial-aggregated
+    before the (j, k) shuffle, d = 64 here); every iteration after
+    runs on d-row / d^2-row tables, all broadcast.  Arithmetic is
+    integer end-to-end (quantized components, integer mean and
+    covariance, L-infinity normalization), so no float accumulation
+    order exists anywhere — the oracle (same steps, unrolled CTEs)
+    matches bit-exactly.  At 100 TB you'd sketch the covariance with
+    the same partial aggregate; the iteration cost is unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(_quantize_arr(F.col("embedding"))).alias("pos0", "vq"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "vq")
+    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        q.groupBy("pos")
+        .agg(F.sum("vq").alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .select("pos", F.expr("CAST(s div n AS BIGINT)").alias("m_fp"))
+    )
+    c = q.join(F.broadcast(m), "pos").select(
+        "vec_id", "pos", (F.col("vq") - F.col("m_fp")).alias("x")
+    )
+    a = c.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xj"))
+    b = c.select("vec_id", F.col("pos").alias("k"), F.col("x").alias("xk"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("xj") * F.col("xk")).alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "j", "k", F.expr("CAST(s div n div 1000000 AS BIGINT)").alias("c6")
+        )
+    )
+    v = m.select("pos", F.lit(1000000).cast("bigint").alias("v_fp"))
+    for _ in range(5):
+        w = (
+            cov.join(F.broadcast(v), cov.k == v.pos)
+            .groupBy("j")
+            .agg(F.sum(F.col("c6") * F.col("v_fp")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("j").alias("pos"),
+                F.expr(
+                    "CAST(w div greatest(mx div 1000000, 1) AS BIGINT)"
+                ).alias("v_fp"),
+            )
+        )
+    return v.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v_fp").alias("eigvec_fp"),
     )

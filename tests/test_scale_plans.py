@@ -355,6 +355,7 @@ def test_wave3_queries_scale_shape(spark):
         "events_quantiles_exact": r"windowspecdefinition\(event_type.*band",
         "containment_near_dup": r"Join",
         "salted_join_priority_revenue": r"__salt",
+        "pca_top_component": r"HashAggregate",
     }
     for name, pat in shapes.items():
         plan = (
