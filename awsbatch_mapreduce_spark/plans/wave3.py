@@ -735,3 +735,70 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.col("v_fp").alias("eigvec_fp"),
     )
+
+
+_NOVELTY_ORACLE = """
+    WITH tri AS (
+      SELECT DISTINCT doc_id,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(range(1, len(t) - 1)) AS u(i)),
+    first_seen AS (
+      SELECT tg, MIN(doc_id) AS intro_doc FROM tri GROUP BY tg)
+    SELECT tri.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(*) FILTER (WHERE f.intro_doc = tri.doc_id) AS BIGINT)
+             AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE f.intro_doc = tri.doc_id)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_fp
+    FROM tri JOIN first_seen f USING (tg)
+    GROUP BY tri.doc_id
+"""
+
+
+@query("trigram_novelty_score", oracle=_NOVELTY_ORACLE, wave=3)
+def trigram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty: the fraction of each document's distinct
+    word trigrams that it is the FIRST (lowest doc_id) to introduce —
+    the diversity/staleness signal curation uses to decide whether new
+    crawl batches still add anything, and the batch analogue of
+    streaming novelty dedup.
+
+    Scale shape: trigrams hash to md5 digests before either shuffle
+    (first-seen rollup, per-doc join-back), so the exchanges carry
+    16-byte keys, never n-gram text — the same digest discipline as
+    the snapshot diff and column profiler.  The score is an exact
+    integer ratio.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tri = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(t) >= 3 THEN"
+                    " transform(sequence(1, size(t) - 2),"
+                    " i -> md5(concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1), element_at(t, i + 2))))"
+                    " ELSE array() END"
+                )
+            )
+        ).alias("tg"),
+    )
+    first_seen = tri.groupBy("tg").agg(F.min("doc_id").alias("intro_doc"))
+    novel = F.sum(
+        F.when(F.col("intro_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        tri.join(first_seen, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST(sum(CASE WHEN intro_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("novelty_fp"),
+        )
+    )

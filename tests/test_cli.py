@@ -17,7 +17,10 @@ def test_cli_list(capsys):
 def test_cli_oracle(capsys):
     assert main(["oracle", "q1_pricing_summary"]) == 0
     assert "lineitem" in capsys.readouterr().out
+    # kmeans gained an oracle in r3; approx_sketches stays rows-only
     assert main(["oracle", "kmeans_embeddings"]) == 0
+    assert "a5 GROUP BY cell" in capsys.readouterr().out
+    assert main(["oracle", "approx_sketches"]) == 0
     assert "rows-only" in capsys.readouterr().out
 
 

@@ -356,6 +356,7 @@ def test_wave3_queries_scale_shape(spark):
         "containment_near_dup": r"Join",
         "salted_join_priority_revenue": r"__salt",
         "pca_top_component": r"HashAggregate",
+        "trigram_novelty_score": r"Exchange hashpartitioning\(tg",
     }
     for name, pat in shapes.items():
         plan = (
