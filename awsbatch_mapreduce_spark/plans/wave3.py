@@ -802,3 +802,61 @@ def trigram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_fp"),
         )
     )
+
+
+_PATH_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    paths AS (
+      SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+             COUNT(*) AS n_occurrences
+      FROM s WHERE t3 IS NOT NULL
+      GROUP BY 1),
+    top AS (
+      SELECT path, n_occurrences
+      FROM paths ORDER BY n_occurrences DESC, path LIMIT 10)
+    SELECT path, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path)
+                AS BIGINT) AS rk
+    FROM top
+"""
+
+
+@query("event_path_topk", oracle=_PATH_ORACLE, wave=3)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, simplest useful form: the 10 most
+    common 3-step event-type paths across all user journeys — the
+    "what do users actually do" query behind funnel design.
+
+    Scale shape: LEAD windows partition per user (one shuffle); the
+    path rollup aggregates over a bounded domain (|event types|^3);
+    the top-10 plans as distributed TakeOrderedAndProject with the
+    rank window consuming only the 10 survivors (the repo's pinned
+    global-top-k shape).  Deterministic path tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        s.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = paths.orderBy(F.desc("n_occurrences"), F.asc("path")).limit(10)
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("n_occurrences"), F.asc("path")
+    )
+    return top.withColumn("rk", F.row_number().over(wr).cast("bigint"))

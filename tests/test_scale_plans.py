@@ -357,6 +357,7 @@ def test_wave3_queries_scale_shape(spark):
         "salted_join_priority_revenue": r"__salt",
         "pca_top_component": r"HashAggregate",
         "trigram_novelty_score": r"Exchange hashpartitioning\(tg",
+        "event_path_topk": r"TakeOrderedAndProject",
     }
     for name, pat in shapes.items():
         plan = (
