@@ -28,11 +28,14 @@ TABLES: tuple[str, ...] = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects by default; we read nanos as long and rebuild a
-    microsecond timestamp with *integer* division (``div 1000``) so the
-    truncation matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast exactly
-    (float division would lose precision at 1e18 ns).
+    ``events.parquet`` has shipped with two encodings of ``ts``:
+    TIMESTAMP(NANOS), which Spark's parquet reader rejects by default —
+    read as long (``nanosAsLong``) and rebuilt with *integer* division
+    (``div 1000``) so the truncation matches DuckDB's TIMESTAMP_NS ->
+    TIMESTAMP cast exactly — and plain TIMESTAMP(MICROS), which Spark
+    reads as TIMESTAMP_NTZ and we cast to TIMESTAMP (session tz is UTC,
+    so the cast is value-preserving and matches DuckDB's read).  Detect
+    which from the scanned schema so both fixture generations load.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -40,8 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -27,12 +27,35 @@ from pyspark.sql import functions as F
 
 from awsbatch_mapreduce_spark.functions.rounding import dround, fixed_point_sum
 
-# events.parquet carries TIMESTAMP(NANOS); like sources.tables.load_table
-# we read nanos-as-long and rebuild microsecond timestamps.
-_EVENTS_DDL = (
+# events.parquet has shipped with ts as TIMESTAMP(NANOS) (read nanos-as-
+# long, rebuild micros — like sources.tables.load_table) and as plain
+# TIMESTAMP(MICROS) (read as NTZ, cast to timestamp; session tz is UTC so
+# the cast is value-preserving).  Streams need the schema up front, so we
+# sniff one footer driver-side to pick the right DDL.
+_EVENTS_DDL_NANOS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
+_EVENTS_DDL_MICROS = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _events_ts_is_long(source_dir: str) -> bool:
+    """True if the parquet files under ``source_dir`` carry a nanos ts
+    (to be read as long).  One footer read on the driver — O(KB)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
+    if not files:
+        return True
+    t = str(pq.read_schema(files[0]).field("ts").type)
+    # timestamp[ns] is read as long under nanosAsLong; int64 is already long
+    return t == "int64" or t.startswith("timestamp[ns")
 
 
 def read_events_stream(
@@ -47,12 +70,15 @@ def read_events_stream(
     are source-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = _events_ts_is_long(source_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_DDL)
+        spark.readStream.schema(_EVENTS_DDL_NANOS if nanos else _EVENTS_DDL_MICROS)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_aggregate(
