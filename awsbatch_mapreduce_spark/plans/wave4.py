@@ -1,0 +1,277 @@
+"""Wave-4 surface extensions: substring-level duplication scoring,
+join-key skew profiling, and content-defined chunk dedup.
+
+Registered with ``wave=4``: they sort behind every earlier ungraded
+query in ``registry.grading_order``, so they never displace older
+queries from a driver grading window.
+
+All three are corpus/ops tools a 100 TB training-data pipeline runs
+before (or because of) the heavier jobs already in the registry:
+
+- ``duplicated_span_fraction`` is the *substring*-level dedup signal
+  (the measurement behind suffix-array substring dedup): MinHash
+  answers "are two documents near-identical?", this answers "how much
+  of THIS document is copied from anywhere else?" — the quantity
+  curation thresholds on before dropping or trimming a document.
+- ``join_key_skew_profile`` is the diagnostic that decides *when* the
+  skew-salted join (``salted_join_priority_revenue``) is worth its
+  extra exchange: heavy-hitter keys with corpus share, exactly the
+  numbers you read before picking a salt factor.
+- ``content_defined_chunks`` is boundary-based (shift-robust) chunk
+  dedup — the rsync/CDC trick: a one-token insertion changes every
+  fixed window but only one content-defined chunk, so shared-chunk
+  counts survive edits that break ``doc_chunk_windows``-style fixed
+  windows.
+
+Cross-engine determinism follows the repo rules: counts and exact
+integer ratios (``* 1000000 div``) only — no float accumulates in any
+of the three; md5-prefix integers (``conv(substr(md5 ..))`` vs
+``('0x' || substr(md5 ..))::UBIGINT``) give identical chunk
+boundaries in both engines.
+
+Reference parity note: the reference pipeline (whole aggregate
+surface = one 2-D bin count, ``src/awsbatch-map/main.py:76-77``) has
+no analogue; these extend the engine along its users' next needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from awsbatch_mapreduce_spark.plans.registry import query
+from awsbatch_mapreduce_spark.sources.tables import load_table
+
+# 8-token spans: long enough that natural-language collisions are
+# meaningful duplication, short enough that the fixture has real hits.
+_SPAN = 8
+
+_DUP_SPAN_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+{_SPAN - 1}], ' ')) AS sh
+      FROM tok, UNNEST(range(1, len(t) - {_SPAN - 2})) AS u(i)
+      WHERE len(t) >= {_SPAN}),
+    df AS (
+      SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY sh)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT) AS n_dup_spans,
+           CAST(COUNT(*) FILTER (WHERE nd >= 2) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_fp
+    FROM spans JOIN df USING (sh)
+    GROUP BY doc_id
+"""
+
+
+@query("duplicated_span_fraction", oracle=_DUP_SPAN_ORACLE, wave=4)
+def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 8-token span positions whose span text
+    also occurs in at least one OTHER document — the substring-level
+    duplication signal (cf. suffix-array substring dedup, Lee et al.
+    2022) that document-level MinHash cannot see: a 5% quoted block in
+    an otherwise unique page scores ~0.05 here and ~0 Jaccard.
+
+    Scale shape: spans hash to md5 digests before either shuffle, so
+    the doc-frequency rollup and the per-position join-back both carry
+    16-byte keys, never span text (the repo's digest discipline).  The
+    rollup is bounded by the distinct-span domain; no window, no
+    cartesian, exact integer ratio.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.expr(f"size(t) >= {_SPAN}")
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_SPAN - 1}),"
+                f" i -> md5(concat_ws(' ', slice(t, i, {_SPAN}))))"
+            )
+        ).alias("sh"),
+    )
+    doc_freq = (
+        spans.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        spans.join(doc_freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            dup.cast("bigint").alias("n_dup_spans"),
+            F.expr(
+                "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("dup_fp"),
+        )
+    )
+
+
+_SKEW_ORACLE = """
+    WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS total FROM c),
+    top AS (
+      SELECT l_suppkey, cnt FROM c ORDER BY cnt DESC, l_suppkey LIMIT 20)
+    SELECT l_suppkey,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey)
+                AS BIGINT) AS rk
+    FROM top, t
+"""
+
+
+@query("join_key_skew_profile", oracle=_SKEW_ORACLE, wave=4)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join key (``lineitem.l_suppkey``):
+    the 20 heaviest keys with row count and parts-per-million share of
+    the table — the diagnostic read before choosing between a plain
+    shuffle join, AQE skew splitting, and the explicit salted plan
+    (``salted_join_priority_revenue``).  A key above ~1/partitions of
+    the table is the one that will straggle.
+
+    Scale shape: one map-side-partial count per key (shuffle bounded
+    by the key domain), distributed TakeOrderedAndProject for the
+    top-20, total as a broadcast scalar, rank window over the 20
+    survivors only.  Deterministic key tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("l_suppkey")).limit(20)
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("cnt"), F.asc("l_suppkey")
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("CAST(cnt * 1000000 div total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wr).cast("bigint"))
+    )
+
+
+# Content-defined chunking: boundary BEFORE token i when the rolling
+# 4-token window ending at i-1 hashes to 0 mod 16 -> expected chunk
+# length ~16 tokens, boundaries move with content, not position.
+_CDC_W = 4
+_CDC_MOD = 16
+
+_CDC_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, i AS pos, t[i] AS w,
+             CASE WHEN i > {_CDC_W}
+                   AND ('0x' || substr(md5(array_to_string(
+                         t[i-{_CDC_W}:i-1], ' ')), 1, 8))::UBIGINT
+                       % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS flag
+      FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)),
+    ch AS (
+      SELECT doc_id, pos, w,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+      FROM pos),
+    cd AS (
+      SELECT doc_id, chunk,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS dg
+      FROM ch GROUP BY doc_id, chunk),
+    df AS (
+      SELECT dg, COUNT(DISTINCT doc_id) AS nd FROM cd GROUP BY dg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE nd >= 2) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(COUNT(*) FILTER (WHERE nd >= 2) * 1000000 // COUNT(*)
+                AS BIGINT) AS shared_fp
+    FROM cd JOIN df USING (dg)
+    GROUP BY doc_id
+"""
+
+
+@query("content_defined_chunks", oracle=_CDC_ORACLE, wave=4)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup: split each document at positions
+    where a rolling 4-token window hashes to 0 mod 16 (expected chunk
+    ~16 tokens), then count chunks whose text recurs in another
+    document.  Because boundaries derive from content, a one-token
+    insertion reslices only the chunk it lands in — shared-chunk
+    counts survive edits that shift every fixed window
+    (``doc_chunk_windows``) and dilute whole-document Jaccard.
+
+    Scale shape: the boundary flag and running chunk id are computed
+    in per-document windows (bounded by document length, the same
+    partitioning every per-doc operator here uses); chunk texts hash
+    to md5 digests before the corpus-wide recurrence rollup and
+    join-back, so cross-doc exchanges carry 16-byte keys only.  Exact
+    integer ratio; no float anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("t"))
+    ch_pos = tok.select(
+        "doc_id",
+        F.posexplode("t").alias("p0", "w"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        "w",
+        F.expr(
+            f"CASE WHEN p0 + 1 > {_CDC_W} AND"
+            f" CAST(conv(substr(md5(concat_ws(' ',"
+            f" slice(t, p0 + 1 - {_CDC_W}, {_CDC_W}))), 1, 8), 16, 10)"
+            f" AS BIGINT) % {_CDC_MOD} = 0 THEN 1 ELSE 0 END"
+        ).alias("flag"),
+    )
+    wch = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ch = ch_pos.withColumn("chunk", F.sum("flag").over(wch))
+    cd = (
+        ch.groupBy("doc_id", "chunk")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(pos, w))), x -> x.w)"
+                    ),
+                )
+            ).alias("dg")
+        )
+    )
+    doc_freq = (
+        cd.select("doc_id", "dg")
+        .distinct()
+        .groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    return (
+        cd.join(doc_freq, "dg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.expr(
+                "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_shared_chunks"),
+            F.expr(
+                "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("shared_fp"),
+        )
+    )

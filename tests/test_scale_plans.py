@@ -444,3 +444,34 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_wave4_queries_scale_shape(spark):
+    """Wave-4 additions keep the shuffle discipline: span/chunk dedup
+    shuffles md5 digests (never text), the CDC chunk window is
+    per-document, the skew profile plans its top-20 as distributed
+    TakeOrderedAndProject, and the only single-partition exchanges are
+    one-row scalar aggregate merges."""
+    shapes = {
+        "duplicated_span_fraction": r"Exchange hashpartitioning\(sh",
+        "join_key_skew_profile": r"TakeOrderedAndProject",
+        "content_defined_chunks": r"windowspecdefinition\(doc_id",
+    }
+    for name, pat in shapes.items():
+        plan = (
+            QUERIES[name]
+            .builder(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert re.search(pat, plan), f"{name} missing {pat}:\n{plan[:1500]}"
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange SinglePartition" in l:
+                ctx = "\n".join(lines[max(0, i - 3) : i + 1])
+                assert "HashAggregate(keys=[]" in ctx, (
+                    f"{name}: non-scalar single-partition exchange:\n{ctx}"
+                )
