@@ -275,3 +275,272 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_fp"),
         )
     )
+
+
+def _lsh_eval_oracle() -> str:
+    from awsbatch_mapreduce_spark.plans.llm_text import (
+        _N_BANDS,
+        _N_HASHES,
+        _SH_SQL,
+    )
+
+    sig_cols = ", ".join(
+        f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS h{i}"
+        for i in range(_N_HASHES)
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, md5(h{2 * b} || h{2 * b + 1} || '/{b}') AS bk FROM sig"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_sel}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pj AS (SELECT p.id_a, p.id_b,
+                  CAST(p.n_common * 10000
+                       // (sa.n + sb.n - p.n_common) AS BIGINT) AS j_bp
+           FROM pairs p
+           JOIN sizes sa ON sa.doc_id = p.id_a
+           JOIN sizes sb ON sb.doc_id = p.id_b),
+    pjc AS (SELECT pj.*, (c.id_a IS NOT NULL) AS is_cand
+            FROM pj LEFT JOIN cand c
+              ON c.id_a = pj.id_a AND c.id_b = pj.id_b),
+    nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+    taus AS (SELECT * FROM (VALUES (3000), (5000), (7000), (9000))
+             t(tau_bp))
+    SELECT tau_bp,
+           CAST(COUNT(*) FILTER (WHERE j_bp >= tau_bp) AS BIGINT)
+             AS n_truth,
+           CAST((SELECT n_cand FROM nc) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE j_bp >= tau_bp AND is_cand)
+                AS BIGINT) AS n_hits,
+           CAST(CASE WHEN (SELECT n_cand FROM nc) = 0 THEN NULL
+                ELSE COUNT(*) FILTER (WHERE j_bp >= tau_bp AND is_cand)
+                     * 1000000 // (SELECT n_cand FROM nc) END
+                AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN COUNT(*) FILTER (WHERE j_bp >= tau_bp) = 0
+                     THEN NULL
+                ELSE COUNT(*) FILTER (WHERE j_bp >= tau_bp AND is_cand)
+                     * 1000000
+                     // COUNT(*) FILTER (WHERE j_bp >= tau_bp) END
+                AS BIGINT) AS recall_ppm
+    FROM pjc CROSS JOIN taus
+    GROUP BY tau_bp
+"""
+
+
+@query("minhash_lsh_eval", oracle=_lsh_eval_oracle(), wave=4)
+def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline QA for the MinHash-LSH dedup path: precision and
+    recall of the band-collision candidate set against exact Jaccard
+    ground truth, at thresholds 0.30/0.50/0.70/0.90 — the numbers
+    that justify (or re-tune) the 8-hash/4-band configuration before
+    trusting it on a new corpus.
+
+    Ground truth needs exact pairwise Jaccard, which no sub-quadratic
+    plan can produce, so the truth join is an equi-join on shingles:
+    O(co-shingle pairs), not all-pairs — and at 100 TB this query is
+    explicitly an *evaluation harness you point at a sampled slice*
+    (the fixture IS the sample), while the production dedup path stays
+    banded.  All ratios are exact integer ppm; candidate membership
+    and truth use the same md5 shingle digest discipline as the dedup
+    queries themselves.
+    """
+    from awsbatch_mapreduce_spark.plans.llm_text import (
+        _N_BANDS,
+        _N_HASHES,
+        _shingles,
+    )
+
+    sh = _shingles(spark, sf_dir).persist()
+    aggs = [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16
+            )
+        ).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(f"/{b}")
+                )
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    pairs = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("id_a"),
+            F.col("sb.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sig.select("doc_id", "n")
+    pj = (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(n_common * 10000 div (na + nb - n_common) AS BIGINT)"
+            ).alias("j_bp"),
+        )
+    )
+    pjc = pj.join(
+        cand.withColumn("ic", F.lit(1)), ["id_a", "id_b"], "left"
+    ).withColumn("is_cand", F.col("ic").isNotNull())
+    ncand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    taus = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(3000), F.lit(5000), F.lit(7000), F.lit(9000))
+        ).alias("tau_bp")
+    )
+    truth = F.sum(F.when(F.col("j_bp") >= F.col("tau_bp"), 1).otherwise(0))
+    hits = F.sum(
+        F.when((F.col("j_bp") >= F.col("tau_bp")) & F.col("is_cand"), 1)
+        .otherwise(0)
+    )
+    return (
+        pjc.crossJoin(F.broadcast(taus))
+        .groupBy("tau_bp")
+        .agg(
+            truth.cast("bigint").alias("n_truth"),
+            hits.cast("bigint").alias("n_hits0"),
+        )
+        .crossJoin(F.broadcast(ncand))
+        .select(
+            "tau_bp",
+            "n_truth",
+            F.col("n_cand").cast("bigint").alias("n_candidates"),
+            F.col("n_hits0").alias("n_hits"),
+            F.expr(
+                "CAST(CASE WHEN n_cand = 0 THEN NULL"
+                " ELSE n_hits0 * 1000000 div n_cand END AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_truth = 0 THEN NULL"
+                " ELSE n_hits0 * 1000000 div n_truth END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+_VOCAB_GROWTH_ORACLE = """
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+    intro AS (SELECT w, MIN(doc_id) AS intro FROM tok GROUP BY w),
+    cp AS (SELECT p, (SELECT m FROM mx) * p // 100 AS cutoff
+           FROM (VALUES (20), (40), (60), (80), (100)) v(p))
+    SELECT p AS pct,
+           CAST(cutoff AS BIGINT) AS cutoff_doc,
+           CAST((SELECT COUNT(*) FROM documents d
+                 WHERE d.doc_id <= cutoff) AS BIGINT) AS n_docs,
+           CAST((SELECT SUM(len(string_split(d.text, ' ')))
+                 FROM documents d
+                 WHERE d.doc_id <= cutoff) AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(*) FROM intro
+                 WHERE intro.intro <= cutoff) AS BIGINT) AS vocab_size
+    FROM cp
+"""
+
+
+@query("vocab_growth_curve", oracle=_VOCAB_GROWTH_ORACLE, wave=4)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct-token vocabulary size at
+    20/40/60/80/100% doc-id prefixes of the corpus, with cumulative
+    doc and token counts — the saturation curve that tells a curation
+    team whether the next crawl batch still grows the vocabulary or
+    only repeats it (the corpus-level twin of per-document
+    ``trigram_novelty_score``).
+
+    Scale shape: one token explode feeds a first-seen rollup (shuffle
+    keyed by token), then each of the three curves is a 5-key
+    aggregate against the broadcast checkpoint table; max(doc_id) is
+    a broadcast scalar.  No window, no quadratic join, all integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    cp = (
+        spark.range(1, 6)
+        .select((F.col("id") * 20).cast("int").alias("pct"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "pct",
+            F.expr("CAST(m * pct div 100 AS BIGINT)").alias("cutoff_doc"),
+        )
+    )
+    intro = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("intro"))
+    )
+    vocab = (
+        intro.crossJoin(F.broadcast(cp))
+        .filter(F.col("intro") <= F.col("cutoff_doc"))
+        .groupBy("pct", "cutoff_doc")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    dstats = (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("ntok")
+        )
+        .crossJoin(F.broadcast(cp))
+        .filter(F.col("doc_id") <= F.col("cutoff_doc"))
+        .groupBy("pct", "cutoff_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        cp.join(dstats, ["pct", "cutoff_doc"])
+        .join(vocab, ["pct", "cutoff_doc"])
+        .select(
+            "pct", "cutoff_doc", "n_docs", "n_tokens",
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        )
+    )

@@ -456,6 +456,8 @@ def test_wave4_queries_scale_shape(spark):
         "duplicated_span_fraction": r"Exchange hashpartitioning\(sh",
         "join_key_skew_profile": r"TakeOrderedAndProject",
         "content_defined_chunks": r"windowspecdefinition\(doc_id",
+        "minhash_lsh_eval": r"Exchange hashpartitioning",
+        "vocab_growth_curve": r"BroadcastNestedLoopJoin|BroadcastExchange",
     }
     for name, pat in shapes.items():
         plan = (
