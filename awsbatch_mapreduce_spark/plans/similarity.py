@@ -541,3 +541,132 @@ def doc_embedding_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed_point_avg("l2_norm", 4, 4).alias("avg_l2_norm"),
         )
     )
+
+
+# Product quantization: 64 dims -> 8 subspaces x 8 dims, K=10 codebook
+# entries per subspace (per-label subspace means — same "labels as
+# trained clusters" convention as ann_ivf_topk's coarse codebook).
+_PQ_SUB = 8  # dims per subspace
+
+_PQ_ORACLE = f"""
+    WITH bits AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS vq
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, label, (i - 1) // {_PQ_SUB} AS m,
+             (i - 1) % {_PQ_SUB} AS j, vq
+      FROM bits),
+    cb AS (
+      SELECT label AS k, m, j,
+             CAST(FLOOR(AVG(vq) + 0.5) AS BIGINT) AS cq
+      FROM sub GROUP BY label, m, j),
+    dist AS (
+      SELECT s.vec_id, s.m, c.k,
+             SUM((s.vq - c.cq) * (s.vq - c.cq)) AS d
+      FROM sub s JOIN cb c ON c.m = s.m AND c.j = s.j
+      GROUP BY s.vec_id, s.m, c.k),
+    code AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, k) AS rk
+        FROM dist) WHERE rk = 1),
+    adc AS (
+      SELECT qd.vec_id AS query_id, x.vec_id AS neighbor_id,
+             SUM(qd.d) AS adc_d
+      FROM code x
+      JOIN dist qd ON qd.m = x.m AND qd.k = x.code AND qd.vec_id < 8
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           CAST(adc_d AS BIGINT) AS adc_dist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d, neighbor_id)
+                AS BIGINT) AS rk
+    FROM adc
+    WHERE query_id <> neighbor_id
+    QUALIFY rk <= 5
+"""
+
+
+@query("ann_pq_adc_topk", oracle=_PQ_ORACLE, wave=4)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC): encode
+    every corpus vector as 8 one-byte codes (argmin per 8-dim subspace
+    against a 10-entry per-subspace codebook), then score queries
+    against *codes* via per-query lookup tables — the memory-bound
+    regime where IVF alone still touches full vectors.  Completes the
+    ANN ladder: brute-force -> sign-LSH -> IVF -> PQ/ADC.
+
+    Scale path: the codebook (10x8x8 entries) and each query's
+    distance table (8 subspaces x 10 entries per query) are broadcast;
+    the corpus is touched by exactly two scans (encode, ADC) and the
+    only per-vector shuffle key is (vec_id, m) for the encode argmin —
+    embeddings themselves never shuffle in the ADC pass, which is the
+    entire point of PQ at 100 TB: top-k over codes, 8 bytes per
+    vector.  Everything is fixed-point integer (1e4 quantization, then
+    exact integer squared distances), so the cross-engine hash is
+    exact, not approximately equal.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") / _PQ_SUB).cast("int").alias("m"),
+        (F.col("pos") % _PQ_SUB).alias("j"),
+        F.floor(F.col("v").cast("double") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    cb = sub.groupBy(F.col("label").alias("k"), "m", "j").agg(
+        F.floor(F.avg("vq") + 0.5).cast("bigint").alias("cq")
+    )
+    dist = (
+        sub.join(F.broadcast(cb), ["m", "j"])
+        .groupBy("vec_id", "m", "k")
+        .agg(
+            F.sum((F.col("vq") - F.col("cq")) * (F.col("vq") - F.col("cq")))
+            .alias("d")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d", "k")
+    code = (
+        dist.withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"))
+    )
+    qdist = dist.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("k").alias("code"),
+        "d",
+    )
+    adc = (
+        code.join(F.broadcast(qdist), ["m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_d"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    return (
+        adc.select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc_d").cast("bigint").alias("adc_dist"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    "adc_dist", "neighbor_id"
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rk") <= 5)
+    )

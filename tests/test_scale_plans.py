@@ -458,6 +458,9 @@ def test_wave4_queries_scale_shape(spark):
         "content_defined_chunks": r"windowspecdefinition\(doc_id",
         "minhash_lsh_eval": r"Exchange hashpartitioning",
         "vocab_growth_curve": r"BroadcastNestedLoopJoin|BroadcastExchange",
+        # PQ/ADC: codebook and query distance tables broadcast; the
+        # encode argmin windows on (vec_id, m), never unpartitioned
+        "ann_pq_adc_topk": r"windowspecdefinition\(vec_id",
     }
     for name, pat in shapes.items():
         plan = (
