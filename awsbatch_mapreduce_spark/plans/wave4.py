@@ -544,3 +544,282 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab_size").cast("bigint").alias("vocab_size"),
         )
     )
+
+
+_HARDNEG_ORACLE = """
+    WITH q AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                      unnest(embedding) AS v
+               FROM embeddings WHERE vec_id < 8),
+    d AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding) AS v
+          FROM embeddings),
+    dots AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             MAX(CASE WHEN q.label = d.label THEN 1 ELSE 0 END) AS same,
+             SUM(CAST(q.v AS DOUBLE) * CAST(d.v AS DOUBLE)) AS dot,
+             SUM(CAST(q.v AS DOUBLE) * CAST(q.v AS DOUBLE)) AS qq,
+             SUM(CAST(d.v AS DOUBLE) * CAST(d.v AS DOUBLE)) AS dd
+      FROM q JOIN d ON q.i = d.i AND q.vec_id <> d.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id, same,
+             FLOOR((dot / (SQRT(qq) * SQRT(dd))) * 10000.0 + 0.5)
+               / 10000.0 AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id, same
+               ORDER BY FLOOR((dot / (SQRT(qq) * SQRT(dd))) * 10000.0
+                              + 0.5) / 10000.0 DESC,
+                        neighbor_id) AS rk
+      FROM dots)
+    SELECT query_id,
+           CAST(MAX(CASE WHEN same = 1 AND rk = 1 THEN neighbor_id END)
+                AS BIGINT) AS pos_id,
+           MAX(CASE WHEN same = 1 AND rk = 1 THEN cosine END)
+             AS pos_cosine,
+           CAST(MAX(CASE WHEN same = 0 AND rk = 1 THEN neighbor_id END)
+                AS BIGINT) AS neg_id,
+           MAX(CASE WHEN same = 0 AND rk = 1 THEN cosine END)
+             AS neg_cosine
+    FROM scored GROUP BY query_id
+"""
+
+
+@query("hard_negative_mining", oracle=_HARDNEG_ORACLE, wave=4)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each query
+    vector, the closest SAME-label neighbor (positive) and the closest
+    DIFFERENT-label neighbor (hard negative) by cosine — the pair
+    selection step of triplet/InfoNCE dataset construction, where the
+    hard negative (not a random one) is what makes the loss
+    informative.
+
+    Scale shape: identical to ``knn_bruteforce_cosine`` — broadcast
+    query batch, one corpus scan, per-(query, class) window over
+    rounded cosines with id tie-breaks — then a 2-row-per-query pivot.
+    At 100 TB the query batch stays broadcast and the corpus streams;
+    swap the scan for the PQ/IVF candidate set when exactness isn't
+    required.
+    """
+    from awsbatch_mapreduce_spark.functions.rounding import dround
+    from awsbatch_mapreduce_spark.plans.similarity import _dot, _l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    d = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("dv"),
+    )
+    cosine = dround(
+        _dot(F.col("qv"), F.col("dv"))
+        / (_l2_norm(F.col("qv")) * _l2_norm(F.col("dv"))),
+        4,
+    )
+    scored = (
+        d.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("qlabel") == F.col("nlabel"), 1)
+            .otherwise(0)
+            .alias("same"),
+            cosine.alias("cosine"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id", "same").orderBy(
+                    F.desc("cosine"), F.asc("neighbor_id")
+                )
+            ),
+        )
+    )
+    top = F.col("rk") == 1
+    pos, neg = F.col("same") == 1, F.col("same") == 0
+    return scored.groupBy("query_id").agg(
+        F.max(F.when(pos & top, F.col("neighbor_id")))
+        .cast("bigint")
+        .alias("pos_id"),
+        F.max(F.when(pos & top, F.col("cosine"))).alias("pos_cosine"),
+        F.max(F.when(neg & top, F.col("neighbor_id")))
+        .cast("bigint")
+        .alias("neg_id"),
+        F.max(F.when(neg & top, F.col("cosine"))).alias("neg_cosine"),
+    )
+
+
+_INC_CUTOFF = "1997-06-01"
+
+_INC_MERGE_ORACLE = f"""
+    SELECT o_orderpriority,
+           FLOOR((SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  / 100.0) * 100.0 + 0.5) / 100.0 AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@query("incremental_agg_merge", oracle=_INC_MERGE_ORACLE, wave=4)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: revenue per order priority
+    computed as partial-state aggregates over a base segment
+    (o_orderdate < 1997-06-01) and a delta segment (>=), merged by
+    state addition — the materialized-view maintenance pattern where
+    yesterday's state is stored and only the new partition is scanned.
+    The oracle computes the direct single-pass aggregate, so the
+    driver hash proves merge(partial(base), partial(delta)) == full
+    recompute.
+
+    Scale shape: each partial is a map-side-combined aggregate over a
+    bounded key domain (5 priorities); the merge re-aggregates 2x5
+    rows.  Exactness comes from integer-cent partial sums — float
+    partials would make the merge order-dependent and the proof
+    meaningless.  At 100 TB the base partial is a stored table and
+    only the delta scan runs per refresh.
+    """
+    from awsbatch_mapreduce_spark.functions.rounding import dround
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(cents).alias("cents_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+
+    cut = F.lit(_INC_CUTOFF).cast("timestamp")
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cents_part").alias("cents_total"),
+            F.sum("n_part").alias("n_orders"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        dround(F.col("cents_total") / 100.0, 2).alias("revenue"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+_BOOT_REPS = 32
+
+_BOOT_ORACLE = f"""
+    WITH reps AS (SELECT unnest(range(0, {_BOOT_REPS})) AS rep),
+    w AS (
+      SELECT o_orderpriority AS prio, rep,
+             CASE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                    || '#' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT % 4)
+               WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS w,
+             CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders CROSS JOIN reps),
+    rm AS (
+      SELECT prio, rep,
+             FLOOR((SUM(w * cents) * 1.0 / (100.0 * SUM(w)))
+                   * 10000.0 + 0.5) / 10000.0 AS m
+      FROM w GROUP BY 1, 2),
+    ci AS (SELECT prio, list_sort(list(m)) AS ms FROM rm GROUP BY 1),
+    mean AS (
+      SELECT o_orderpriority AS prio,
+             FLOOR((SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    * 1.0 / (100.0 * COUNT(*))) * 10000.0 + 0.5)
+               / 10000.0 AS mean_rev,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT mean.prio AS o_orderpriority,
+           CAST(mean.n_orders AS BIGINT) AS n_orders,
+           mean.mean_rev,
+           ci.ms[2] AS ci_lo,
+           ci.ms[{_BOOT_REPS - 1}] AS ci_hi
+    FROM mean JOIN ci ON ci.prio = mean.prio
+"""
+
+
+@query("bootstrap_ci_order_value", oracle=_BOOT_ORACLE, wave=4)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~90% bootstrap confidence interval for mean order value per
+    priority, via the deterministic multiplier bootstrap: each of 32
+    replicates reweights every order by hash(orderkey, rep) -> weight
+    in {0, 1, 1, 2} (mean 1), and the CI is the 2nd/31st of the 32
+    sorted replicate means.  This is THE scalable bootstrap — no
+    resampled copies of the data, just 32 weighted aggregates in one
+    shuffle — and the hash-derived weights make it reproducible and
+    oracle-checkable, where rng-based resampling would not be.
+
+    Scale shape: the replicate cross join is rows x 32 in the map
+    stage feeding ONE shuffle bounded by (priority x rep) = 160 keys;
+    replicate means use exact integer-cent sums with a single rounded
+    division, and the quantile picks elements of a 32-value sorted
+    array per group (bounded, engine-independent).
+    """
+    from awsbatch_mapreduce_spark.functions.rounding import dround
+
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(_BOOT_REPS).select(F.col("id").cast("int").alias("rep"))
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    wcol = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("#"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+    w = (
+        orders.select(
+            F.col("o_orderpriority").alias("prio"), F.col("o_orderkey"),
+            cents.alias("cents"),
+        )
+        .crossJoin(F.broadcast(reps))
+        .select(
+            "prio",
+            "rep",
+            "cents",
+            F.when(wcol == 0, 0).when(wcol == 3, 2).otherwise(1).alias("w"),
+        )
+    )
+    rm = w.groupBy("prio", "rep").agg(
+        dround(
+            F.sum(F.col("w") * F.col("cents"))
+            * 1.0
+            / (100.0 * F.sum("w")),
+            4,
+        ).alias("m")
+    )
+    ci = rm.groupBy("prio").agg(
+        F.array_sort(F.collect_list("m")).alias("ms")
+    )
+    mean = orders.groupBy(
+        F.col("o_orderpriority").alias("prio")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dround(
+            F.sum(cents) * 1.0 / (100.0 * F.count(F.lit(1))), 4
+        ).alias("mean_rev"),
+    )
+    return mean.join(ci, "prio").select(
+        F.col("prio").alias("o_orderpriority"),
+        "n_orders",
+        "mean_rev",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", _BOOT_REPS - 1).alias("ci_hi"),
+    )

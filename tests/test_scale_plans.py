@@ -461,6 +461,9 @@ def test_wave4_queries_scale_shape(spark):
         # PQ/ADC: codebook and query distance tables broadcast; the
         # encode argmin windows on (vec_id, m), never unpartitioned
         "ann_pq_adc_topk": r"windowspecdefinition\(vec_id",
+        "hard_negative_mining": r"BroadcastExchange",
+        "incremental_agg_merge": r"Union",
+        "bootstrap_ci_order_value": r"Exchange hashpartitioning\(prio",
     }
     for name, pat in shapes.items():
         plan = (
