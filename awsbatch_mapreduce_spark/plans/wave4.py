@@ -823,3 +823,123 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", _BOOT_REPS - 1).alias("ci_hi"),
     )
+
+
+# Banded range join: 30-minute buckets; a purchase in bucket b can only
+# match clicks in buckets {b, b-1}, so replicating each purchase twice
+# turns the keyless range join into an equi-join on the bucket id.
+_BAND_US = 30 * 60 * 1_000_000
+
+_BANDED_RANGE_ORACLE = """
+    SELECT c.event_id,
+           CAST(COUNT(p.event_id) AS BIGINT) AS n_purchases_30m
+    FROM events c LEFT JOIN events p
+      ON p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id
+"""
+
+
+@query("range_join_banded_global", oracle=_BANDED_RANGE_ORACLE, wave=4)
+def range_join_banded_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big range join with NO equi-key: purchases within 30 minutes
+    after each click, across ALL users.  ``range_join_error_context``
+    rides its natural user_id key; when no such key exists the naive
+    plan is a cartesian range filter — the classic rescue is banding:
+    bucket time at the window width, replicate the probe side into the
+    two buckets it can match (b, b-1), and the range join becomes an
+    equi-join on the bucket id plus an in-partition filter.
+
+    Scale shape: shuffle keys are bucket ints, volume = clicks +
+    2 x purchases (linear, factor 2 is the replication), no broadcast
+    requirement on either side — this is the plan that survives when
+    BOTH sides are fact-scale.  Worst case per bucket is bounded by
+    event rate x window, the quantity you'd size buckets by in
+    production.  Zero-match clicks are restored by a left join against
+    the aggregated matches (keys: event ids).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.col("ts").alias("c_ts"),
+        F.floor(us / _BAND_US).cast("bigint").alias("cb"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").alias("p_ts"),
+            F.floor(us / _BAND_US).cast("bigint").alias("pb"),
+        )
+        .select(
+            "p_ts",
+            F.explode(
+                F.array(F.col("pb"), F.col("pb") - F.lit(1))
+            ).alias("cb"),
+        )
+    )
+    matched = (
+        clicks.join(purch, "cb")
+        .filter(
+            (F.col("p_ts") > F.col("c_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")
+            )
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return clicks.select("event_id").join(matched, "event_id", "left").select(
+        "event_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(
+            "n_purchases_30m"
+        ),
+    )
+
+
+_WSAMPLE_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::UBIGINT // n_chars AS BIGINT) AS priority
+      FROM documents),
+    top AS (SELECT * FROM p ORDER BY priority, doc_id LIMIT 50)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT)
+             AS rk
+    FROM top
+"""
+
+
+@query("weighted_doc_sample", oracle=_WSAMPLE_ORACLE, wave=4)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample: 50 documents drawn with
+    probability increasing in document length, via integer priority
+    sampling — priority = hash(doc_id) / weight, keep the bottom-k.
+    The reproducible replacement for rand()-weighted sampling when a
+    curation run must be re-derivable (same corpus in, same sample
+    out), e.g. for human-eval slices weighted toward long documents.
+
+    Scale shape: priorities are computed in the map stage from the
+    stable id (no rng state, no seed coordination across executors);
+    the bottom-k plans as distributed TakeOrderedAndProject with the
+    rank window over the 50 survivors.  Integer division keeps the
+    priority exact in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prio = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) div n_chars"
+    )
+    p = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        prio.alias("priority"),
+    )
+    top = p.orderBy(F.asc("priority"), F.asc("doc_id")).limit(50)
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.asc("priority"), F.asc("doc_id")
+    )
+    return top.withColumn("rk", F.row_number().over(wr).cast("bigint"))

@@ -464,6 +464,9 @@ def test_wave4_queries_scale_shape(spark):
         "hard_negative_mining": r"BroadcastExchange",
         "incremental_agg_merge": r"Union",
         "bootstrap_ci_order_value": r"Exchange hashpartitioning\(prio",
+        # keyless range join must band to an equi-join on bucket ints
+        "range_join_banded_global": r"Exchange hashpartitioning\(cb",
+        "weighted_doc_sample": r"TakeOrderedAndProject",
     }
     for name, pat in shapes.items():
         plan = (
