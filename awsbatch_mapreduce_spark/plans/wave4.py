@@ -943,3 +943,105 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("priority"), F.asc("doc_id")
     )
     return top.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+
+
+_TEMP_MIX_ORACLE = """
+    WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    s AS (SELECT lang, n_docs,
+                 CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 10000.0 + 0.5)
+                      AS BIGINT) AS r_fp
+          FROM n),
+    t AS (SELECT SUM(r_fp) AS tot FROM s)
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(r_fp AS BIGINT) AS root_fp,
+           CAST(r_fp * 1000000 // tot AS BIGINT) AS weight_ppm,
+           CAST(r_fp * 10000 // tot AS BIGINT) AS docs_per_10k
+    FROM s, t
+"""
+
+
+@query("mixture_temperature_weights", oracle=_TEMP_MIX_ORACLE, wave=4)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (mT5-style, alpha = 0.5):
+    per-language sampling weight proportional to sqrt(n_docs),
+    up-weighting low-resource languages relative to proportional
+    sampling — the table a mixture-aware dataloader consumes
+    (``corpus_mixture_epochs`` handles the epoch side).
+
+    Scale shape: one bounded-key count per language, a broadcast
+    scalar total, integer ppm shares.  sqrt is the single IEEE op on
+    an exact integer, quantized before the share division, so the
+    cross-engine hash is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("r_fp"),
+    )
+    t = s.agg(F.sum("r_fp").alias("tot"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("r_fp").alias("root_fp"),
+        F.expr("CAST(r_fp * 1000000 div tot AS BIGINT)").alias("weight_ppm"),
+        F.expr("CAST(r_fp * 10000 div tot AS BIGINT)").alias("docs_per_10k"),
+    )
+
+
+_PAD_BUCKET = 32
+
+_PAD_WASTE_ORACLE = f"""
+    WITH d AS (
+      SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+    b AS (
+      SELECT ((n_tok + {_PAD_BUCKET} - 1) // {_PAD_BUCKET})
+               * {_PAD_BUCKET} AS cap,
+             n_tok
+      FROM d WHERE n_tok > 0)
+    SELECT CAST(cap AS BIGINT) AS bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(cap - n_tok) AS BIGINT) AS pad_tokens,
+           CAST(SUM(cap - n_tok) * 1000000 // (COUNT(*) * cap)
+                AS BIGINT) AS waste_ppm
+    FROM b GROUP BY cap
+"""
+
+
+@query("batch_padding_waste", oracle=_PAD_WASTE_ORACLE, wave=4)
+def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching: bucket
+    documents into 32-token length classes (each batch padded to its
+    bucket cap) and report the padded-token overhead per bucket — the
+    number that decides between plain bucketing and full sequence
+    packing (``corpus_pack_sequences``) for a training run.
+
+    Scale shape: token counts come from one map-stage ``size(split)``
+    (no explode — lengths, not tokens, aggregate); the rollup key
+    domain is bounded by max_len / 32.  Exact integer ratios.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    ).filter(F.col("n_tok") > 0).select(
+        "n_tok",
+        (
+            F.expr(f"CAST((n_tok + {_PAD_BUCKET} - 1) div {_PAD_BUCKET}"
+                   f" AS BIGINT)") * _PAD_BUCKET
+        ).alias("bucket_cap"),
+    )
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tok"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+        F.expr(
+            "CAST(sum(bucket_cap - n_tok) * 1000000"
+            " div (count(1) * bucket_cap) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )

@@ -467,6 +467,9 @@ def test_wave4_queries_scale_shape(spark):
         # keyless range join must band to an equi-join on bucket ints
         "range_join_banded_global": r"Exchange hashpartitioning\(cb",
         "weighted_doc_sample": r"TakeOrderedAndProject",
+        "mixture_temperature_weights": r"HashAggregate",
+        # lengths aggregate, tokens never explode
+        "batch_padding_waste": r"HashAggregate",
     }
     for name, pat in shapes.items():
         plan = (
