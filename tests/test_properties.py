@@ -111,3 +111,30 @@ def test_histogram2d_matches_numpy(spark, case):
         py = min(int(np.floor((y - ymin) / ystep)), h - 1)
         want[(px, py)] = want.get((px, py), 0) + 1
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_slow
+def test_zorder_interleave_is_a_bijection(spark, pairs):
+    """De-interleaving the Morton key must recover (x, y) exactly —
+    the property that makes z-clustering lossless w.r.t. both keys."""
+    from pyspark.sql import functions as F
+
+    from awsbatch_mapreduce_spark.operators.compact import interleave_bits
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    rows = df.withColumn(
+        "z", interleave_bits([F.col("x"), F.col("y")])
+    ).collect()
+    for r in rows:
+        x = y = 0
+        for b in range(16):
+            x |= ((r["z"] >> (2 * b)) & 1) << b
+            y |= ((r["z"] >> (2 * b + 1)) & 1) << b
+        assert (x, y) == (r["x"], r["y"])

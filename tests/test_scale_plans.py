@@ -464,8 +464,10 @@ def test_wave4_queries_scale_shape(spark):
         "hard_negative_mining": r"BroadcastExchange",
         "incremental_agg_merge": r"Union",
         "bootstrap_ci_order_value": r"Exchange hashpartitioning\(prio",
-        # keyless range join must band to an equi-join on bucket ints
-        "range_join_banded_global": r"Exchange hashpartitioning\(cb",
+        # keyless range join must band to an EQUI-join on the bucket
+        # key (any physical strategy; at fixture scale AQE may broadcast
+        # the tiny side, at fact scale it hash-partitions on cb)
+        "range_join_banded_global": r"Join \[cb",
         "weighted_doc_sample": r"TakeOrderedAndProject",
         "mixture_temperature_weights": r"HashAggregate",
         # lengths aggregate, tokens never explode
