@@ -33,6 +33,15 @@ def interleave_bits(scaled: list, bits: int = 16):
     (shift/and/or), fully codegen-able; no UDF.
     """
     n = len(scaled)
+    if n * bits > 63:
+        # top bit must stay out of the int64 sign bit — otherwise the
+        # key flips negative and silently corrupts the sort order.
+        # Callers with 4+ columns should quantize to 63 // n bits each
+        # (compact_parquet does); reject rather than guess here.
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} > 63 key bits; "
+            f"quantize to <= {63 // n} bits per column"
+        )
     z = None
     for ci, c in enumerate(scaled):
         for b in range(bits):
@@ -81,6 +90,11 @@ def compact_parquet(
             raise ValueError("pass either cluster_by or zorder_by, not both")
         if len(zorder_by) < 2:
             raise ValueError("zorder_by needs 2+ columns; use cluster_by for 1")
+        # 63 usable bits in a signed int64 key: with 4+ columns the
+        # default 16-bit quantization would overflow into the sign bit,
+        # so extra columns trade per-column resolution instead.
+        zbits = min(16, 63 // len(zorder_by))
+        zmax = float((1 << zbits) - 1)
         stats = df.agg(
             *[
                 a
@@ -96,7 +110,7 @@ def compact_parquet(
                 F.greatest(
                     F.floor(
                         (F.col(c).cast("double") - F.col(f"__min_{c}"))
-                        * 65535.0
+                        * zmax
                         / F.greatest(
                             F.col(f"__max_{c}") - F.col(f"__min_{c}"),
                             F.lit(1e-12),
@@ -104,13 +118,13 @@ def compact_parquet(
                     ).cast("bigint"),
                     F.lit(0),
                 ),
-                F.lit(65535),
+                F.lit(int(zmax)),
             )
             for c in zorder_by
         ]
         out = (
             df.crossJoin(F.broadcast(stats))
-            .withColumn("__z", interleave_bits(scaled))
+            .withColumn("__z", interleave_bits(scaled, bits=zbits))
             .repartitionByRange(n_files, F.col("__z"))
             .sortWithinPartitions("__z")
             .select(*df.columns)

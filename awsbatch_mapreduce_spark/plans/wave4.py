@@ -277,6 +277,10 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_EVAL_MAX_DF = 64  # heavy-shingle cut: df above this carries no
+# near-dup signal (boilerplate) and quadratically blows up the truth join
+
+
 def _lsh_eval_oracle() -> str:
     from awsbatch_mapreduce_spark.plans.llm_text import (
         _N_BANDS,
@@ -294,15 +298,18 @@ def _lsh_eval_oracle() -> str:
     )
     return f"""
     WITH {_SH_SQL},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {_LSH_EVAL_MAX_DF}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+    sig AS (SELECT doc_id, {sig_cols} FROM shc GROUP BY doc_id),
     bands AS ({band_sel}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
                ON a.bk = b.bk AND a.doc_id < b.doc_id),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      COUNT(*) AS n_common
-              FROM sh a JOIN sh b
+              FROM shc a JOIN shc b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
     pj AS (SELECT p.id_a, p.id_b,
@@ -348,12 +355,18 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ground truth needs exact pairwise Jaccard, which no sub-quadratic
     plan can produce, so the truth join is an equi-join on shingles:
-    O(co-shingle pairs), not all-pairs — and at 100 TB this query is
-    explicitly an *evaluation harness you point at a sampled slice*
-    (the fixture IS the sample), while the production dedup path stays
-    banded.  All ratios are exact integer ppm; candidate membership
-    and truth use the same md5 shingle digest discipline as the dedup
-    queries themselves.
+    O(co-shingle pairs), not all-pairs.  That alone is not enough — one
+    boilerplate shingle shared by k documents yields k^2 pairs — so the
+    shingle universe is first cut at document-frequency
+    ``_LSH_EVAL_MAX_DF`` (64): a shingle in >64 documents is
+    boilerplate carrying no *near*-dup Jaccard signal, and dropping it
+    bounds every co-shingle group (worst case per shingle = 64^2 pairs,
+    linear overall).  The cap is applied identically in the oracle, and
+    signatures/sizes/truth all use the capped universe so the measured
+    Jaccard is self-consistent.  At 100 TB this query remains an
+    *evaluation harness you point at a sampled slice* (the fixture IS
+    the sample), while the production dedup path stays banded.  All
+    ratios are exact integer ppm.
     """
     from awsbatch_mapreduce_spark.plans.llm_text import (
         _N_BANDS,
@@ -361,7 +374,15 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingles,
     )
 
-    sh = _shingles(spark, sf_dir).persist()
+    sh_all = _shingles(spark, sf_dir)
+    heavy = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _LSH_EVAL_MAX_DF)
+        .select("shingle")
+    )
+    # anti-join against the (small, aggregated) heavy set — broadcastable
+    sh = sh_all.join(heavy, "shingle", "left_anti").persist()
     aggs = [
         F.min(
             F.substring(
@@ -536,12 +557,22 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("bigint").alias("n_tokens"),
         )
     )
+    # left joins from cp so a cutoff preceding the first doc_id still
+    # emits its row, mirroring the oracle's scalar-subquery semantics:
+    # COUNTs coalesce to 0, the SUM stays NULL (ADVICE r3).
     return (
-        cp.join(dstats, ["pct", "cutoff_doc"])
-        .join(vocab, ["pct", "cutoff_doc"])
+        cp.join(dstats, ["pct", "cutoff_doc"], "left")
+        .join(vocab, ["pct", "cutoff_doc"], "left")
         .select(
-            "pct", "cutoff_doc", "n_docs", "n_tokens",
-            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            "pct",
+            "cutoff_doc",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias(
+                "n_docs"
+            ),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("vocab_size"), F.lit(0))
+            .cast("bigint")
+            .alias("vocab_size"),
         )
     )
 
@@ -903,8 +934,8 @@ _WSAMPLE_ORACLE = """
     WITH p AS (
       SELECT doc_id, n_chars,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  ::UBIGINT // n_chars AS BIGINT) AS priority
-      FROM documents),
+                  ::UBIGINT // greatest(n_chars, 1) AS BIGINT) AS priority
+      FROM documents WHERE n_chars IS NOT NULL),
     top AS (SELECT * FROM p ORDER BY priority, doc_id LIMIT 50)
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority,
            CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT)
@@ -928,10 +959,15 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window over the 50 survivors.  Integer division keeps the
     priority exact in both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # greatest(n_chars, 1) + non-NULL filter in BOTH engines: a zero or
+    # NULL weight would otherwise make a NULL priority, and NULLs sort
+    # first in Spark ASC but last in DuckDB — divergent top-50 sets.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     prio = F.expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
-        " AS BIGINT) div n_chars"
+        " AS BIGINT) div greatest(n_chars, 1)"
     )
     p = docs.select(
         "doc_id",

@@ -52,7 +52,14 @@ def _events_ts_is_long(source_dir: str) -> bool:
 
     files = sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
     if not files:
-        return True
+        # Guessing here would bind a schema that misreads ts the moment
+        # differently-encoded files arrive (the driver has shipped BOTH
+        # encodings across rounds) — make the caller seed the dir first.
+        raise FileNotFoundError(
+            f"no parquet files under {source_dir!r} to sniff the events ts "
+            "encoding from; write at least one file before starting the "
+            "stream"
+        )
     t = str(pq.read_schema(files[0]).field("ts").type)
     # timestamp[ns] is read as long under nanosAsLong; int64 is already long
     return t == "int64" or t.startswith("timestamp[ns")
