@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.operators.compact import compact_parquet
 from awsbatch_mapreduce_spark.plans.registry import query
@@ -87,4 +88,724 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint"))
         .cast("bigint")
         .alias("sum_qty"),
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("bucketed_join_no_shuffle", oracle=_BUCKETED_JOIN_ORACLE, wave=5)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing: write orders and
+    lineitem as 8-bucket tables hashed+sorted on the order key, then
+    join them — both sides are already co-partitioned AND co-sorted on
+    the join key, so the sort-merge join needs NO exchange and NO sort
+    (``tests/test_scale_plans.py::test_bucketed_join_has_no_join_exchange``
+    pins it).  This is THE mechanism for repeated big-big joins at
+    100 TB: pay the layout once at write time, join for free forever
+    after — the write-side twin of what z-ordering does for scans.
+
+    The bucket tables are registered in the session catalog with data
+    under the scratch dir (external path), rewritten idempotently per
+    call.  The oracle joins the raw tables: bucketing is pure layout,
+    the answer must hash-match exactly.
+    """
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"awsbatch_bucketed_{tag}")
+    specs = {
+        f"bkt_orders_{tag}": (
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            "o_orderkey",
+        ),
+        f"bkt_lineitem_{tag}": (
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            ),
+            "l_orderkey",
+        ),
+    }
+    for name, (df, key) in specs.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table(f"bkt_orders_{tag}")
+    li = spark.table(f"bkt_lineitem_{tag}")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
+    )
+
+
+_NATION_SHARE_ORACLE = """
+    WITH rev AS (
+      SELECT n.n_regionkey, n.n_name,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS revenue_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2)
+    SELECT r.r_name, rev.n_name,
+           CAST(rev.revenue_c AS BIGINT) AS revenue_c,
+           CAST(rev.revenue_c * 1000000
+                // SUM(rev.revenue_c) OVER (PARTITION BY rev.n_regionkey)
+                AS BIGINT) AS share_ppm
+    FROM rev JOIN region r ON r.r_regionkey = rev.n_regionkey
+"""
+
+
+@query("nation_revenue_share", oracle=_NATION_SHARE_ORACLE, wave=5)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report analytic: each nation's share of its region's
+    order revenue, in exact integer ppm over fixed-point cents (float
+    sums are order-dependent; cent-int sums are associative, so the
+    cross-engine hash is exact).
+
+    Scale shape: one shuffle to the 25-key nation rollup, dims
+    broadcast, then the share window partitions by region — a 5-25 row
+    domain, so the window state is trivially bounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("revenue_c")
+        )
+    )
+    return rev.join(F.broadcast(r), rev.n_regionkey == r.r_regionkey).select(
+        "r_name",
+        "n_name",
+        F.col("revenue_c").cast("bigint").alias("revenue_c"),
+        F.expr(
+            "CAST(revenue_c * 1000000 div"
+            " sum(revenue_c) OVER (PARTITION BY n_regionkey) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+_DWELL_ORACLE = """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+               AS gap_s
+      FROM events)
+    SELECT CASE WHEN gap_s < 1 THEN '0_lt1s'
+                WHEN gap_s < 10 THEN '1_lt10s'
+                WHEN gap_s < 60 THEN '2_lt1m'
+                WHEN gap_s < 600 THEN '3_lt10m'
+                WHEN gap_s < 3600 THEN '4_lt1h'
+                ELSE '5_ge1h' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1
+"""
+
+
+@query("event_dwell_histogram", oracle=_DWELL_ORACLE, wave=5)
+def event_dwell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time (inter-event gap) histogram: per-user consecutive
+    event gaps bucketed into log-spaced classes — the distribution
+    behind every sessionization-timeout choice (the 30-min gap in
+    ``events_sessionization`` should sit in a valley of this
+    histogram, not a peak).
+
+    Gaps are computed in integer microseconds (``unix_micros`` /
+    ``epoch_us``) then floor-divided to seconds: calendar ``datediff``
+    functions count boundary crossings, which disagrees with floor
+    division on sub-second components, so both engines stay in the
+    integer epoch domain.  Scale shape: one per-user window (hash
+    partition on user_id), then a 6-key rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id",
+        F.floor((us - F.lag(us).over(w)) / F.lit(1000000)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    bucket = F.expr(
+        "CASE WHEN gap_s < 1 THEN '0_lt1s'"
+        " WHEN gap_s < 10 THEN '1_lt10s'"
+        " WHEN gap_s < 60 THEN '2_lt1m'"
+        " WHEN gap_s < 600 THEN '3_lt10m'"
+        " WHEN gap_s < 3600 THEN '4_lt1h'"
+        " ELSE '5_ge1h' END"
+    )
+    return g.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+_EWMA_LAGS = 8  # trailing events folded into the average (halflife = 1 step)
+
+_EWMA_ORACLE = """
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+             ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn_desc,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events),
+    l AS (
+      SELECT user_id, rn_desc, n_events,
+             {lag_terms} AS ewma_fp
+      FROM q)
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(ewma_fp AS BIGINT) AS ewma_fp
+    FROM l WHERE rn_desc = 1
+"""
+
+
+def _ewma_lag_sql() -> str:
+    terms = [
+        f"COALESCE(LAG(vc, {k}) OVER"
+        f" (PARTITION BY user_id ORDER BY ts, event_id), 0)"
+        f" * {1 << (_EWMA_LAGS - 1 - k)}"
+        for k in range(_EWMA_LAGS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "events_ewma_halflife",
+    oracle=_EWMA_ORACLE.format(lag_terms=_ewma_lag_sql()),
+    wave=5,
+)
+def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value
+    (halflife = one event): the most recent event carries weight 2^7,
+    each older one half that, over the trailing 8 events — the
+    smoothing primitive behind rate limiting, anomaly baselines, and
+    engagement scores.
+
+    Exact cross-engine arithmetic: values quantize to cents, the decay
+    weights are powers of two, and the weighted sum is a fixed
+    8-term integer expression over ``LAG`` columns (missing history
+    coalesces to 0) — no floats anywhere after quantization.  Scale
+    shape: one window per user (hash partition on user_id), emitted
+    once per user at the latest row, no unbounded state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    q = ev.select(
+        "user_id",
+        vc.alias("vc"),
+        F.row_number().over(wd).alias("rn_desc"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_events"),
+        *[
+            F.coalesce(F.lag(vc, k).over(w), F.lit(0)).alias(f"lag{k}")
+            for k in range(_EWMA_LAGS)
+        ],
+    )
+    ewma = sum(
+        F.col(f"lag{k}") * F.lit(1 << (_EWMA_LAGS - 1 - k))
+        for k in range(_EWMA_LAGS)
+    )
+    return q.filter(F.col("rn_desc") == 1).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        ewma.cast("bigint").alias("ewma_fp"),
+    )
+
+
+_DICE_MIN_COUNT = 5
+_DICE_TOPK = 50
+
+_DICE_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2),
+    bc AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram
+           HAVING COUNT(*) >= {_DICE_MIN_COUNT}),
+    scored AS (
+      SELECT bc.bigram, bc.c12, u1.c AS c1, u2.c AS c2,
+             CAST(2 * bc.c12 * 1000000 // (u1.c + u2.c) AS BIGINT)
+               AS dice_ppm
+      FROM bc
+      JOIN uc u1 ON u1.w = string_split(bc.bigram, ' ')[1]
+      JOIN uc u2 ON u2.w = string_split(bc.bigram, ' ')[2])
+    SELECT bigram, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+           CAST(c2 AS BIGINT) AS c2, dice_ppm
+    FROM scored
+    ORDER BY dice_ppm DESC, bigram
+    LIMIT {_DICE_TOPK}
+"""
+
+
+@query("bigram_dice_topk", oracle=_DICE_ORACLE, wave=5)
+def bigram_dice_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the {_DICE_TOPK} most-associated token
+    bigrams by Dice coefficient (2*c12 / (c1+c2), integer ppm) with a
+    min-support cut — the standard first pass for multi-word
+    expressions and tokenizer-merge candidates over a corpus.  Dice
+    (not PMI) keeps the arithmetic in safely-bounded integers:
+    ``2 * c12 * 1e6`` tops out near 2e12 at any fixture scale, where
+    PMI's ``c12 * N * 1e6`` would overflow int64 at ~sf1.
+
+    Scale shape: bigram and unigram counts are two token-keyed
+    rollups (map-side partial agg), the min-support cut shrinks the
+    bigram side before its two joins against unigram counts, and the
+    top-k plans as TakeOrderedAndProject — no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bc = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _DICE_MIN_COUNT)
+    )
+    w1 = F.expr("element_at(split(bigram, ' '), 1)")
+    w2 = F.expr("element_at(split(bigram, ' '), 2)")
+    scored = (
+        bc.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .select(
+            "bigram",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            F.expr(
+                "CAST(2 * c12 * 1000000 div (c1 + c2) AS BIGINT)"
+            ).alias("dice_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("dice_ppm"), F.asc("bigram")
+    ).limit(_DICE_TOPK)
+
+
+_INCR_DEDUP_ORACLE = """
+    WITH b AS (
+      SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
+    seen AS (SELECT DISTINCT md5(text) AS fp
+             FROM documents, b WHERE doc_id <= b.mid)
+    SELECT d.doc_id,
+           CAST(CASE WHEN s.fp IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_novel
+    FROM documents d
+    CROSS JOIN b
+    LEFT JOIN seen s ON s.fp = md5(d.text)
+    WHERE d.doc_id > b.mid
+"""
+
+
+@query("incremental_dedup_new_docs", oracle=_INCR_DEDUP_ORACLE, wave=5)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: flag which documents
+    of the new batch (upper doc_id half) are novel vs the already-
+    ingested corpus (lower half) by content fingerprint — the daily
+    crawl-append operation, where re-deduplicating the whole corpus
+    from scratch would be quadratic-over-time.
+
+    Scale shape: the seen-set is distinct md5 digests (never bodies),
+    the membership test is a digest equi-join, and at 100 TB the seen
+    side is a bucketed digest table appended per batch — this query is
+    one increment of that loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        (
+            (F.min("doc_id") + F.max("doc_id")) / F.lit(2)
+        ).cast("bigint").alias("mid")
+    )
+    withmid = docs.crossJoin(F.broadcast(b))
+    seen = (
+        withmid.filter(F.col("doc_id") <= F.col("mid"))
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    new = withmid.filter(F.col("doc_id") > F.col("mid")).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return new.join(
+        seen.withColumn("hit", F.lit(1)), "fp", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("hit").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_novel"),
+    )
+
+
+_HALF_DRIFT_ORACLE = """
+    WITH b AS (
+      SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
+    h AS (
+      SELECT lang,
+             COUNT(*) FILTER (WHERE doc_id <= mid) AS n_first,
+             COUNT(*) FILTER (WHERE doc_id > mid) AS n_second
+      FROM documents, b GROUP BY lang),
+    t AS (SELECT SUM(n_first) AS t1, SUM(n_second) AS t2 FROM h)
+    SELECT lang,
+           CAST(n_first AS BIGINT) AS n_first,
+           CAST(n_second AS BIGINT) AS n_second,
+           CAST(n_first * 1000000 // t1 AS BIGINT) AS share1_ppm,
+           CAST(n_second * 1000000 // t2 AS BIGINT) AS share2_ppm,
+           CAST(n_second * 1000000 // t2
+                - n_first * 1000000 // t1 AS BIGINT) AS drift_ppm
+    FROM h, t
+"""
+
+
+@query("corpus_half_drift", oracle=_HALF_DRIFT_ORACLE, wave=5)
+def corpus_half_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus snapshots: per-language share
+    in the first vs second doc_id half and the signed share delta
+    (integer ppm) — the monitoring number that catches a crawl whose
+    language mix silently shifted between ingests.
+
+    Scale shape: one bounded-key (lang) conditional rollup over a
+    single scan, two broadcast scalar totals, exact integer shares.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / F.lit(2))
+        .cast("bigint")
+        .alias("mid")
+    )
+    h = (
+        docs.crossJoin(F.broadcast(b))
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") <= F.col("mid"), 1).otherwise(0)
+            ).alias("n_first"),
+            F.sum(
+                F.when(F.col("doc_id") > F.col("mid"), 1).otherwise(0)
+            ).alias("n_second"),
+        )
+    )
+    t = h.agg(
+        F.sum("n_first").alias("t1"), F.sum("n_second").alias("t2")
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("n_first").cast("bigint").alias("n_first"),
+        F.col("n_second").cast("bigint").alias("n_second"),
+        F.expr("CAST(n_first * 1000000 div t1 AS BIGINT)").alias(
+            "share1_ppm"
+        ),
+        F.expr("CAST(n_second * 1000000 div t2 AS BIGINT)").alias(
+            "share2_ppm"
+        ),
+        F.expr(
+            "CAST(n_second * 1000000 div t2"
+            " - n_first * 1000000 div t1 AS BIGINT)"
+        ).alias("drift_ppm"),
+    )
+
+
+_MAD_ORACLE = """
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 4 AS v4
+      FROM events),
+    med AS (
+      SELECT event_type, CAST(quantile_cont(v4, 0.5) AS BIGINT) AS med4
+      FROM v GROUP BY event_type),
+    d AS (
+      SELECT v.event_type, v.v4, med.med4,
+             2 * abs(v.v4 - med.med4) AS d2
+      FROM v JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, CAST(quantile_cont(d2, 0.5) AS BIGINT) AS mad_d2
+      FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(d.med4) AS BIGINT) AS med4,
+           CAST(MAX(mad.mad_d2) AS BIGINT) AS mad_d2,
+           CAST(COUNT(*) FILTER (WHERE 2 * d.d2 > 7 * mad.mad_d2)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+"""
+
+
+@query("events_mad_outliers", oracle=_MAD_ORACLE, wave=5)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via median absolute
+    deviation: flag events beyond 3.5 MADs from the median — the
+    estimator that, unlike z-scores (``events_zscore_outliers``),
+    doesn't let the outliers themselves inflate the threshold.
+
+    Exactness trick: everything stays in scaled integers.  Cents
+    quantize, then x4: the interpolated median of an even-count set of
+    multiples of 4 is a whole (even) integer, |v4 - med4| doubled is
+    even, so the MAD (a median of even ints) is again integral, and
+    the 3.5x cut becomes the integer comparison ``2*d2 > 7*mad_d2`` —
+    both engines compare exact int64s, no float boundary cases.
+
+    Scale shape: two grouped exact percentiles over a 5-key domain
+    (each a single shuffle; swap for ``percentile_approx`` when the
+    per-key row count stops fitting a partition), broadcast joins of
+    the 5-row med/mad tables back onto the stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") * 4)
+        .alias("v4"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("CAST(percentile(v4, 0.5) AS BIGINT)").alias("med4")
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med4",
+        (F.lit(2) * F.abs(F.col("v4") - F.col("med4"))).alias("d2"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("CAST(percentile(d2, 0.5) AS BIGINT)").alias("mad_d2")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("med4").cast("bigint").alias("med4"),
+            F.max("mad_d2").cast("bigint").alias("mad_d2"),
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("d2") > F.lit(7) * F.col("mad_d2"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+_DISTINCT_TERMS_MIN_COUNT = 20
+_DISTINCT_TERMS_TOPK = 10
+
+_DISTINCT_TERMS_ORACLE = f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+    lw AS (SELECT lang, w, COUNT(*) AS c_lw FROM tok GROUP BY 1, 2),
+    lt AS (SELECT lang, SUM(c_lw) AS t_l FROM lw GROUP BY 1),
+    gw AS (SELECT w, SUM(c_lw) AS c_w FROM lw GROUP BY 1),
+    tot AS (SELECT SUM(c_lw) AS t FROM lw),
+    scored AS (
+      SELECT lw.lang, lw.w, lw.c_lw,
+             CAST(lw.c_lw * tot.t * 1000000 // (lt.t_l * gw.c_w)
+                  AS BIGINT) AS lift_ppm
+      FROM lw
+      JOIN lt USING (lang) JOIN gw USING (w) CROSS JOIN tot
+      WHERE lw.c_lw >= {_DISTINCT_TERMS_MIN_COUNT}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY lang ORDER BY lift_ppm DESC, w) AS rk
+      FROM scored)
+    SELECT lang, w, CAST(c_lw AS BIGINT) AS c_lw, lift_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_DISTINCT_TERMS_TOPK}
+"""
+
+
+@query("lang_distinctive_terms", oracle=_DISTINCT_TERMS_ORACLE, wave=5)
+def lang_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive vocabulary: the terms whose in-language
+    rate most exceeds their corpus-wide rate (lift = P(w|lang)/P(w) in
+    exact integer ppm), top 10 per language with a min-support cut —
+    corpus QA that surfaces both genuine language signal and
+    contamination (a 'distinctive' English term inside the de slice
+    means mislabeled docs).
+
+    Integer bound: the numerator ``c_lw * T * 1e6`` tops out near
+    T^2 * 1e6 ~ 7e18 at sf0.1 — inside int64 for every fixture, noted
+    at the 100 TB tier you'd scale the ppm factor down (or pre-divide
+    by gcd) before the corpus hits ~3e6 tokens per shard-slice.
+
+    Scale shape: one (lang, token)-keyed rollup feeds three bounded
+    re-aggregations (lang totals, token totals, grand total — the
+    token-keyed one is the only big shuffle), the support cut shrinks
+    the scored set before ranking, and the top-10 window partitions by
+    lang (bounded domain).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c_lw"))
+    )
+    lt = lw.groupBy("lang").agg(F.sum("c_lw").alias("t_l"))
+    gw = lw.groupBy("w").agg(F.sum("c_lw").alias("c_w"))
+    tot = lw.agg(F.sum("c_lw").alias("t"))
+    scored = (
+        lw.filter(F.col("c_lw") >= _DISTINCT_TERMS_MIN_COUNT)
+        .join(F.broadcast(lt), "lang")
+        .join(gw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "w",
+            "c_lw",
+            F.expr(
+                "CAST(c_lw * t * 1000000 div (t_l * c_w) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    wlang = Window.partitionBy("lang").orderBy(
+        F.desc("lift_ppm"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wlang))
+        .filter(F.col("rk") <= _DISTINCT_TERMS_TOPK)
+        .select(
+            "lang",
+            "w",
+            F.col("c_lw").cast("bigint").alias("c_lw"),
+            "lift_ppm",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+_RFM_ORACLE = """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(epoch_us(o_orderdate) // 86400000000) AS rec_d,
+             COUNT(*) AS freq,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS mon_c
+      FROM orders GROUP BY o_custkey),
+    q AS (
+      SELECT quantile_cont(rec_d, 0.25) AS r1, quantile_cont(rec_d, 0.5) AS r2,
+             quantile_cont(rec_d, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(mon_c, 0.25) AS m1, quantile_cont(mon_c, 0.5) AS m2,
+             quantile_cont(mon_c, 0.75) AS m3
+      FROM cust)
+    SELECT CAST(1 + (rec_d > r1)::INT + (rec_d > r2)::INT + (rec_d > r3)::INT
+                AS BIGINT) AS r_score,
+           CAST(1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT
+                AS BIGINT) AS f_score,
+           CAST(1 + (mon_c > m1)::INT + (mon_c > m2)::INT + (mon_c > m3)::INT
+                AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon_c) AS BIGINT) AS revenue_c
+    FROM cust, q
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("customer_rfm_segments", oracle=_RFM_ORACLE, wave=5)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: score every customer 1-4 on Recency (last
+    order day), Frequency (order count), and Monetary (lifetime cents)
+    against the exact quartiles of the customer population, then roll
+    up segment sizes and revenue — the classic marketing cube, done
+    the scale-safe way: quartile CUT-POINTS via one aggregate
+    (broadcast 9 scalars) and scores via comparisons, never a global
+    NTILE sort (the ``customer_value_deciles`` lesson, r2).
+
+    Cross-engine exactness: all three metrics are integers (epoch
+    days, counts, cents); interpolated quartiles of integers are
+    dyadic rationals computed identically by Spark ``percentile`` and
+    DuckDB ``quantile_cont``, and scores depend only on strict
+    comparisons against them.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            )
+        ).alias("rec_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("mon_c"),
+    )
+    q = cust.agg(
+        *[
+            F.expr(f"percentile({m}, {p})").alias(f"{m}_q{i}")
+            for m in ("rec_d", "freq", "mon_c")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    score = (
+        lambda m: F.lit(1)
+        + (F.col(m) > F.col(f"{m}_q1")).cast("int")
+        + (F.col(m) > F.col(f"{m}_q2")).cast("int")
+        + (F.col(m) > F.col(f"{m}_q3")).cast("int")
+    )
+    return (
+        cust.crossJoin(F.broadcast(q))
+        .select(
+            score("rec_d").cast("bigint").alias("r_score"),
+            score("freq").cast("bigint").alias("f_score"),
+            score("mon_c").cast("bigint").alias("m_score"),
+            "mon_c",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("mon_c").cast("bigint").alias("revenue_c"),
+        )
     )

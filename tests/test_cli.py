@@ -17,11 +17,12 @@ def test_cli_list(capsys):
 def test_cli_oracle(capsys):
     assert main(["oracle", "q1_pricing_summary"]) == 0
     assert "lineitem" in capsys.readouterr().out
-    # kmeans gained an oracle in r3; approx_sketches stays rows-only
+    # kmeans gained an oracle in r3; approx_sketches in r4 (exact counts
+    # + tolerance flags) — as of r4 every registered query has an oracle
     assert main(["oracle", "kmeans_embeddings"]) == 0
     assert "a5 GROUP BY cell" in capsys.readouterr().out
     assert main(["oracle", "approx_sketches"]) == 0
-    assert "rows-only" in capsys.readouterr().out
+    assert "GROUP BY event_type" in capsys.readouterr().out
 
 
 def test_cli_unknown_query_exits_2():

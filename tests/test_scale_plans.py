@@ -493,6 +493,68 @@ def test_wave4_queries_scale_shape(spark):
                 )
 
 
+def test_wave5_queries_scale_shape(spark):
+    """Wave-5 additions keep the shuffle discipline: per-user/lang
+    windows are partitioned (never global), top-k plans as distributed
+    TakeOrderedAndProject, the incremental-dedup membership test joins
+    digests, and scalar cut-point tables broadcast.  (The two
+    write-side queries — zorder_pruned_scan, bucketed_join_no_shuffle —
+    have dedicated tests; building them here would re-write their
+    tables.)"""
+    shapes = {
+        "nation_revenue_share": r"windowspecdefinition\(n_regionkey",
+        "event_dwell_histogram": r"windowspecdefinition\(user_id",
+        "events_ewma_halflife": r"windowspecdefinition\(user_id",
+        "bigram_dice_topk": r"TakeOrderedAndProject",
+        "incremental_dedup_new_docs": r"Exchange hashpartitioning\(fp|BroadcastExchange",
+        "corpus_half_drift": r"HashAggregate",
+        "events_mad_outliers": r"BroadcastExchange",
+        "lang_distinctive_terms": r"windowspecdefinition\(lang",
+        "customer_rfm_segments": r"BroadcastExchange",
+    }
+    for name, pat in shapes.items():
+        plan = (
+            QUERIES[name]
+            .builder(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert re.search(pat, plan), f"{name} missing {pat}:\n{plan[:1500]}"
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange SinglePartition" in l:
+                ctx = "\n".join(lines[max(0, i - 3) : i + 1])
+                assert "HashAggregate(keys=[]" in ctx, (
+                    f"{name}: non-scalar single-partition exchange:\n{ctx}"
+                )
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """With broadcast disabled (the fact-scale regime where neither
+    side fits in memory), the bucketed orders-lineitem join must plan
+    as a sort-merge join with NO exchange on either join key — the
+    layout already co-partitions and co-sorts both sides."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            QUERIES["bucketed_join_no_shuffle"]
+            .builder(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "Bucketed: true" in plan
+    assert not re.search(
+        r"Exchange hashpartitioning\((o_orderkey|l_orderkey)", plan
+    ), plan[:2000]
+
+
 def test_lsh_eval_truth_join_is_df_capped(spark):
     """The exact-Jaccard truth join in ``minhash_lsh_eval`` must never
     see an uncapped shingle universe: one boilerplate shingle in k docs
