@@ -809,3 +809,270 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mon_c").cast("bigint").alias("revenue_c"),
         )
     )
+
+
+_PREFIX_JACCARD_BP = 7000  # Jaccard >= 0.70, exact integer basis points
+
+_PREFIX_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    df AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+    sized AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    ranked AS (
+      SELECT t.doc_id, t.w, s.n,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY df.df, t.w) AS rk
+      FROM tok t JOIN df USING (w) JOIN sized s USING (doc_id)),
+    prefix AS (
+      SELECT doc_id, w FROM ranked
+      WHERE rk <= n - (7 * n + 9) // 10 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.w = b.w AND a.doc_id < b.doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+      GROUP BY 1, 2)
+    SELECT cm.id_a, cm.id_b,
+           CAST(cm.n_common * 10000
+                // (sa.n + sb.n - cm.n_common) AS BIGINT) AS jaccard_bp
+    FROM common cm
+    JOIN sized sa ON sa.doc_id = cm.id_a
+    JOIN sized sb ON sb.doc_id = cm.id_b
+    WHERE cm.n_common * 10000 // (sa.n + sb.n - cm.n_common)
+          >= {_PREFIX_JACCARD_BP}
+"""
+
+
+@query("dedup_prefix_filter", oracle=_PREFIX_ORACLE, wave=5)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join via prefix filtering (PPJoin-style): find
+    document pairs with token-set Jaccard >= 0.70 by joining only each
+    document's PREFIX — its rarest ``n - ceil(0.7*n) + 1`` tokens
+    under a global (document-frequency, token) order.  Two sets with
+    Jaccard >= t MUST share a prefix token (pigeonhole), so candidate
+    generation is exact, and because prefixes keep the RAREST tokens,
+    boilerplate never generates candidates — the structural opposite
+    of (and complement to) ``dedup_minhash_lsh``'s probabilistic
+    banding: no false negatives, candidate volume governed by rare-
+    token co-occurrence.
+
+    Scale shape: token df is one rollup; the per-doc rarity rank is a
+    window partitioned by doc_id; the candidate join runs prefix x
+    prefix (each ~0.3n of the rarest tokens); verification joins the
+    distinct token sets of candidate pairs only.  All-integer Jaccard
+    in basis points; ceil(0.7n) computed as ``(7n + 9) div 10`` in
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
+    ranked = (
+        tok.join(df, "w")
+        .join(sized, "doc_id")
+        .withColumn("rk", F.row_number().over(wdoc))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.expr("n - (7 * n + 9) div 10 + 1")
+    ).select("doc_id", "w")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "w")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "w")
+    common = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(n_common * 10000 div (na + nb - n_common) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= _PREFIX_JACCARD_BP)
+    )
+
+
+_SESSION_GAP_MIN = 30
+_TOP_SESSIONS = 20
+
+_TOP_SESSIONS_ORACLE = f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {_SESSION_GAP_MIN} * 60 * 1000000
+                  OR LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS session_id
+      FROM o),
+    agg AS (
+      SELECT user_id, session_id,
+             MIN(epoch_us(ts)) AS session_start_us,
+             (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
+               AS duration_s,
+             COUNT(*) AS n_events
+      FROM s GROUP BY 1, 2),
+    top AS (
+      SELECT * FROM agg
+      ORDER BY duration_s DESC, user_id, session_id
+      LIMIT {_TOP_SESSIONS})
+    SELECT user_id, CAST(session_start_us AS BIGINT) AS session_start_us,
+           CAST(duration_s AS BIGINT) AS duration_s,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(ROW_NUMBER() OVER
+                (ORDER BY duration_s DESC, user_id, session_id)
+                AS BIGINT) AS rk
+    FROM top
+"""
+
+
+@query("events_top_sessions", oracle=_TOP_SESSIONS_ORACLE, wave=5)
+def events_top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup + top-k: sessionize per user (30-min gap
+    rule, same as ``events_sessionization``), aggregate each session
+    to (start, duration, event count), and keep the {_TOP_SESSIONS}
+    longest sessions — the power-user/abuse view a product team reads
+    daily, and the session-LEVEL twin of the existing event-level
+    sessionization.
+
+    Scale shape: gap flags and session ids are per-user windows; the
+    session rollup shuffles on (user_id, session_id); the top-k plans
+    as distributed TakeOrderedAndProject with the rank window over
+    the 20 survivors.  Durations in exact integer seconds from
+    epoch-µs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            gap.isNull() | (gap > _SESSION_GAP_MIN * 60 * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = o.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agg = s.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("session_start_us"),
+        (
+            (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    top = agg.orderBy(
+        F.desc("duration_s"), F.asc("user_id"), F.asc("session_id")
+    ).limit(_TOP_SESSIONS)
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("duration_s"), F.asc("user_id"), F.asc("session_id")
+    )
+    return top.select(
+        "user_id",
+        F.col("session_start_us").cast("bigint").alias("session_start_us"),
+        F.col("duration_s").cast("bigint").alias("duration_s"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+    )
+
+
+_SHIP_DELAY_ORACLE = """
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS delay_d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(delay_d) AS BIGINT) AS min_d,
+           CAST(MAX(delay_d) AS BIGINT) AS max_d,
+           CAST(quantile_cont(delay_d * 2, 0.5) AS BIGINT) AS med_d2,
+           CAST(SUM(delay_d) AS BIGINT) AS sum_d
+    FROM d GROUP BY o_orderpriority
+"""
+
+
+@query("shipping_delay_profile", oracle=_SHIP_DELAY_ORACLE, wave=5)
+def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay profile per priority class: count, min/max,
+    exact median (doubled to stay integral under interpolation), and
+    total delay days — the SLA read behind ``q12``'s speed buckets,
+    computed from exact integer day arithmetic on epoch-µs (calendar
+    datediff counts boundary crossings and is engine-dependent;
+    integer floor-division is not).
+
+    Scale shape: fact-fact equi-join on the order key (the bucketed
+    layout from ``bucketed_join_no_shuffle`` makes it exchange-free
+    when materialized), then a 5-key rollup with an exact grouped
+    median — swap ``percentile_approx`` at the point the per-key row
+    count outgrows a partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "(unix_micros(cast(l_shipdate as timestamp))"
+            " - unix_micros(cast(o_orderdate as timestamp)))"
+            " div 86400000000"
+        ).alias("delay_d"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("delay_d").cast("bigint").alias("min_d"),
+        F.max("delay_d").cast("bigint").alias("max_d"),
+        F.expr("CAST(percentile(delay_d * 2, 0.5) AS BIGINT)").alias(
+            "med_d2"
+        ),
+        F.sum("delay_d").cast("bigint").alias("sum_d"),
+    )

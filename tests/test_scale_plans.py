@@ -511,6 +511,10 @@ def test_wave5_queries_scale_shape(spark):
         "events_mad_outliers": r"BroadcastExchange",
         "lang_distinctive_terms": r"windowspecdefinition\(lang",
         "customer_rfm_segments": r"BroadcastExchange",
+        # prefix rarity rank is a per-doc window, never a global sort
+        "dedup_prefix_filter": r"windowspecdefinition\(doc_id",
+        "events_top_sessions": r"TakeOrderedAndProject",
+        "shipping_delay_profile": r"Exchange hashpartitioning",
     }
     for name, pat in shapes.items():
         plan = (
