@@ -825,12 +825,13 @@ _PREFIX_ORACLE = f"""
                                 ORDER BY df.df, t.w) AS rk
       FROM tok t JOIN df USING (w) JOIN sized s USING (doc_id)),
     prefix AS (
-      SELECT doc_id, w FROM ranked
+      SELECT doc_id, w, n FROM ranked
       WHERE rk <= n - (7 * n + 9) // 10 + 1),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM prefix a JOIN prefix b
-        ON a.w = b.w AND a.doc_id < b.doc_id),
+        ON a.w = b.w AND a.doc_id < b.doc_id
+       AND 10 * LEAST(a.n, b.n) >= 7 * GREATEST(a.n, b.n)),
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_common
       FROM cand c
@@ -863,10 +864,19 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: token df is one rollup; the per-doc rarity rank is a
     window partitioned by doc_id; the candidate join runs prefix x
-    prefix (each ~0.3n of the rarest tokens); verification joins the
-    distinct token sets of candidate pairs only.  All-integer Jaccard
-    in basis points; ceil(0.7n) computed as ``(7n + 9) div 10`` in
-    both engines.
+    prefix (each ~0.3n of the rarest tokens) with the in-join length
+    filter ``10*min(na,nb) >= 7*max(na,nb)`` (J <= min/max, so it
+    cannot drop a true pair); verification joins the distinct token
+    sets of candidate pairs only.  All-integer Jaccard in basis
+    points; ceil(0.7n) computed as ``(7n + 9) div 10`` in both
+    engines.  Candidate volume is output-bound, not corpus-bound: on
+    a corpus where a large fraction of ALL pairs are true near-dups
+    (this fixture plants dense template cliques — ~40% of pairs
+    exceed the threshold), ANY exact method must verify ~that many
+    pairs; the prefix+length filters bound the overhead to ~2x the
+    true-pair count here.  The heavy-token escape valve at real
+    scale is the same df cap discipline as ``minhash_lsh_eval`` —
+    at the cost of exactness, which is the point of this operator.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -882,13 +892,20 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rk") <= F.expr("n - (7 * n + 9) div 10 + 1")
-    ).select("doc_id", "w")
+    ).select("doc_id", "w", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter (exactness-preserving): J(A,B) <= min(n)/max(n),
+    # so J >= 0.7 requires 10*min(na,nb) >= 7*max(na,nb) — prunes
+    # cross-size candidates inside the join, before the distinct
     cand = (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(10) * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(7) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
