@@ -138,3 +138,73 @@ def test_zorder_interleave_is_a_bijection(spark, pairs):
             x |= ((r["z"] >> (2 * b)) & 1) << b
             y |= ((r["z"] >> (2 * b + 1)) & 1) << b
         assert (x, y) == (r["x"], r["y"])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 32767),
+            st.integers(0, 32767),
+            st.integers(0, 32767),
+            st.integers(0, 32767),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_slow
+def test_zorder_interleave_bijection_four_columns(spark, quads):
+    """At 4 columns the per-column budget drops to 15 bits (63 // 4);
+    de-interleaving must still recover every column exactly — the
+    r4 guard trades resolution, never correctness."""
+    from pyspark.sql import functions as F
+
+    from awsbatch_mapreduce_spark.operators.compact import interleave_bits
+
+    df = spark.createDataFrame(quads, "a long, b long, c long, d long")
+    rows = df.withColumn(
+        "z",
+        interleave_bits(
+            [F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=15
+        ),
+    ).collect()
+    for r in rows:
+        vals = [0, 0, 0, 0]
+        for b in range(15):
+            for ci in range(4):
+                vals[ci] |= ((r["z"] >> (b * 4 + ci)) & 1) << b
+        assert tuple(vals) == (r["a"], r["b"], r["c"], r["d"])
+        assert r["z"] >= 0  # never the sign bit
+
+
+@given(st.integers(-10_000, 10_000), st.integers(1, 20))
+@_slow
+def test_ewma_constant_stream_identity(spark, cents, n_events):
+    """EWMA of a constant-valued stream must equal the constant times
+    the sum of applied weights: with k = min(n, 8) events present, the
+    weighted sum is vc * (2^8 - 2^(8-k)) — an exact integer identity
+    that pins both the weight ladder and the missing-history coalesce."""
+    import datetime
+    import os
+    import tempfile
+
+    from awsbatch_mapreduce_spark.plans import QUERIES
+    from awsbatch_mapreduce_spark.plans.wave5 import _EWMA_LAGS
+
+    t0 = datetime.datetime(2024, 1, 1)
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            (i, t0 + datetime.timedelta(minutes=i),
+             7, "click", cents / 100.0, "{}")
+            for i in range(n_events)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["events_ewma_halflife"].builder(spark, d).collect()
+    assert len(out) == 1
+    k = min(n_events, _EWMA_LAGS)
+    want = cents * ((1 << _EWMA_LAGS) - (1 << (_EWMA_LAGS - k)))
+    assert out[0].ewma_fp == want and out[0].n_events == n_events
