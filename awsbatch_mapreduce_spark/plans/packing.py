@@ -108,12 +108,16 @@ def compression_ratios(docs: DataFrame) -> DataFrame:
             raw = pdf["text"].str.encode("utf-8")
             n_bytes = raw.str.len().astype("int64")
             n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            # empty documents: zlib still emits a header (~8 bytes), so a
+            # raw n_comp / n_bytes would be inf — clamp the denominator.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": n_bytes,
                     "n_compressed": n_comp,
-                    "ratio": (n_comp / n_bytes).astype("float64"),
+                    "ratio": (n_comp / n_bytes.clip(lower=1)).astype(
+                        "float64"
+                    ),
                 }
             )
 
@@ -136,8 +140,10 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines — the utf-8 byte length (``octet_length(encode())``,
     since DuckDB's octet_length takes BLOB) — plus
     sanity flags the Spark side computes from its own zlib output
-    (``1 <= n_compressed <= n_bytes + 64``, ``0 < ratio < 2``) and the
-    oracle emits as literal 1.  The exact per-document zlib values stay
+    (``1 <= n_compressed <= n_bytes + 64``; ``0 < ratio < 2`` except
+    for empty documents, where the zlib header makes any ratio bound
+    meaningless and the flag passes unconditionally) and the oracle
+    emits as literal 1.  The exact per-document zlib values stay
     pinned in ``tests/test_packing.py`` against direct zlib calls.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -149,7 +155,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_compressed >= 1 AND n_compressed <= n_bytes + 64"
             " AS BIGINT)"
         ).alias("comp_ok"),
-        F.expr("CAST(ratio > 0.0 AND ratio < 2.0 AS BIGINT)").alias(
-            "ratio_ok"
-        ),
+        F.expr(
+            "CAST(n_bytes = 0 OR (ratio > 0.0 AND ratio < 2.0) AS BIGINT)"
+        ).alias("ratio_ok"),
     )

@@ -77,8 +77,11 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     QA-harness shape: exact row/distinct counts (integer, hash-exact in
     both engines) plus within-tolerance flags — Spark compares its OWN
     estimate against the exact value computed in the same query (HLL at
-    rsd=0.05 gets a 3-sigma/15% band, percentile_approx at accuracy 10k
-    gets 5% of magnitude), while DuckDB emits the exact values and
+    rsd=0.05 gets a 3-sigma/15% band; percentile_approx at accuracy 10k
+    is compared element-to-element against the max-accuracy discrete
+    percentile, with a band of 5% of magnitude plus the 45-55 / 93-97
+    bracket gap so sparse value regions near the quantile cannot flip
+    the flag), while DuckDB emits the exact values and
     literal 1 flags.  The exact twins exist only as the comparison
     baseline; a 100 TB deployment runs the sketch columns alone.
     Tighter error-bound pins stay in ``tests/test_udtf_sketch.py``.
@@ -90,8 +93,25 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
         F.percentile_approx("value", 0.95, 10_000).alias("approx_p95"),
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
-        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        # Discrete (element-valued) baselines: percentile_approx always
+        # returns an actual data element, so comparing it against an
+        # INTERPOLATED exact percentile can exceed any fixed band on
+        # sparse/bimodal data.  At accuracy 1e6 the rank error is
+        # < n/1e6 rows — exact order statistics at these fixture sizes.
+        # The 45/55 (93/97) brackets bound the value gap a rank-window
+        # around the quantile can introduce.
+        F.percentile_approx(
+            "value", F.array(F.lit(0.45), F.lit(0.5), F.lit(0.55)), 1_000_000
+        ).alias("disc50"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.93), F.lit(0.95), F.lit(0.97)), 1_000_000
+        ).alias("disc95"),
+    ).select(
+        "*",
+        F.col("disc50")[1].alias("exact_p50"),
+        F.col("disc95")[1].alias("exact_p95"),
+        (F.col("disc50")[2] - F.col("disc50")[0]).alias("gap50"),
+        (F.col("disc95")[2] - F.col("disc95")[0]).alias("gap95"),
     )
 
     def within(approx: str, exact: str, tol: str):
@@ -107,9 +127,13 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_users", "exact_users", "greatest(3.0, 0.15 * exact_users)"
         ).alias("users_ok"),
         within(
-            "approx_p50", "exact_p50", "0.05 * greatest(abs(exact_p50), 1.0)"
+            "approx_p50",
+            "exact_p50",
+            "0.05 * greatest(abs(exact_p50), 1.0) + gap50",
         ).alias("p50_ok"),
         within(
-            "approx_p95", "exact_p95", "0.05 * greatest(abs(exact_p95), 1.0)"
+            "approx_p95",
+            "exact_p95",
+            "0.05 * greatest(abs(exact_p95), 1.0) + gap95",
         ).alias("p95_ok"),
     )

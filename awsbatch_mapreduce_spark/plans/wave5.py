@@ -36,12 +36,43 @@ _ZORDER_ORACLE = """
 """
 
 
+def _scratch_tag(sf_dir: str) -> str:
+    """Scratch-path tag for a fixture dir: basename plus a short hash
+    of the ABSOLUTE path, so two fixture roots that share a basename
+    (e.g. ``/a/sf0.01`` vs ``/b/sf0.01``) can never collide on one
+    mutable /tmp dir (ADVICE r4)."""
+    import hashlib
+
+    abs_dir = os.path.abspath(sf_dir.rstrip("/") or "/")
+    base = (os.path.basename(abs_dir) or "sf").replace(".", "_")
+    digest = hashlib.md5(abs_dir.encode("utf-8")).hexdigest()[:8]
+    return f"{base}_{digest}"
+
+
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-fixture scratch path (overwritten on every
+    run — idempotent, never under the fixture dir itself).  Sweeps
+    stale sibling generations under the same prefix so repeated rounds
+    leave exactly one scratch generation per fixture (VERDICT r4 #4).
+    The driver runs queries serially, so sweeping other tags is safe;
+    the live tag itself is only ever replaced atomically downstream.
+    """
+    import shutil
+
+    root = tempfile.gettempdir()
+    name = f"{prefix}_{_scratch_tag(sf_dir)}"
+    try:
+        for entry in os.listdir(root):
+            if entry.startswith(f"{prefix}_") and entry != name:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    except OSError:
+        pass
+    return os.path.join(root, name)
+
+
 def zorder_scratch_dir(sf_dir: str) -> str:
-    """Deterministic per-fixture scratch path for the z-ordered copy
-    (overwritten on every run — idempotent, never under the fixture
-    dir itself)."""
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"awsbatch_zorder_{tag}")
+    """Scratch path for the z-ordered lineitem copy."""
+    return _scratch_dir("awsbatch_zorder", sf_dir)
 
 
 @query("zorder_pruned_scan", oracle=_ZORDER_ORACLE, wave=5)
@@ -117,8 +148,8 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     call.  The oracle joins the raw tables: bucketing is pure layout,
     the answer must hash-match exactly.
     """
-    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"awsbatch_bucketed_{tag}")
+    tag = _scratch_tag(sf_dir)
+    base = _scratch_dir("awsbatch_bucketed", sf_dir)
     specs = {
         f"bkt_orders_{tag}": (
             load_table(spark, sf_dir, "orders").select(
@@ -133,6 +164,11 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         ),
     }
+    for t in spark.catalog.listTables():
+        if t.name.startswith(
+            ("bkt_orders_", "bkt_lineitem_")
+        ) and not t.name.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     for name, (df, key) in specs.items():
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (

@@ -170,3 +170,41 @@ def test_no_records_falls_back_to_r01_snapshot(tmp_path):
     from awsbatch_mapreduce_spark.plans.registry import DRIVER_GREEN_R01
 
     assert _driver_proven(root=str(tmp_path)) == DRIVER_GREEN_R01
+
+
+def test_proven_class_keeps_registration_order():
+    """VERDICT r4 #7: with the full live proven set, the already-proven
+    class at the back of the order must be exactly the registry's
+    registration order (sorted() stability) — regrades of green queries
+    happen in a predictable, reviewable sequence."""
+    order = grading_order(QUERIES)
+    proven_tail = [n for n in order if n in PROVEN]
+    assert proven_tail == [n for n in QUERIES if n in PROVEN]
+
+
+def test_wave6_addition_sorts_after_all_unproven_lower_waves():
+    """VERDICT r4 #7: a hypothetical wave-6 addition must sort after
+    every unproven lower-wave query — the property that keeps each
+    round's new queries from displacing older ungraded ones out of the
+    capped window."""
+    from awsbatch_mapreduce_spark.plans.registry import QuerySpec
+
+    hypothetical = dict(QUERIES)
+    hypothetical["zz_hypothetical_w6"] = QuerySpec(
+        name="zz_hypothetical_w6",
+        builder=lambda spark, sf_dir: None,
+        oracle="SELECT 1 AS one",
+        wave=6,
+    )
+    # exercise both the live proven set and a synthetic sparse one
+    for proven in (PROVEN, frozenset(list(QUERIES)[::2])):
+        order = grading_order(hypothetical, proven=proven)
+        pos = order.index("zz_hypothetical_w6")
+        unproven_lower = [
+            n
+            for n in QUERIES
+            if n not in proven and QUERIES[n].wave < 6
+        ]
+        assert all(order.index(n) < pos for n in unproven_lower)
+        # but it still precedes the entire proven class
+        assert all(order.index(n) > pos for n in order if n in proven)
