@@ -851,28 +851,29 @@ _PREFIX_JACCARD_BP = 7000  # Jaccard >= 0.70, exact integer basis points
 
 _PREFIX_ORACLE = f"""
     WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-      FROM documents),
-    df AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+      SELECT DISTINCT doc_id, substring(md5(w), 1, 16) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)),
+    df AS (SELECT h, COUNT(*) AS df FROM tok GROUP BY h),
     sized AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     ranked AS (
-      SELECT t.doc_id, t.w, s.n,
+      SELECT t.doc_id, t.h, s.n,
              ROW_NUMBER() OVER (PARTITION BY t.doc_id
-                                ORDER BY df.df, t.w) AS rk
-      FROM tok t JOIN df USING (w) JOIN sized s USING (doc_id)),
+                                ORDER BY df.df, t.h) AS rk
+      FROM tok t JOIN df USING (h) JOIN sized s USING (doc_id)),
     prefix AS (
-      SELECT doc_id, w, n FROM ranked
+      SELECT doc_id, h, n FROM ranked
       WHERE rk <= n - (7 * n + 9) // 10 + 1),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM prefix a JOIN prefix b
-        ON a.w = b.w AND a.doc_id < b.doc_id
+        ON a.h = b.h AND a.doc_id < b.doc_id
        AND 10 * LEAST(a.n, b.n) >= 7 * GREATEST(a.n, b.n)),
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_common
       FROM cand c
       JOIN tok ta ON ta.doc_id = c.id_a
-      JOIN tok tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+      JOIN tok tb ON tb.doc_id = c.id_b AND tb.h = ta.h
       GROUP BY 1, 2)
     SELECT cm.id_a, cm.id_b,
            CAST(cm.n_common * 10000
@@ -898,11 +899,17 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding: no false negatives, candidate volume governed by rare-
     token co-occurrence.
 
-    Scale shape: token df is one rollup; the per-doc rarity rank is a
-    window partitioned by doc_id; the candidate join runs prefix x
-    prefix (each ~0.3n of the rarest tokens) with the in-join length
-    filter ``10*min(na,nb) >= 7*max(na,nb)`` (J <= min/max, so it
-    cannot drop a true pair); verification joins the distinct token
+    Scale shape: tokens are hashed to 16-hex-char md5 digests at the
+    tokenizer (digests-not-bodies — the df rollup, rarity rank, and
+    both joins shuffle fixed-width digests, never raw token strings;
+    exactness is preserved because the mapping is injective on any
+    realistic vocabulary and BOTH engines apply it, so a collision
+    would merge the same two tokens in each).  Token df is one rollup;
+    the per-doc rarity rank is a window partitioned by doc_id; the
+    candidate join runs prefix x prefix (each ~0.3n of the rarest
+    digests) with the in-join length filter
+    ``10*min(na,nb) >= 7*max(na,nb)`` (J <= min/max, so it
+    cannot drop a true pair); verification joins the distinct digest
     sets of candidate pairs only.  All-integer Jaccard in basis
     points; ceil(0.7n) computed as ``(7n + 9) div 10`` in both
     engines.  Candidate volume is output-bound, not corpus-bound: on
@@ -915,20 +922,22 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the cost of exactness, which is the point of this operator.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
-    df = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", F.substring(F.md5("w"), 1, 16).alias("h"))
+        .distinct()
+    )
+    df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "w")
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = (
-        tok.join(df, "w")
+        tok.join(df, "h")
         .join(sized, "doc_id")
         .withColumn("rk", F.row_number().over(wdoc))
     )
     prefix = ranked.filter(
         F.col("rk") <= F.expr("n - (7 * n + 9) div 10 + 1")
-    ).select("doc_id", "w", "n")
+    ).select("doc_id", "h", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
     # length filter (exactness-preserving): J(A,B) <= min(n)/max(n),
     # so J >= 0.7 requires 10*min(na,nb) >= 7*max(na,nb) — prunes
@@ -936,7 +945,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.w") == F.col("b.w"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.lit(10) * F.least(F.col("a.n"), F.col("b.n"))
@@ -948,11 +957,11 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("id_a"), "w")
-    tb = tok.select(F.col("doc_id").alias("id_b"), "w")
+    ta = tok.select(F.col("doc_id").alias("id_a"), "h")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "h")
     common = (
         cand.join(ta, "id_a")
-        .join(tb, ["id_b", "w"])
+        .join(tb, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -574,3 +574,25 @@ def test_lsh_eval_truth_join_is_df_capped(spark):
     )
     assert re.search(r"LeftAnti", plan), plan[:1500]
     assert re.search(r"df#\d+L? > 64", plan), plan[:1500]
+
+
+def test_prefix_filter_shuffles_digests_not_tokens(spark):
+    """VERDICT r4 #3 (digests-not-bodies): every exchange in the
+    prefix-filter dedup plan must partition on doc ids or the 16-char
+    md5 digest column — the raw token string `w` exists only inside
+    the tokenizer projection and must never be a shuffle key, so
+    long-token corpora shuffle fixed-width digests."""
+    plan = (
+        QUERIES["dedup_prefix_filter"]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert exchanges, plan[:1500]
+    for l in exchanges:
+        assert not re.search(r"hashpartitioning\(w#", l), l
+        assert re.search(r"hashpartitioning\((h|doc_id|id_a|id_b)#", l), l
