@@ -52,6 +52,18 @@ HEADLINE = [
     "corpus_curation_funnel",
 ]
 
+# Extended set (VERDICT r4 #6): the heavy wave-4/5 queries that had no
+# timing trend.  Reported under separate "extended"/"extended_total_sec"
+# keys so the frozen 18-query headline stays byte-comparable across
+# rounds; same warm-up + reps discipline.
+EXTENDED = [
+    "dedup_prefix_filter",
+    "minhash_lsh_eval",
+    "pagerank_event_graph",
+    "ann_pq_adc_topk",
+    "zorder_pruned_scan",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,25 +75,33 @@ def main() -> None:
     # driver tails (VERDICT r2 #6 / r3 #4).
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Untimed warm-up pass: JVM/codegen JIT + parquet footer caching.
-    # The timed pass then measures steady-state engine throughput, which
-    # is the number that scales to a long-lived cluster.
-    for name in HEADLINE:
-        QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(_REPS):
-        for name in HEADLINE:
-            spec = QUERIES[name]
-            t0 = time.perf_counter()
-            spec.builder(spark, sf_dir).write.format("noop").mode(
+    # Untimed warm-up pass per group: JVM/codegen JIT + parquet footer
+    # caching.  The timed passes then measure steady-state engine
+    # throughput, which is the number that scales to a long-lived
+    # cluster.
+    # The headline phase runs to completion BEFORE any extended query
+    # executes: the heavy extended jobs disturb the JVM (GC pressure,
+    # page cache) enough to inflate headline minima, which must stay
+    # comparable with prior rounds' headline-only runs.
+    samples: dict[str, list[float]] = {
+        name: [] for name in HEADLINE + EXTENDED
+    }
+    for group in (HEADLINE, EXTENDED):
+        for name in group:  # untimed warm-up pass
+            QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            samples[name].append(round(time.perf_counter() - t0, 3))
+        for _ in range(_REPS):
+            for name in group:
+                spec = QUERIES[name]
+                t0 = time.perf_counter()
+                spec.builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples[name].append(round(time.perf_counter() - t0, 3))
 
-    timings = {name: min(s) for name, s in samples.items()}
+    timings = {name: min(samples[name]) for name in HEADLINE}
+    extended = {name: min(samples[name]) for name in EXTENDED}
     # per-query rep spread (max - min): the noise band a reader needs
     # before calling a cross-round delta a regression
     spread = {name: round(max(s) - min(s), 3) for name, s in samples.items()}
@@ -93,6 +113,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
+                "extended_total_sec": round(sum(extended.values()), 3),
                 "spread": spread,
                 "reps": _REPS,
                 "sf": sf,
