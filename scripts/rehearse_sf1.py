@@ -1,0 +1,180 @@
+"""sf1.0 scale rehearsal for the heavy dedup/ANN ladders (VERDICT r4 #2).
+
+No sf1 fixture ships, so this builds a 10x tiling of sf0.1 under /tmp:
+
+- ``documents``: 10 replicas; replica k suffixes every token with
+  ``_r{k}`` (k>0), a per-replica bijective vocabulary rename.  Within-
+  replica Jaccard/shingle structure is EXACTLY sf0.1's; cross-replica
+  token sets are disjoint, so the true near-dup pair set is exactly
+  10x sf0.1's.  Any super-linear growth in candidates, shuffles, or
+  wall time is therefore the algorithm's, not the data's.
+- ``embeddings``: 10 replicas; replica k rolls vector components by k
+  and flips the sign of every second component on odd k — orthogonal
+  transforms, so within-replica cosine structure is exactly sf0.1's.
+
+Run: ``python scripts/rehearse_sf1.py`` (~15-25 min, dominated by the
+exact prefix-filter join at sf1).  Prints one JSON line per
+(query, scale) with wall seconds, output rows, and shuffle bytes
+(delta of total shuffle-write across stages, from the local REST API),
+then a summary with the sf0.1 -> sf1 scaling exponent
+``log10(t_sf1 / t_sf01)`` (1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from awsbatch_mapreduce_spark.plans import QUERIES
+from awsbatch_mapreduce_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+TILED = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "awsbatch_sf1_tiled"
+)
+REPLICAS = 10
+
+REHEARSAL = [
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter",
+    "containment_near_dup",
+    "minhash_lsh_eval",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "corpus_curation_funnel",
+]
+
+
+def build_tiled(spark) -> None:
+    if os.path.exists(os.path.join(TILED, "_SUCCESS_TILED")):
+        return
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    parts = []
+    for k in range(REPLICAS):
+        d = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 10_000_000)
+        )
+        if k > 0:
+            # bijective per-replica vocabulary rename: suffix every
+            # whitespace token (split/transform/join stays JVM-side)
+            d = d.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(w, F.lit(f"_r{k}")),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(d)
+    tiled_docs = parts[0]
+    for p in parts[1:]:
+        tiled_docs = tiled_docs.unionAll(p)
+    tiled_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{TILED}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for k in range(REPLICAS):
+        e = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(k * 10_000_000)
+        )
+        if k > 0:
+            roll = k % dim
+            e = e.withColumn(
+                "embedding",
+                F.transform(
+                    F.concat(
+                        F.slice("embedding", roll + 1, dim - roll),
+                        F.slice("embedding", 1, roll),
+                    ),
+                    lambda v, i: F.when(
+                        F.lit(k % 2 == 1) & (i % 2 == 1), -v
+                    ).otherwise(v),
+                ),
+            )
+        parts.append(e)
+    tiled_emb = parts[0]
+    for p in parts[1:]:
+        tiled_emb = tiled_emb.unionAll(p)
+    tiled_emb.repartition(8).write.mode("overwrite").parquet(
+        f"{TILED}/embeddings.parquet"
+    )
+    with open(os.path.join(TILED, "_SUCCESS_TILED"), "w") as f:
+        f.write("ok")
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across all completed stages (REST)."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return -1
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def main() -> None:
+    spark = get_spark(app_name="awsbatch-sf1-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_tiled(spark)
+
+    results: dict[str, dict[str, dict]] = {}
+    for name in REHEARSAL:
+        results[name] = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", TILED)):
+            sw0 = shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            df = QUERIES[name].builder(spark, sf_dir)
+            n_rows = df.count()
+            dt = round(time.perf_counter() - t0, 1)
+            sw1 = shuffle_write_bytes(spark)
+            rec = {
+                "sec": dt,
+                "rows": n_rows,
+                "shuffle_mb": (
+                    round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 else None
+                ),
+            }
+            results[name][label] = rec
+            print(json.dumps({"query": name, "scale": label, **rec}), flush=True)
+
+    import math
+
+    summary = {}
+    for name, r in results.items():
+        e_t = math.log10(max(r["sf1"]["sec"], 0.1) / max(r["sf0.1"]["sec"], 0.1))
+        e_rows = (
+            math.log10(max(r["sf1"]["rows"], 1) / max(r["sf0.1"]["rows"], 1))
+            if r["sf0.1"]["rows"]
+            else None
+        )
+        summary[name] = {
+            "time_exponent": round(e_t, 2),
+            "rows_exponent": None if e_rows is None else round(e_rows, 2),
+        }
+    print(json.dumps({"summary": summary}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
