@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.functions.rounding import dround
 
+from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
@@ -154,9 +155,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
+    # Every join below runs data-scaled x data-scaled (bands, candidate
+    # set, shingle frame): never_broadcast pins them to sort-merge so an
+    # AQE size misestimate can't upgrade one to a driver-built broadcast
+    # — the exact OOM the sf1 rehearsal hit (SCALING.md round 6).
     bands = sig.select("doc_id", "n", F.explode(band_keys).alias("bk"))
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = never_broadcast(bands.alias("b"))
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -167,8 +172,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sha = sh.alias("sa")
-    shb = sh.alias("sb")
+    sha = never_broadcast(sh.alias("sa"))
+    shb = never_broadcast(sh.alias("sb"))
     inter = (
         cand.join(sha, F.col("sa.doc_id") == F.col("id_a"))
         .join(
@@ -216,7 +221,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = never_broadcast(sh.alias("b"))
     inter = (
         a.join(
             b,
@@ -228,8 +233,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    za = never_broadcast(
+        sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    )
+    zb = never_broadcast(
+        sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    )
     jac = F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.join(za, "id_a")
@@ -639,10 +648,13 @@ def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (a libm ``ln`` would differ by ulps and flip near-ties).
 
     Shape: token explode -> (doc, word) count -> word-keyed df join ->
-    per-doc top-1 window.  The df frame is vocabulary-sized (small) and
-    broadcasts; the only big shuffles are the two token-keyed
-    aggregates.  The characteristic-term extraction behind keyword
-    indexing and topic labeling at corpus scale.
+    per-doc top-1 window.  The df frame is vocabulary-sized — which
+    grows with the corpus (Heaps' law: ~100M+ distinct tokens at
+    100 TB), so it is pinned to the shuffle path rather than broadcast
+    — a word-keyed exchange of (word, df) pairs is linear and spills;
+    a vocabulary broadcast is a driver OOM at real scale.  The
+    characteristic-term extraction behind keyword indexing and topic
+    labeling at corpus scale.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
@@ -652,7 +664,7 @@ def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "word").select(
+    scored = tf.join(never_broadcast(df), "word").select(
         "doc_id",
         "word",
         (F.col("tf") * F.floor(F.lit(n_docs * 1000) / F.col("df")).cast("bigint")).alias(

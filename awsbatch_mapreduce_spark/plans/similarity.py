@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from awsbatch_mapreduce_spark.functions.rounding import dround
 from pyspark.sql.window import Window
 
+from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
@@ -179,14 +180,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(_sign_band_key(0, 0, 8), _sign_band_key(1, 8, 16))
         ).alias("bk"),
     )
-    a, b = keys.alias("a"), keys.alias("b")
+    # band frame, candidate set, and vector frames all scale with the
+    # corpus — pin to sort-merge so no AQE size misestimate can turn one
+    # into a driver broadcast (the sf1-rehearsal OOM mode, SCALING.md).
+    a, b = keys.alias("a"), never_broadcast(keys.alias("b"))
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    va = never_broadcast(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    )
+    vb = never_broadcast(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    )
     cosine = dround(
         _dot(F.col("ea"), F.col("eb")) / (_l2_norm(F.col("ea")) * _l2_norm(F.col("eb"))),
         4,
@@ -292,8 +300,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probe.join(assign, "cell").filter(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", F.col("vec_id").alias("neighbor_id"))
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    # broadcast only the BOUNDED query batch (vec_id < 8), never the full
+    # vector frame: broadcasting unfiltered `emb` here would ship the
+    # whole corpus to every executor and OOM the driver at scale, even
+    # though the join output is identical.  The corpus-side neighbor
+    # lookup is pinned to sort-merge for the same reason.
+    qv = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    nv = never_broadcast(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    )
     cosine = dround(
         _dot(F.col("qv"), F.col("nv")) / (_l2_norm(F.col("qv")) * _l2_norm(F.col("nv"))),
         4,
@@ -478,8 +495,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    vb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    # same hygiene as ann_ivf_topk: broadcast the bounded query batch
+    # only; the corpus-side vector lookup stays on the shuffle path.
+    va = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    vb = never_broadcast(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    )
     cosine = dround(
         _dot(F.col("qv"), F.col("nv")) / (_l2_norm(F.col("qv")) * _l2_norm(F.col("nv"))),
         4,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.functions.rounding import dround, dround_sql
+from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
@@ -538,7 +539,10 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tg"),
     )
     nsh = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    x, y = b.alias("x"), b.alias("y")
+    # block/trigram/size frames are all O(corpus): pin every join to
+    # sort-merge so no runtime size estimate can broadcast one (the
+    # sf1-rehearsal OOM mode, SCALING.md round 6).
+    x, y = b.alias("x"), never_broadcast(b.alias("y"))
     pairs = x.join(
         y,
         (F.col("x.block") == F.col("y.block"))
@@ -546,8 +550,12 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
     )
-    ta = tri.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a"))
-    tb = tri.select(F.col("doc_id").alias("tb_doc"), F.col("tg").alias("tg_b"))
+    ta = never_broadcast(
+        tri.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tg_a"))
+    )
+    tb = never_broadcast(
+        tri.select(F.col("doc_id").alias("tb_doc"), F.col("tg").alias("tg_b"))
+    )
     shared = (
         pairs.join(ta, "doc_a")
         .join(
@@ -558,8 +566,12 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    na = nsh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = nsh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    na = never_broadcast(
+        nsh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    )
+    nb = never_broadcast(
+        nsh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    )
     scored = (
         shared.join(na, "doc_a")
         .join(nb, "doc_b")

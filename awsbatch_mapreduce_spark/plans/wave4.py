@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
@@ -100,8 +101,10 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nd"))
     )
     dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    # span-frequency frame is digest-scaled (O(corpus)): keep the join
+    # on the shuffle path (broadcast hygiene — plans/hints.py)
     return (
-        spans.join(doc_freq, "sh")
+        spans.join(never_broadcast(doc_freq), "sh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -261,8 +264,10 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dg")
         .agg(F.count(F.lit(1)).alias("nd"))
     )
+    # chunk-frequency frame is digest-scaled (O(corpus)): keep the join
+    # on the shuffle path (broadcast hygiene — plans/hints.py)
     return (
-        cd.join(doc_freq, "dg")
+        cd.join(never_broadcast(doc_freq), "dg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -381,8 +386,10 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > _LSH_EVAL_MAX_DF)
         .select("shingle")
     )
-    # anti-join against the (small, aggregated) heavy set — broadcastable
-    sh = sh_all.join(heavy, "shingle", "left_anti").persist()
+    # anti-join against the heavy set: heavy-hitter shingles (df > cap)
+    # grow with the corpus under a fixed cap, so the membership test
+    # stays on the shuffle path (broadcast hygiene — plans/hints.py)
+    sh = sh_all.join(never_broadcast(heavy), "shingle", "left_anti").persist()
     aggs = [
         F.min(
             F.substring(
@@ -402,8 +409,12 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
+    # bands/shingles/sizes are O(corpus): pin all candidate/truth/size
+    # joins to sort-merge (broadcast hygiene — see plans/hints.py); the
+    # taus and n_cand crossJoins below stay broadcast, they are bounded
+    # (4-row literal / 1-row aggregate) by construction.
     bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = bands.alias("a"), never_broadcast(bands.alias("b"))
     cand = (
         a.join(
             b,
@@ -415,7 +426,7 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    sa, sb = sh.alias("sa"), never_broadcast(sh.alias("sb"))
     pairs = (
         sa.join(
             sb,
@@ -431,14 +442,18 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sig.select("doc_id", "n")
     pj = (
         pairs.join(
-            sizes.select(
-                F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+            never_broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+                )
             ),
             "id_a",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+            never_broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+                )
             ),
             "id_b",
         )
@@ -451,7 +466,9 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pjc = pj.join(
-        cand.withColumn("ic", F.lit(1)), ["id_a", "id_b"], "left"
+        never_broadcast(cand.withColumn("ic", F.lit(1))),
+        ["id_a", "id_b"],
+        "left",
     ).withColumn("is_cand", F.col("ic").isNotNull())
     ncand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     taus = spark.range(1).select(
@@ -910,8 +927,10 @@ def range_join_banded_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cb"),
         )
     )
+    # big-big by design: both event streams scale with data, so the
+    # banded equi-join must never be broadcast (plans/hints.py)
     matched = (
-        clicks.join(purch, "cb")
+        clicks.join(never_broadcast(purch), "cb")
         .filter(
             (F.col("p_ts") > F.col("c_ts"))
             & (

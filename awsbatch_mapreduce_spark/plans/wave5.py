@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.operators.compact import compact_parquet
+from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
@@ -49,22 +50,38 @@ def _scratch_tag(sf_dir: str) -> str:
     return f"{base}_{digest}"
 
 
+_SCRATCH_SWEEP_AGE_SEC = 3600
+
+
 def _scratch_dir(prefix: str, sf_dir: str) -> str:
     """Deterministic per-fixture scratch path (overwritten on every
     run — idempotent, never under the fixture dir itself).  Sweeps
     stale sibling generations under the same prefix so repeated rounds
-    leave exactly one scratch generation per fixture (VERDICT r4 #4).
-    The driver runs queries serially, so sweeping other tags is safe;
-    the live tag itself is only ever replaced atomically downstream.
+    leave at most a handful of scratch generations per fixture
+    (VERDICT r4 #4).  The sweep is AGE-GATED (ADVICE r5): a sibling tag
+    younger than an hour may belong to a concurrently running
+    bench/rehearsal/driver process on a different fixture — "the driver
+    runs serially" only holds within one process — so only generations
+    old enough to be provably abandoned are removed.  The live tag
+    itself is only ever replaced atomically downstream.
     """
     import shutil
+    import time as _time
 
     root = tempfile.gettempdir()
     name = f"{prefix}_{_scratch_tag(sf_dir)}"
+    now = _time.time()
     try:
         for entry in os.listdir(root):
-            if entry.startswith(f"{prefix}_") and entry != name:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            if not entry.startswith(f"{prefix}_") or entry == name:
+                continue
+            path = os.path.join(root, entry)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age > _SCRATCH_SWEEP_AGE_SEC:
+                shutil.rmtree(path, ignore_errors=True)
     except OSError:
         pass
     return os.path.join(root, name)
@@ -516,8 +533,10 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = withmid.filter(F.col("doc_id") > F.col("mid")).select(
         "doc_id", F.md5("text").alias("fp")
     )
+    # the seen-set is O(corpus): digest equi-join stays on the shuffle
+    # path (broadcast hygiene — plans/hints.py)
     return new.join(
-        seen.withColumn("hit", F.lit(1)), "fp", "left"
+        never_broadcast(seen.withColumn("hit", F.lit(1))), "fp", "left"
     ).select(
         "doc_id",
         F.when(F.col("hit").isNull(), F.lit(1))
@@ -886,6 +905,103 @@ _PREFIX_ORACLE = f"""
 """
 
 
+def _prefix_filter_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    obs_cand=None,
+    obs_common=None,
+) -> DataFrame:
+    """Shared plan body for :func:`dedup_prefix_filter` and its observed
+    bench twin.  ``obs_cand``/``obs_common`` are optional
+    ``pyspark.sql.Observation``s attached to the candidate-pair and
+    verify-output frames (CollectMetrics nodes — a running count folded
+    into the existing stages, no extra job), so the bench can report
+    measured candidate volume instead of arithmetic from fixture row
+    counts (VERDICT r5 #4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .select("doc_id", F.substring(F.md5("w"), 1, 16).alias("h"))
+        .distinct()
+    )
+    df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    # df (vocabulary-scaled) and sized (doc-scaled) both grow with the
+    # corpus, as do the prefix/token frames below: pin every join to
+    # sort-merge (broadcast hygiene — plans/hints.py).
+    ranked = (
+        tok.join(never_broadcast(df), "h")
+        .join(never_broadcast(sized), "doc_id")
+        .withColumn("rk", F.row_number().over(wdoc))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.expr("n - (7 * n + 9) div 10 + 1")
+    ).select("doc_id", "h", "n")
+    a, b = prefix.alias("a"), never_broadcast(prefix.alias("b"))
+    # length filter (exactness-preserving): J(A,B) <= min(n)/max(n),
+    # so J >= 0.7 requires 10*min(na,nb) >= 7*max(na,nb) — prunes
+    # cross-size candidates inside the join, before the distinct
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.lit(10) * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(7) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    if obs_cand is not None:
+        cand = cand.observe(obs_cand, F.count(F.lit(1)).alias("n"))
+    ta = never_broadcast(tok.select(F.col("doc_id").alias("id_a"), "h"))
+    tb = never_broadcast(tok.select(F.col("doc_id").alias("id_b"), "h"))
+    common = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if obs_common is not None:
+        common = common.observe(obs_common, F.count(F.lit(1)).alias("n"))
+    sa = never_broadcast(
+        sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    )
+    sb = never_broadcast(
+        sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(n_common * 10000 div (na + nb - n_common) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= _PREFIX_JACCARD_BP)
+    )
+
+
+def dedup_prefix_filter_observed(spark: SparkSession, sf_dir: str):
+    """Bench instrumentation: the same plan as ``dedup_prefix_filter``
+    with Observations on the candidate and verify frames.  Returns
+    ``(df, obs_cand, obs_common)``; read ``obs.get["n"]`` after an
+    action to get the measured candidate-pair / verify-output counts."""
+    from pyspark.sql import Observation
+
+    obs_cand = Observation("pf_candidates")
+    obs_common = Observation("pf_verify")
+    plan = _prefix_filter_plan(spark, sf_dir, obs_cand, obs_common)
+    return plan, obs_cand, obs_common
+
+
 @query("dedup_prefix_filter", oracle=_PREFIX_ORACLE, wave=5)
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join via prefix filtering (PPJoin-style): find
@@ -921,64 +1037,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale is the same df cap discipline as ``minhash_lsh_eval`` —
     at the cost of exactness, which is the point of this operator.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .select("doc_id", F.substring(F.md5("w"), 1, 16).alias("h"))
-        .distinct()
-    )
-    df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
-    ranked = (
-        tok.join(df, "h")
-        .join(sized, "doc_id")
-        .withColumn("rk", F.row_number().over(wdoc))
-    )
-    prefix = ranked.filter(
-        F.col("rk") <= F.expr("n - (7 * n + 9) div 10 + 1")
-    ).select("doc_id", "h", "n")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # length filter (exactness-preserving): J(A,B) <= min(n)/max(n),
-    # so J >= 0.7 requires 10*min(na,nb) >= 7*max(na,nb) — prunes
-    # cross-size candidates inside the join, before the distinct
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.lit(10) * F.least(F.col("a.n"), F.col("b.n"))
-                >= F.lit(7) * F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    ta = tok.select(F.col("doc_id").alias("id_a"), "h")
-    tb = tok.select(F.col("doc_id").alias("id_b"), "h")
-    common = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.expr(
-                "CAST(n_common * 10000 div (na + nb - n_common) AS BIGINT)"
-            ).alias("jaccard_bp"),
-        )
-        .filter(F.col("jaccard_bp") >= _PREFIX_JACCARD_BP)
-    )
+    return _prefix_filter_plan(spark, sf_dir)
 
 
 _SESSION_GAP_MIN = 30

@@ -30,11 +30,27 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Broadcast threshold: dims (region/nation/supplier) stay broadcast
     # even at 100 TB fact scale; AQE may upgrade others at runtime.
+    # Broadcast hygiene (SCALING.md "Broadcast hygiene" / VERDICT r5):
+    # size-based selection — static or AQE — only ever sees frames that
+    # are broadcast-SAFE, because every data-scaled side of the
+    # dedup/ANN ladders is pinned to sort-merge at the plan level
+    # (plans/hints.py:never_broadcast, enforced by test_scale_plans.py::
+    # test_dedup_ladder_never_broadcasts_data_scaled_sides).  Raising
+    # this threshold can therefore never re-create the sf1-rehearsal
+    # driver OOM; it only widens eligibility for bounded dims.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Parquet: vectorized reader + pushdown are on by default; keep
     # explicit so a conf audit shows intent.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Local mode runs driver + all 32 executor threads in ONE JVM; the
+    # 1g default heap gives ~19 MB of execution memory per concurrent
+    # task, which starves 32-way sort-merge joins into GC thrash and
+    # heap OOM (observed when the round-6 broadcast-hygiene pins moved
+    # the dedup ladders from broadcast to SMJ).  8g is still <7% of the
+    # 128 GiB sandbox; under spark-submit on a real cluster the
+    # submitted --driver-memory/--executor-memory win.
+    "spark.driver.memory": "8g",
 }
 
 

@@ -64,6 +64,13 @@ EXTENDED = [
     "zorder_pruned_scan",
 ]
 
+# dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound
+# (candidate volume), not scheduler-noise-bound: min-of-3 spent ~5.5 min
+# to tighten a number whose run-to-run jitter is a small fraction of the
+# total, so it gets ONE timed pass and no warm-up (VERDICT r5 nit) — JIT
+# and footer-cache effects amortize to noise inside an 80 s job.
+_SINGLE_SHOT = {"dedup_prefix_filter"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,19 +93,56 @@ def main() -> None:
     samples: dict[str, list[float]] = {
         name: [] for name in HEADLINE + EXTENDED
     }
+    # Measured candidate-pair / verify-row counts for the heavy dedup
+    # queries (VERDICT r5 #4): the prefix-filter run is instrumented
+    # with Observations (CollectMetrics folded into its own stages — no
+    # extra job), and minhash_lsh_eval carries n_candidates in its
+    # 4-row output, read back with one cheap collect after timing.
+    extended_metrics: dict[str, dict[str, int]] = {}
     for group in (HEADLINE, EXTENDED):
         for name in group:  # untimed warm-up pass
+            if name in _SINGLE_SHOT:
+                continue
             QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        for _ in range(_REPS):
+        for rep in range(_REPS):
             for name in group:
+                if name in _SINGLE_SHOT and rep > 0:
+                    continue
+                if name == "dedup_prefix_filter":
+                    from awsbatch_mapreduce_spark.plans.wave5 import (
+                        dedup_prefix_filter_observed,
+                    )
+
+                    df, obs_cand, obs_common = dedup_prefix_filter_observed(
+                        spark, sf_dir
+                    )
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    samples[name].append(
+                        round(time.perf_counter() - t0, 3)
+                    )
+                    extended_metrics[name] = {
+                        "candidates": int(obs_cand.get["n"]),
+                        "verify_rows": int(obs_common.get["n"]),
+                    }
+                    continue
                 spec = QUERIES[name]
                 t0 = time.perf_counter()
                 spec.builder(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 samples[name].append(round(time.perf_counter() - t0, 3))
+    lsh_eval_row = (
+        QUERIES["minhash_lsh_eval"]
+        .builder(spark, sf_dir)
+        .select("n_candidates")
+        .first()
+    )
+    extended_metrics["minhash_lsh_eval"] = {
+        "candidates": int(lsh_eval_row["n_candidates"])
+    }
 
     timings = {name: min(samples[name]) for name in HEADLINE}
     extended = {name: min(samples[name]) for name in EXTENDED}
@@ -115,6 +159,7 @@ def main() -> None:
                 "queries": timings,
                 "extended": extended,
                 "extended_total_sec": round(sum(extended.values()), 3),
+                "extended_metrics": extended_metrics,
                 "spread": spread,
                 "reps": _REPS,
                 "sf": sf,

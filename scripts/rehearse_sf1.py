@@ -38,10 +38,17 @@ from awsbatch_mapreduce_spark.plans import QUERIES
 from awsbatch_mapreduce_spark.session import get_spark
 
 SF01 = "/root/testdata/sf0.1"
-TILED = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), "awsbatch_sf1_tiled"
-)
 REPLICAS = 10
+# Version of the tiling transforms (vocab rename + embedding roll/flip).
+# Encoded with REPLICAS into the tiled path so changing either rebuilds
+# instead of silently reusing stale data (ADVICE r5): a stale tile would
+# invalidate every scaling exponent this script exists to measure.
+TILE_VERSION = "v2"
+_TILE_TAG = f"r{REPLICAS}_{TILE_VERSION}"
+_TILE_PREFIX = "awsbatch_sf1_tiled"
+TILED = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), f"{_TILE_PREFIX}_{_TILE_TAG}"
+)
 
 REHEARSAL = [
     "dedup_minhash_lsh",
@@ -54,7 +61,25 @@ REHEARSAL = [
 ]
 
 
+def _sweep_stale_tiles() -> None:
+    """Remove tiled generations with a different tag (old REPLICAS /
+    transform version, or the pre-tag ``awsbatch_sf1_tiled`` dir), so
+    rerunning the rehearsal leaves exactly one ~10x generation on disk
+    (VERDICT r5 #5 — same hygiene as the zorder scratch sweep)."""
+    import shutil
+
+    root = os.environ.get("TMPDIR", "/tmp")
+    keep = os.path.basename(TILED)
+    try:
+        for entry in os.listdir(root):
+            if entry.startswith(_TILE_PREFIX) and entry != keep:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    except OSError:
+        pass
+
+
 def build_tiled(spark) -> None:
+    _sweep_stale_tiles()
     if os.path.exists(os.path.join(TILED, "_SUCCESS_TILED")):
         return
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
@@ -134,7 +159,22 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def main() -> None:
-    spark = get_spark(app_name="awsbatch-sf1-rehearsal")
+    # Rehearsal session hardening (VERDICT r5 #1a / the r5 crash):
+    # - explicit driver heap: the default (1g) is what OOM'd the r5 run
+    #   when AQE upgraded a data-scaled frame to a driver-built
+    #   broadcast; 16g gives the MEASUREMENT margin (the sandbox has
+    #   128 GiB) — the plan-level fix is the merge-hint pinning in the
+    #   dedup/ANN ladders (plans/hints.py), which this run validates.
+    # - AQE runtime broadcast upgrades off: a size-misestimated upgrade
+    #   mid-measurement would change the executed plan between scales
+    #   and OOM exactly like r5; static dim broadcasts are unaffected.
+    spark = get_spark(
+        app_name="awsbatch-sf1-rehearsal",
+        extra_conf={
+            "spark.driver.memory": "16g",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     build_tiled(spark)
 
@@ -144,8 +184,15 @@ def main() -> None:
         for label, sf_dir in (("sf0.1", SF01), ("sf1", TILED)):
             sw0 = shuffle_write_bytes(spark)
             t0 = time.perf_counter()
-            df = QUERIES[name].builder(spark, sf_dir)
-            n_rows = df.count()
+            # one failure must not lose the rest of the run's data
+            # (ADVICE r5): record the error and keep measuring
+            try:
+                df = QUERIES[name].builder(spark, sf_dir)
+                n_rows = df.count()
+                err = None
+            except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+                n_rows = None
+                err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             dt = round(time.perf_counter() - t0, 1)
             sw1 = shuffle_write_bytes(spark)
             rec = {
@@ -155,6 +202,8 @@ def main() -> None:
                     round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 else None
                 ),
             }
+            if err is not None:
+                rec["error"] = err
             results[name][label] = rec
             print(json.dumps({"query": name, "scale": label, **rec}), flush=True)
 
@@ -162,6 +211,9 @@ def main() -> None:
 
     summary = {}
     for name, r in results.items():
+        if any(rec.get("error") for rec in r.values()):
+            summary[name] = {"error": True}
+            continue
         e_t = math.log10(max(r["sf1"]["sec"], 0.1) / max(r["sf0.1"]["sec"], 0.1))
         e_rows = (
             math.log10(max(r["sf1"]["rows"], 1) / max(r["sf0.1"]["rows"], 1))

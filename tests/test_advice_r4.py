@@ -131,11 +131,16 @@ def test_scratch_tag_distinguishes_same_basename_roots(tmp_path):
     assert _scratch_tag(str(a)) == ta
 
 
-def test_scratch_dir_sweeps_stale_generations(tmp_path, monkeypatch):
-    """Repeated rounds must leave exactly one scratch generation per
-    prefix (VERDICT r4 #4): materializing a new fixture's scratch dir
-    sweeps the stale sibling tags, and a rerun on the same fixture is
-    stable."""
+def test_scratch_dir_sweeps_stale_generations_age_gated(
+    tmp_path, monkeypatch
+):
+    """Repeated rounds must leave one scratch generation per prefix
+    (VERDICT r4 #4), but the sweep is age-gated (ADVICE r5): a FRESH
+    sibling tag may belong to a concurrently running process on another
+    fixture and must survive; only generations older than the gate are
+    removed.  Reruns on the same fixture stay stable."""
+    import time
+
     from awsbatch_mapreduce_spark.plans import wave5
 
     monkeypatch.setattr(
@@ -147,10 +152,19 @@ def test_scratch_dir_sweeps_stale_generations(tmp_path, monkeypatch):
     b.mkdir(parents=True)
     da = wave5._scratch_dir("awsbatch_zorder", str(a))
     os.makedirs(da)
+    # fresh sibling: must NOT be swept by another fixture's call
     db = wave5._scratch_dir("awsbatch_zorder", str(b))
     os.makedirs(db)
+    gens = sorted(
+        e for e in os.listdir(tmp_path) if e.startswith("awsbatch_zorder_")
+    )
+    assert gens == sorted(
+        [os.path.basename(da), os.path.basename(db)]
+    ), "fresh sibling generation was swept (concurrent-process hazard)"
+    # backdate da past the gate: now it's provably abandoned and goes
+    old = time.time() - wave5._SCRATCH_SWEEP_AGE_SEC - 60
+    os.utime(da, (old, old))
+    assert wave5._scratch_dir("awsbatch_zorder", str(b)) == db
     gens = [e for e in os.listdir(tmp_path) if e.startswith("awsbatch_zorder_")]
     assert gens == [os.path.basename(db)]
-    # rerun on the same fixture keeps its own generation
-    assert wave5._scratch_dir("awsbatch_zorder", str(b)) == db
     assert os.path.isdir(db)

@@ -596,3 +596,53 @@ def test_prefix_filter_shuffles_digests_not_tokens(spark):
     for l in exchanges:
         assert not re.search(r"hashpartitioning\(w#", l), l
         assert re.search(r"hashpartitioning\((h|doc_id|id_a|id_b)#", l), l
+
+
+# Broadcast hygiene (VERDICT r5 #1): the sf1 rehearsal OOM'd when a
+# data-scaled intermediate of dedup_minhash_lsh was upgraded to a
+# driver-built broadcast.  Every data-scaled side of the dedup/ANN
+# ladders is now pinned to sort-merge via plans/hints.never_broadcast;
+# the ONLY broadcasts these plans may contain are frames bounded by
+# construction, enumerated per query below.
+_LADDER_BOUNDED_BROADCASTS = {
+    # pure shuffle-path plans: zero broadcasts of any kind
+    "dedup_minhash_lsh": 0,
+    "dedup_ngram_jaccard": 0,
+    "dedup_embedding_cosine": 0,
+    "containment_near_dup": 0,
+    "dedup_prefix_filter": 0,
+    "duplicated_span_fraction": 0,
+    "content_defined_chunks": 0,
+    "tfidf_top_term_per_doc": 0,
+    # bounded broadcasts only: taus (4-row literal) + n_cand (1-row agg)
+    "minhash_lsh_eval": 2,
+    # centroids (one per label) + query batch (vec_id < 8)
+    "ann_ivf_topk": 2,
+    # query band keys + query vectors (both vec_id < 8)
+    "ann_lsh_topk": 2,
+    # the 1-row mid scalar, cross-joined on both corpus halves
+    "incremental_dedup_new_docs": 2,
+    # the vec_id < 8 query batch
+    "knn_bruteforce_cosine": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_LADDER_BOUNDED_BROADCASTS))
+def test_dedup_ladder_never_broadcasts_data_scaled_sides(spark, name):
+    """No data-scaled frame (bands, candidates, shingles/tokens, per-doc
+    sizes, vocabulary, seen-set, corpus vectors) may plan as a
+    broadcast: the distinct BroadcastExchange count must equal the
+    enumerated bounded-broadcast count exactly, so any new broadcast —
+    static or introduced by a plan change — fails here before it can
+    OOM a scaled run.  (Merge hints are honored ahead of size-based
+    selection at AQE re-planning too, so runtime upgrades are also
+    excluded.)"""
+    tree = _plan(spark, QUERIES[name].builder(spark, SF_DIR)).split("\n\n")[0]
+    # node ids dedupe the re-display of cached subtrees (InMemoryRelation
+    # repeats its child plan at every scan site)
+    got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
+    want = _LADDER_BOUNDED_BROADCASTS[name]
+    assert got == want, (
+        f"{name}: {got} distinct BroadcastExchange nodes, expected {want}"
+        f" (bounded-by-construction only)\n{tree[:3000]}"
+    )
