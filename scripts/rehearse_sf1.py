@@ -60,6 +60,13 @@ REHEARSAL = [
     "corpus_curation_funnel",
 ]
 
+# Resume/partition support: REHEARSE_ONLY="a,b" runs a subset, so an
+# interrupted run (the heavy exact-dedup queries dominate wall time)
+# can be completed without re-measuring what already finished.
+_only = os.environ.get("REHEARSE_ONLY")
+if _only:
+    REHEARSAL = [n for n in REHEARSAL if n in set(_only.split(","))]
+
 
 def _sweep_stale_tiles() -> None:
     """Remove tiled generations with a different tag (old REPLICAS /

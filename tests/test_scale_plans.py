@@ -257,7 +257,10 @@ def test_scalar_subquery_is_broadcast_not_global_window(spark, name):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-@pytest.mark.parametrize("name", ["q10_returned_revenue", "vocab_top_words"])
+@pytest.mark.parametrize(
+    "name",
+    ["q10_returned_revenue", "vocab_top_words", "token_df_heavy_hitters"],
+)
 def test_global_topk_is_take_ordered_not_window(spark, name):
     """Global top-k with rank output must plan the k-selection as a
     distributed TakeOrderedAndProject (per-partition heap + merge of
@@ -266,15 +269,19 @@ def test_global_topk_is_take_ordered_not_window(spark, name):
     (customer- / vocabulary-cardinality at 100x)."""
     plan = _plan(spark, QUERIES[name].builder(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan[:1500]}"
-    # The window may exist, but it must CONSUME the TakeOrdered output
-    # (k rows), not feed it: formatted explain numbers operators
-    # leaf-first, so the Window's number must be higher.
+    # A rank window may exist (q10/vocab emit a rank column;
+    # token_df_heavy_hitters has none), but if it does it must CONSUME
+    # the TakeOrdered output (k rows), not feed it: formatted explain
+    # numbers operators leaf-first, so the Window's number must be
+    # higher.
     ops = [l for l in plan.splitlines() if re.match(r"^\s*\(\d+\)", l)]
     w_idx = [i for i, l in enumerate(ops) if "Window" in l]
     t_idx = [i for i, l in enumerate(ops) if "TakeOrderedAndProject" in l]
-    assert w_idx and t_idx and min(w_idx) > max(t_idx), (
-        f"{name}: window below the top-k\n" + "\n".join(ops)
-    )
+    assert t_idx, f"{name}: no TakeOrderedAndProject\n" + "\n".join(ops)
+    if w_idx:
+        assert min(w_idx) > max(t_idx), (
+            f"{name}: window below the top-k\n" + "\n".join(ops)
+        )
 
 
 def test_domain_cap_uses_window_group_limit(spark):
