@@ -25,13 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.llm_text import (
     _N_BANDS,
     _N_HASHES,
+    _NGRAM_PAIRS_ORACLE,
     _SH_SQL,
     _shingles,
 )
-from awsbatch_mapreduce_spark.plans.registry import query
+from awsbatch_mapreduce_spark.plans.registry import QUERIES, query
+from awsbatch_mapreduce_spark.plans.similarity import _IVF_ORACLE, _KNN_ORACLE
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
 _BAND_HIST_ORACLE = f"""
@@ -133,3 +136,183 @@ def token_df_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     return df.orderBy(F.desc("df"), F.asc("token")).limit(20)
+
+
+_RECALL_ORACLE = f"""
+    WITH truth AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
+    approx AS (SELECT query_id, neighbor_id FROM ({_IVF_ORACLE}))
+    SELECT t.query_id,
+           COUNT(*) AS n_truth,
+           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
+                * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+"""
+
+
+@query("ann_recall_eval", oracle=_RECALL_ORACLE, wave=7)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN ladder against brute-force ground truth,
+    per query vector — the ANN-side twin of ``minhash_lsh_eval``: the
+    QA harness that says whether the *approximate* scale path is still
+    returning the neighbors the exact path would, so an operator can
+    re-tune nprobe/ncells from measurements instead of faith.
+
+    Scale shape: both inputs are the already-pinned ladder plans
+    (broadcast query batch, sort-merge corpus joins); this query adds
+    only a join between two k×|queries| frames — bounded by
+    construction (queries are an explicit ``vec_id < 8`` batch), so
+    whatever strategy the planner picks for it is safe.  At 100 TB the
+    eval costs one brute-force pass over the corpus for the fixed query
+    panel — the thing you run on a sample, on a schedule, not per
+    pipeline run.
+    """
+    truth = QUERIES["knn_bruteforce_cosine"].builder(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        QUERIES["ann_ivf_topk"].builder(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+    ).select(
+        "query_id",
+        "n_truth",
+        "n_hits",
+        F.expr("CAST(n_hits * 10000 div n_truth AS BIGINT)").alias("recall_bp"),
+    )
+
+
+_DF_CAPS = [16, 32, 64, 128, 256]
+
+_DF_CAP_ORACLE = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    df AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+    caps AS (SELECT unnest([{", ".join(str(c) for c in _DF_CAPS)}]) AS cap)
+    SELECT CAST(cap AS BIGINT) AS cap,
+           CAST(COALESCE(SUM(CASE WHEN df <= cap THEN 1 END), 0) AS BIGINT)
+             AS n_tokens_kept,
+           CAST(COALESCE(SUM(CASE WHEN df <= cap THEN df * (df - 1) // 2 END), 0)
+             AS BIGINT) AS candidate_pairs,
+           CAST(COALESCE(SUM(CASE WHEN df > cap THEN 1 END), 0) AS BIGINT)
+             AS n_tokens_dropped,
+           CAST(COALESCE(SUM(CASE WHEN df > cap THEN df END), 0) AS BIGINT)
+             AS postings_dropped
+    FROM df CROSS JOIN caps
+    GROUP BY cap
+"""
+
+
+@query("df_cap_candidate_curve", oracle=_DF_CAP_ORACLE, wave=7)
+def df_cap_candidate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair volume of a token-postings join as a function of
+    the document-frequency cap — the tuning curve behind every df-cap
+    escape valve (``minhash_lsh_eval``'s df>64 shingle cut,
+    ``dedup_prefix_filter``'s rare-token prefixes).  For each cap:
+    tokens kept, the worst-case candidate pairs they imply
+    (``df*(df-1)/2`` per token), and the tokens/postings the cap
+    discards.  Reading this at the current corpus size tells an
+    operator where the cap knee sits BEFORE paying for a candidate
+    join that 10x'd since the cap was chosen.
+
+    Scale shape: one distinct-token explode, one token-keyed rollup,
+    then a 5-way literal explode and a 5-group aggregate — no joins,
+    map-side partials everywhere; strictly cheaper than any query it
+    tunes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    caps = F.explode(
+        F.array(*[F.lit(c) for c in _DF_CAPS])
+    ).alias("cap")
+    curve = df.select("df", caps)
+    kept = F.col("df") <= F.col("cap")
+    return curve.groupBy(F.col("cap").cast("bigint").alias("cap")).agg(
+        F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.expr("df * (df - 1) div 2"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        F.coalesce(F.sum(F.when(~kept, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_dropped"),
+        F.coalesce(F.sum(F.when(~kept, F.col("df"))), F.lit(0))
+        .cast("bigint")
+        .alias("postings_dropped"),
+    )
+
+
+_SOURCE_MATRIX_ORACLE = f"""
+    WITH pairs AS (SELECT id_a, id_b, jaccard FROM ({_NGRAM_PAIRS_ORACLE}))
+    SELECT LEAST(da.source, db.source) AS source_lo,
+           GREATEST(da.source, db.source) AS source_hi,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(FLOOR(jaccard * 10000.0 + 0.5) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS mean_jaccard_bp
+    FROM pairs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2
+"""
+
+
+@query("near_dup_source_matrix", oracle=_SOURCE_MATRIX_ORACLE, wave=7)
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: exact near-dup pairs (n-gram Jaccard >= 0.12)
+    cross-tabbed by the *source pair* they span, with the mean overlap
+    strength in basis points.  Off-diagonal mass is the interesting
+    signal — two crawls/feeds duplicating each other means one of them
+    should be demoted in the mixture before training, and the diagonal
+    ranks sources by internal redundancy.
+
+    Scale shape: reuses :func:`~awsbatch_mapreduce_spark.plans.
+    llm_text.dedup_ngram_jaccard`'s inverted-index pair plan (already
+    pinned to sort-merge shuffles), then two joins of the pair frame
+    against the doc->source projection — both sides O(corpus), both
+    pinned via ``never_broadcast`` — into a tiny
+    |sources|^2-bounded aggregate.  The least/greatest fold makes the
+    matrix upper-triangular so the two engines can't disagree on pair
+    orientation.
+    """
+    pairs = QUERIES["dedup_ngram_jaccard"].builder(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    src_a = never_broadcast(
+        docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    )
+    src_b = never_broadcast(
+        docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    )
+    bp = F.floor(F.col("jaccard") * 10000.0 + F.lit(0.5)).cast("bigint")
+    return (
+        pairs.join(src_a, "id_a")
+        .join(src_b, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            bp.alias("bp"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("CAST(sum(bp) div count(1) AS BIGINT)").alias(
+                "mean_jaccard_bp"
+            ),
+        )
+    )

@@ -631,6 +631,15 @@ _LADDER_BOUNDED_BROADCASTS = {
     "incremental_dedup_new_docs": 2,
     # the vec_id < 8 query batch
     "knn_bruteforce_cosine": 1,
+    # wave-7: pair frame x doc->source projection, both O(corpus), both
+    # pinned; the aggregate output is |sources|^2-bounded
+    "near_dup_source_matrix": 0,
+    # wave-7: explode + rollup only, no joins at all
+    "df_cap_candidate_curve": 0,
+    # wave-7: the union of the knn (1) and ivf (2) bounded broadcasts;
+    # the truth-vs-approx recall join itself plans as a shuffle join
+    # (both sides k x |queries|, bounded either way)
+    "ann_recall_eval": 3,
 }
 
 
