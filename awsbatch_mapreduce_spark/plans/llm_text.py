@@ -340,27 +340,29 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality_score",
-    oracle="""
+# Shared with wave7's source_quality_profile (which rolls these per-doc
+# scores up by source): one SQL body keeps the two oracles in lockstep.
+_QUALITY_ORACLE = """
+    SELECT doc_id,
+           n_tokens,
+           stop_ratio,
+           unique_ratio,
+           FLOOR((0.4 * LEAST(n_tokens / 50.0, 1.0)
+                 + 0.3 * stop_ratio + 0.3 * unique_ratio) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM (
         SELECT doc_id,
-               n_tokens,
-               stop_ratio,
-               unique_ratio,
-               FLOOR((0.4 * LEAST(n_tokens / 50.0, 1.0)
-                     + 0.3 * stop_ratio + 0.3 * unique_ratio) * 10000.0 + 0.5) / 10000.0 AS quality
-        FROM (
-            SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                   FLOOR((len(list_filter(string_split(text, ' '),
-                                         x -> x IN ('the', 'a')))
-                         * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
-                   FLOOR((len(list_distinct(string_split(text, ' ')))
-                         * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS unique_ratio
-            FROM documents
-        )
-    """,
-)
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               FLOOR((len(list_filter(string_split(text, ' '),
+                                     x -> x IN ('the', 'a')))
+                     * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+               FLOOR((len(list_distinct(string_split(text, ' ')))
+                     * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS unique_ratio
+        FROM documents
+    )
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length, stopword ratio, lexical diversity.
 
@@ -369,6 +371,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow projection with no shuffle at all.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return with_quality(docs).select(
+        "doc_id", "n_tokens", "stop_ratio", "unique_ratio", "quality"
+    )
+
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Append the quality-score columns (``n_tokens``, ``stop_ratio``,
+    ``unique_ratio``, ``quality``) to a documents frame, keeping its
+    existing columns — the one Spark-side definition of the formula,
+    shared by :func:`text_quality_score` and wave7's per-source rollup
+    so the two can't drift."""
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("bigint")
     stop_ratio = dround(
@@ -376,22 +389,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unique_ratio = dround(F.size(F.array_distinct(toks)) * 1.0 / F.size(toks), 4)
     base = docs.select(
-        "doc_id",
+        "*",
         n_tokens.alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
         unique_ratio.alias("unique_ratio"),
     )
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        "stop_ratio",
-        "unique_ratio",
+    return base.withColumn(
+        "quality",
         dround(
             0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
             + 0.3 * F.col("stop_ratio")
             + 0.3 * F.col("unique_ratio"),
             4,
-        ).alias("quality"),
+        ),
     )
 
 

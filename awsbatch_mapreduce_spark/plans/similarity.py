@@ -130,10 +130,12 @@ def _sign_band_key(band: int, lo: int, hi: int) -> Column:
     return F.concat(F.concat_ws("", *bits), F.lit(f"/{band}"))
 
 
-_EMB_DEDUP_ORACLE = """
-    WITH bits AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                         CAST(unnest(embedding) AS DOUBLE) AS v
-                  FROM embeddings),
+# Sign-band key CTEs (bits -> keys), shared between the embedding dedup
+# oracle and wave7's band-load histogram so the banding can't drift.
+_EMB_KEYS_SQL = """
+    bits AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+             FROM embeddings),
     keys AS (
       SELECT vec_id,
              STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
@@ -143,7 +145,11 @@ _EMB_DEDUP_ORACLE = """
       SELECT vec_id,
              STRING_AGG(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
                || '/1'
-      FROM bits WHERE i BETWEEN 9 AND 16 GROUP BY vec_id),
+      FROM bits WHERE i BETWEEN 9 AND 16 GROUP BY vec_id)
+"""
+
+_EMB_DEDUP_ORACLE = f"""
+    WITH {_EMB_KEYS_SQL},
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id),
     cos AS (

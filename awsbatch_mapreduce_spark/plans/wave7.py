@@ -1,22 +1,30 @@
-"""Round-6 (wave 7) additions: scale-observability queries.
+"""Round-6 (wave 7) additions: scale observability + approximate-path QA.
 
 Round 6 turned the dedup/ANN scale story from pinned claims into
 measured results (SCALING.md "sf1 rehearsal").  These queries make the
-two quantities that *govern* those measurements first-class, oracle-
-gated outputs of the engine itself, so a pipeline operator can watch
-them drift as the corpus grows instead of re-deriving them ad hoc:
+quantities that *govern* those measurements first-class, oracle-gated
+outputs of the engine itself, so a pipeline operator can watch them
+drift as the corpus grows instead of re-deriving them ad hoc:
 
-- ``lsh_band_load_histogram`` — the band-bucket load distribution of
-  the MinHash-LSH index.  Candidate volume is exactly
-  ``sum_buckets s*(s-1)/2``; a fattening tail here is the earliest
-  warning that banding parameters need re-tuning before the candidate
-  join blows up.
-- ``token_df_heavy_hitters`` — the document-frequency heavy hitters
-  that the df-cap escape valves (``minhash_lsh_eval``'s df>64 cut,
-  ``dedup_prefix_filter``'s rare-token prefixes) are sized against.
+- ``lsh_band_load_histogram`` / ``emb_band_load_histogram`` — band-
+  bucket load distributions of the MinHash-LSH and sign-LSH indexes.
+  Candidate volume is exactly ``sum_buckets s*(s-1)/2``; a fattening
+  tail is the earliest warning that banding parameters need re-tuning
+  before the candidate join blows up.
+- ``token_df_heavy_hitters`` / ``df_cap_candidate_curve`` — the
+  document-frequency heavy hitters the df-cap escape valves are sized
+  against, and the candidate-volume-vs-cap tuning curve itself.
+- ``ann_recall_eval`` / ``ann_pq_recall_eval`` — recall@5 of the IVF
+  and PQ approximate paths against brute-force truth (the ANN twins
+  of ``minhash_lsh_eval``).
+- ``jaccard_threshold_curve`` — survivor curve of the exact near-dup
+  pair set by threshold.
+- ``near_dup_source_matrix`` / ``source_quality_profile`` — corpus
+  forensics: which sources duplicate each other, and which earn their
+  mixture weight.
 
-Both are pure JVM-side integer plans over the same shingle/token
-frames the ladders use, with DuckDB oracles built from the shared SQL
+All are pure JVM-side plans over the same shingle/token/band frames
+the ladders use, with DuckDB oracles composed from the shared SQL
 fragments so the two engines can't drift.
 """
 
@@ -25,16 +33,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.llm_text import (
     _N_BANDS,
     _N_HASHES,
     _NGRAM_PAIRS_ORACLE,
+    _QUALITY_ORACLE,
     _SH_SQL,
     _shingles,
+    with_quality,
 )
 from awsbatch_mapreduce_spark.plans.registry import QUERIES, query
-from awsbatch_mapreduce_spark.plans.similarity import _IVF_ORACLE, _KNN_ORACLE
+from awsbatch_mapreduce_spark.plans.similarity import (
+    _EMB_KEYS_SQL,
+    _IVF_ORACLE,
+    _KNN_ORACLE,
+    _PQ_ORACLE,
+    _sign_band_key,
+)
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
 _BAND_HIST_ORACLE = f"""
@@ -315,4 +333,191 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_jaccard_bp"
             ),
         )
+    )
+
+
+def _recall_oracle(approx_sql: str) -> str:
+    """Recall@5 oracle against brute-force truth for any ANN oracle that
+    yields (query_id, neighbor_id) rows — shared by the IVF and PQ
+    evals so the scoring arithmetic can't drift between them."""
+    return f"""
+    WITH truth AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
+    approx AS (SELECT query_id, neighbor_id FROM ({approx_sql}))
+    SELECT t.query_id,
+           COUNT(*) AS n_truth,
+           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
+                * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+"""
+
+
+def _recall_frame(spark: SparkSession, sf_dir: str, approx_name: str) -> DataFrame:
+    """Spark twin of :func:`_recall_oracle`: join the named approximate
+    ladder's top-5 against brute-force truth and score per query."""
+    truth = QUERIES["knn_bruteforce_cosine"].builder(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        QUERIES[approx_name].builder(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+    ).select(
+        "query_id",
+        "n_truth",
+        "n_hits",
+        F.expr("CAST(n_hits * 10000 div n_truth AS BIGINT)").alias("recall_bp"),
+    )
+
+
+@query("ann_pq_recall_eval", oracle=_recall_oracle(_PQ_ORACLE), wave=7)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ-ADC ladder against brute-force ground truth —
+    same harness as :func:`ann_recall_eval`, pointed at the *quantized*
+    scale path.  PQ trades accuracy for a corpus scan over 8-byte codes
+    instead of 256-byte vectors; this is the query that prices that
+    trade in recall terms so codebook size / segment count can be tuned
+    from measurements.  Plan shape is the two pinned ladder plans plus
+    a bounded recall join (k x |queries| rows each side).
+    """
+    return _recall_frame(spark, sf_dir, "ann_pq_adc_topk")
+
+
+_SOURCE_QUALITY_ORACLE = f"""
+    WITH q AS (SELECT * FROM ({_QUALITY_ORACLE}))
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(FLOOR(q.quality * 10000.0 + 0.5) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS mean_quality_bp,
+           CAST(COALESCE(SUM(CASE WHEN q.quality >= 0.5 THEN 1 END), 0)
+                AS BIGINT) AS n_high_quality
+    FROM q JOIN documents d ON d.doc_id = q.doc_id
+    GROUP BY d.source
+"""
+
+
+@query("source_quality_profile", oracle=_SOURCE_QUALITY_ORACLE, wave=7)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: doc count, total token budget,
+    mean quality score (basis points), and the count of high-quality
+    (>= 0.5) docs — the table a mixture designer reads to decide which
+    sources earn weight and which get demoted before training.
+
+    Scale shape: the quality formula is a pure narrow projection
+    (shared with :func:`~awsbatch_mapreduce_spark.plans.llm_text.
+    text_quality_score` via ``with_quality``), then one hash aggregate
+    keyed on `source` — a |sources|-bounded output with map-side
+    partials and no joins at all (the oracle joins back to documents
+    for `source`; Spark reads it off the same scan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = with_quality(docs)
+    bp = F.floor(F.col("quality") * 10000.0 + F.lit(0.5)).cast("bigint")
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "CAST(sum(CAST(floor(quality * 10000.0 + 0.5) AS BIGINT))"
+            " div count(1) AS BIGINT)"
+        ).alias("mean_quality_bp"),
+        F.coalesce(F.sum(F.when(F.col("quality") >= 0.5, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_high_quality"),
+    )
+
+
+_JACCARD_CURVE_ORACLE = f"""
+    WITH pairs AS (SELECT jaccard FROM ({_NGRAM_PAIRS_ORACLE})),
+    buckets AS (
+      SELECT CAST(FLOOR(CAST(FLOOR(jaccard * 10000.0 + 0.5) AS BIGINT) / 500)
+                  * 500 AS BIGINT) AS bucket_lo_bp,
+             COUNT(*) AS n_pairs
+      FROM pairs GROUP BY 1)
+    SELECT bucket_lo_bp, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket_lo_bp DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_pairs_at_or_above
+    FROM buckets
+"""
+
+
+@query("jaccard_threshold_curve", oracle=_JACCARD_CURVE_ORACLE, wave=7)
+def jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor curve of the exact near-dup pair set by Jaccard
+    threshold: pairs per 0.05-wide bucket, plus how many pairs a
+    dedup pass at that threshold would act on (cumulative from above).
+    This is the knob-turning table for "how aggressive should the
+    near-dup threshold be" — read it at the current corpus size
+    instead of re-running the dedup at five thresholds.
+
+    Scale shape: the pair generation reuses the pinned inverted-index
+    plan; on top sit a tiny bucket aggregate (<= 18 groups) and a
+    cumulative window over those groups — the single-partition window
+    runs on a bounded aggregate, never on the data-scaled pair frame.
+    """
+    pairs = QUERIES["dedup_ngram_jaccard"].builder(spark, sf_dir)
+    bp = F.floor(F.col("jaccard") * 10000.0 + F.lit(0.5)).cast("bigint")
+    buckets = (
+        pairs.select((F.floor(bp / 500) * 500).cast("bigint").alias("bucket_lo_bp"))
+        .groupBy("bucket_lo_bp")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.desc("bucket_lo_bp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return buckets.select(
+        "bucket_lo_bp",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )
+
+
+_EMB_BAND_HIST_ORACLE = f"""
+    WITH {_EMB_KEYS_SQL},
+    loads AS (SELECT bk, COUNT(*) AS s FROM keys GROUP BY bk)
+    SELECT CAST(s AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) * (s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM loads GROUP BY s
+"""
+
+
+@query("emb_band_load_histogram", oracle=_EMB_BAND_HIST_ORACLE, wave=7)
+def emb_band_load_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH band-bucket load histogram for the embedding dedup
+    index — the vector-space twin of :func:`lsh_band_load_histogram`:
+    for each bucket size ``s``, the number of sign-band buckets
+    holding ``s`` vectors and the candidate pairs they imply.  A
+    fattening tail means the 8-bit axis-aligned bands no longer
+    discriminate (e.g. embeddings collapsed toward an orthant) and
+    ``dedup_embedding_cosine``'s candidate join is about to grow —
+    caught here for the price of two aggregates, no joins.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    keys = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(_sign_band_key(0, 0, 8), _sign_band_key(1, 8, 16))
+        ).alias("bk"),
+    )
+    loads = keys.groupBy("bk").agg(F.count(F.lit(1)).alias("s"))
+    return loads.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    ).select(
+        F.col("s").cast("bigint").alias("bucket_size"),
+        "n_buckets",
+        F.expr("CAST(n_buckets * (s * (s - 1) div 2) AS BIGINT)").alias(
+            "candidate_pairs"
+        ),
     )

@@ -640,6 +640,16 @@ _LADDER_BOUNDED_BROADCASTS = {
     # the truth-vs-approx recall join itself plans as a shuffle join
     # (both sides k x |queries|, bounded either way)
     "ann_recall_eval": 3,
+    # codebook (10x8x8 rows, broadcast at both its scan sites) + the
+    # per-query ADC distance table (|queries| x 8 x 10 rows)
+    "ann_pq_adc_topk": 3,
+    # the PQ plan's 3 + knn's query batch
+    "ann_pq_recall_eval": 4,
+    # wave-7 batch 2: scan->aggregate plans, no joins at all
+    "source_quality_profile": 0,
+    "emb_band_load_histogram": 0,
+    # ngram pair plan (0 broadcasts) + bounded-bucket window on top
+    "jaccard_threshold_curve": 0,
 }
 
 
