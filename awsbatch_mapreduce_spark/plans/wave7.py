@@ -521,3 +521,137 @@ def emb_band_load_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_pairs"
         ),
     )
+
+
+_CALIBRATION_ORACLE = f"""
+    WITH {_SH_SQL},
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS h{i}" for i in range(_N_HASHES))},
+        COUNT(*) AS n
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, md5(h{2 * b} || h{2 * b + 1} || '/{b}') AS bk FROM sig" for b in range(_N_BANDS))}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_N_HASHES))}) AS n_sig_matches,
+             CAST(FLOOR((COALESCE(i.n_common, 0) * 1.0 /
+                  (sa.n + sb.n - COALESCE(i.n_common, 0))) * 10000.0 + 0.5)
+                  AS BIGINT) AS exact_bp
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)
+    SELECT CAST(n_sig_matches AS BIGINT) AS n_sig_matches,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(exact_bp) // COUNT(*) AS BIGINT) AS mean_exact_bp,
+           CAST(MIN(exact_bp) AS BIGINT) AS min_exact_bp,
+           CAST(MAX(exact_bp) AS BIGINT) AS max_exact_bp
+    FROM scored GROUP BY n_sig_matches
+"""
+
+
+@query("minhash_calibration", oracle=_CALIBRATION_ORACLE, wave=7)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-fidelity probe for the MinHash signature: every LSH
+    candidate pair grouped by how many of its 8 signature components
+    agree, against the *exact* shingle Jaccard of those pairs (mean /
+    min / max, in basis points).  Unlike :func:`~awsbatch_mapreduce_
+    spark.plans.llm_text.dedup_minhash_lsh`, zero-overlap candidates
+    are KEPT (exact = 0): the n_sig_matches=2 row's near-zero mean is
+    the measured false-positive tail of the banding, and a drifting
+    mean at fixed match count means the signature no longer estimates
+    Jaccard on this corpus (e.g. shingle-set sizes collapsed).
+
+    Scale shape: the same pinned shingle->signature->band->verify
+    pipeline as the dedup query, plus two signature lookups on the
+    candidate set (sort-merge, data-scaled both sides) — output is 7
+    rows regardless of corpus size.
+    """
+    sh = _shingles(spark, sf_dir).persist()
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)
+        ).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n")).persist()
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(f"/{b}"))
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+    a = bands.alias("a")
+    b = never_broadcast(bands.alias("b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sha = never_broadcast(sh.alias("sa"))
+    shb = never_broadcast(sh.alias("sb"))
+    inter = (
+        cand.join(sha, F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            shb,
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    siga = never_broadcast(
+        sig.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("n").alias("na"),
+            *[F.col(f"h{i}").alias(f"ha{i}") for i in range(_N_HASHES)],
+        )
+    )
+    sigb = never_broadcast(
+        sig.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("n").alias("nb"),
+            *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_N_HASHES)],
+        )
+    )
+    matches = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    exact_bp = F.floor(
+        (n_common * 1.0 / (F.col("na") + F.col("nb") - n_common)) * 10000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        cand.join(never_broadcast(inter), ["id_a", "id_b"], "left")
+        .join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select(
+            matches.cast("bigint").alias("n_sig_matches"),
+            exact_bp.alias("exact_bp"),
+        )
+    )
+    return scored.groupBy("n_sig_matches").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("CAST(sum(exact_bp) div count(1) AS BIGINT)").alias(
+            "mean_exact_bp"
+        ),
+        F.min("exact_bp").alias("min_exact_bp"),
+        F.max("exact_bp").alias("max_exact_bp"),
+    )

@@ -58,6 +58,14 @@ REHEARSAL = [
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "corpus_curation_funnel",
+    # wave-7 observability/QA queries (round 6): the band-load probes
+    # must stay cheap relative to the dedup they instrument, the exact
+    # pair consumers inherit the inverted-index plan, and the
+    # calibration query adds two signature lookups on the candidate set
+    "lsh_band_load_histogram",
+    "df_cap_candidate_curve",
+    "near_dup_source_matrix",
+    "minhash_calibration",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset, so an

@@ -650,6 +650,9 @@ _LADDER_BOUNDED_BROADCASTS = {
     "emb_band_load_histogram": 0,
     # ngram pair plan (0 broadcasts) + bounded-bucket window on top
     "jaccard_threshold_curve": 0,
+    # the dedup_minhash_lsh pipeline + two signature lookups, all
+    # data-scaled and pinned
+    "minhash_calibration": 0,
 }
 
 
