@@ -39,11 +39,13 @@ from awsbatch_mapreduce_spark.session import get_spark
 
 SF01 = "/root/testdata/sf0.1"
 REPLICAS = 10
-# Version of the tiling transforms (vocab rename + embedding roll/flip).
-# Encoded with REPLICAS into the tiled path so changing either rebuilds
-# instead of silently reusing stale data (ADVICE r5): a stale tile would
-# invalidate every scaling exponent this script exists to measure.
-TILE_VERSION = "v2"
+# Version of the tiling transforms (vocab rename + embedding roll/flip;
+# v3 adds key-offset tiling of the relational/events facts + verbatim
+# dim copies).  Encoded with REPLICAS into the tiled path so changing
+# either rebuilds instead of silently reusing stale data (ADVICE r5): a
+# stale tile would invalidate every scaling exponent this script exists
+# to measure.
+TILE_VERSION = "v3"
 _TILE_TAG = f"r{REPLICAS}_{TILE_VERSION}"
 _TILE_PREFIX = "awsbatch_sf1_tiled"
 TILED = os.path.join(
@@ -66,6 +68,18 @@ REHEARSAL = [
     "df_cap_candidate_curve",
     "near_dup_source_matrix",
     "minhash_calibration",
+    # relational + events families (round 6, tiling v3): facts tiled by
+    # key offset with IDENTICAL per-replica structure (dims copied
+    # verbatim — at 100 TB facts grow, dims don't), so q1's sums scale
+    # exactly 10x, per-customer/per-user work partitions by disjoint
+    # keys, and the top-k outputs stay k rows
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_revenue",
+    "window_top_orders_per_customer",
+    "events_sessionization",
+    "events_top_sessions",
+    "range_join_error_context",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset, so an
@@ -152,6 +166,41 @@ def build_tiled(spark) -> None:
     tiled_emb.repartition(8).write.mode("overwrite").parquet(
         f"{TILED}/embeddings.parquet"
     )
+
+    # Relational + events facts (tiling v3): offset every key column by
+    # k*10^8 so replica key spaces are disjoint — per-customer windows,
+    # per-user sessions, and order->lineitem joins keep EXACTLY sf0.1's
+    # within-replica structure, so output structure scales linearly by
+    # construction.  Timestamps/amounts are untouched (time-keyed aggs
+    # legitimately grow counts, not groups).  Dims are copied verbatim:
+    # the 100 TB shape is growing facts against fixed dims.
+    from awsbatch_mapreduce_spark.sources.tables import load_table
+
+    _OFF = 100_000_000
+    fact_keys = {
+        "customer": ["c_custkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for table, keys in fact_keys.items():
+        base = load_table(spark, SF01, table)
+        parts = []
+        for k in range(REPLICAS):
+            d = base
+            for col in keys:
+                d = d.withColumn(col, F.col(col) + F.lit(k * _OFF))
+            parts.append(d)
+        tiled = parts[0]
+        for p in parts[1:]:
+            tiled = tiled.unionAll(p)
+        tiled.repartition(32).write.mode("overwrite").parquet(
+            f"{TILED}/{table}.parquet"
+        )
+    for dim in ("region", "nation", "supplier", "part"):
+        load_table(spark, SF01, dim).write.mode("overwrite").parquet(
+            f"{TILED}/{dim}.parquet"
+        )
     with open(os.path.join(TILED, "_SUCCESS_TILED"), "w") as f:
         f.write("ok")
 
