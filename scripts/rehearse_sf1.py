@@ -38,7 +38,10 @@ from awsbatch_mapreduce_spark.plans import QUERIES
 from awsbatch_mapreduce_spark.session import get_spark
 
 SF01 = "/root/testdata/sf0.1"
-REPLICAS = 10
+# Tiling factor: 10 -> ~sf1, 100 -> ~sf10 (REHEARSE_REPLICAS env).
+# Three measured points (sf0.1 native, 10x, 100x) turn the pairwise
+# ratios into a two-decade scaling curve.
+REPLICAS = int(os.environ.get("REHEARSE_REPLICAS", "10"))
 # Version of the tiling transforms (vocab rename + embedding roll/flip;
 # v3 adds key-offset tiling of the relational/events facts + verbatim
 # dim copies).  Encoded with REPLICAS into the tiled path so changing
@@ -245,7 +248,8 @@ def main() -> None:
     results: dict[str, dict[str, dict]] = {}
     for name in REHEARSAL:
         results[name] = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1", TILED)):
+        tiled_label = f"sf{REPLICAS / 10:g}"
+        for label, sf_dir in (("sf0.1", SF01), (tiled_label, TILED)):
             sw0 = shuffle_write_bytes(spark)
             t0 = time.perf_counter()
             # one failure must not lose the rest of the run's data
@@ -273,14 +277,22 @@ def main() -> None:
 
     import math
 
+    # exponents are per decade of data growth, so 10x and 100x runs
+    # report on the same scale (1.0 = linear in data)
+    decades = math.log10(REPLICAS)
+    tl = f"sf{REPLICAS / 10:g}"
     summary = {}
     for name, r in results.items():
         if any(rec.get("error") for rec in r.values()):
             summary[name] = {"error": True}
             continue
-        e_t = math.log10(max(r["sf1"]["sec"], 0.1) / max(r["sf0.1"]["sec"], 0.1))
+        e_t = (
+            math.log10(max(r[tl]["sec"], 0.1) / max(r["sf0.1"]["sec"], 0.1))
+            / decades
+        )
         e_rows = (
-            math.log10(max(r["sf1"]["rows"], 1) / max(r["sf0.1"]["rows"], 1))
+            math.log10(max(r[tl]["rows"], 1) / max(r["sf0.1"]["rows"], 1))
+            / decades
             if r["sf0.1"]["rows"]
             else None
         )
