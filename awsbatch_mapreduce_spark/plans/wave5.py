@@ -868,18 +868,33 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PREFIX_JACCARD_BP = 7000  # Jaccard >= 0.70, exact integer basis points
 
-_PREFIX_ORACLE = f"""
+
+def prefix_filter_oracle(df_cap: int | None = None) -> str:
+    """DuckDB oracle for the prefix-filter join; with ``df_cap`` the
+    similarity is computed on the df-capped token sets (the escape
+    valve, ``dedup_prefix_filter_capped``), without it on the full
+    sets (exact, ``dedup_prefix_filter``).  One SQL body for both so
+    the valve and the exact operator can't drift."""
+    cap_cte = (
+        f""",
+    captok AS (SELECT t.doc_id, t.h FROM tok t
+               JOIN df USING (h) WHERE df.df <= {df_cap})"""
+        if df_cap is not None
+        else ""
+    )
+    t = "captok" if df_cap is not None else "tok"
+    return f"""
     WITH tok AS (
       SELECT DISTINCT doc_id, substring(md5(w), 1, 16) AS h
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
             FROM documents)),
-    df AS (SELECT h, COUNT(*) AS df FROM tok GROUP BY h),
-    sized AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    df AS (SELECT h, COUNT(*) AS df FROM tok GROUP BY h){cap_cte},
+    sized AS (SELECT doc_id, COUNT(*) AS n FROM {t} GROUP BY doc_id),
     ranked AS (
       SELECT t.doc_id, t.h, s.n,
              ROW_NUMBER() OVER (PARTITION BY t.doc_id
                                 ORDER BY df.df, t.h) AS rk
-      FROM tok t JOIN df USING (h) JOIN sized s USING (doc_id)),
+      FROM {t} t JOIN df USING (h) JOIN sized s USING (doc_id)),
     prefix AS (
       SELECT doc_id, h, n FROM ranked
       WHERE rk <= n - (7 * n + 9) // 10 + 1),
@@ -891,8 +906,8 @@ _PREFIX_ORACLE = f"""
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_common
       FROM cand c
-      JOIN tok ta ON ta.doc_id = c.id_a
-      JOIN tok tb ON tb.doc_id = c.id_b AND tb.h = ta.h
+      JOIN {t} ta ON ta.doc_id = c.id_a
+      JOIN {t} tb ON tb.doc_id = c.id_b AND tb.h = ta.h
       GROUP BY 1, 2)
     SELECT cm.id_a, cm.id_b,
            CAST(cm.n_common * 10000
@@ -905,19 +920,27 @@ _PREFIX_ORACLE = f"""
 """
 
 
+_PREFIX_ORACLE = prefix_filter_oracle()
+
+
 def _prefix_filter_plan(
     spark: SparkSession,
     sf_dir: str,
     obs_cand=None,
     obs_common=None,
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """Shared plan body for :func:`dedup_prefix_filter` and its observed
-    bench twin.  ``obs_cand``/``obs_common`` are optional
-    ``pyspark.sql.Observation``s attached to the candidate-pair and
-    verify-output frames (CollectMetrics nodes — a running count folded
-    into the existing stages, no extra job), so the bench can report
-    measured candidate volume instead of arithmetic from fixture row
-    counts (VERDICT r5 #4)."""
+    """Shared plan body for :func:`dedup_prefix_filter`, its observed
+    bench twin, and the df-capped escape valve (wave7's
+    ``dedup_prefix_filter_capped``).  ``obs_cand``/``obs_common`` are
+    optional ``pyspark.sql.Observation``s attached to the
+    candidate-pair and verify-output frames (CollectMetrics nodes — a
+    running count folded into the existing stages, no extra job), so
+    the bench can report measured candidate volume instead of
+    arithmetic from fixture row counts (VERDICT r5 #4).  With
+    ``df_cap``, tokens with global document frequency above the cap
+    are dropped BEFORE sizing/prefixing/verification — similarity is
+    computed on the capped sets in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -925,6 +948,14 @@ def _prefix_filter_plan(
         .distinct()
     )
     df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    if df_cap is not None:
+        # semi-join against the eligible (rare) vocabulary: the df
+        # frame is vocabulary-scaled, so it stays on the shuffle path
+        tok = tok.join(
+            never_broadcast(df.filter(F.col("df") <= df_cap).select("h")),
+            "h",
+            "left_semi",
+        )
     sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
     # df (vocabulary-scaled) and sized (doc-scaled) both grow with the

@@ -46,6 +46,10 @@ from awsbatch_mapreduce_spark.plans.llm_text import (
     with_quality,
 )
 from awsbatch_mapreduce_spark.plans.registry import QUERIES, query
+from awsbatch_mapreduce_spark.plans.wave5 import (
+    _prefix_filter_plan,
+    prefix_filter_oracle,
+)
 from awsbatch_mapreduce_spark.plans.similarity import (
     _EMB_KEYS_SQL,
     _IVF_ORACLE,
@@ -655,3 +659,42 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("exact_bp").alias("min_exact_bp"),
         F.max("exact_bp").alias("max_exact_bp"),
     )
+
+
+_PF_DF_CAP = 64
+
+
+@query(
+    "dedup_prefix_filter_capped",
+    oracle=prefix_filter_oracle(df_cap=_PF_DF_CAP),
+    wave=7,
+)
+def dedup_prefix_filter_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-cap escape valve of :func:`~awsbatch_mapreduce_spark.
+    plans.wave5.dedup_prefix_filter`, made first-class: tokens with
+    global document frequency > 64 are dropped before sizing,
+    prefixing, and verification, and Jaccard (>= 0.70) is computed on
+    the capped sets.  The exact operator's cost is output-bound — on a
+    clique-dense corpus ANY exact method must verify ~all true pairs —
+    and this is the documented way out: capping bounds candidate
+    volume by rare-token co-occurrence, at an accuracy trade that is
+    EXPLICITLY corpus-dependent — on natural corpora near-dup pairs
+    share rare tokens and the trade is small; on this fixture's
+    planted template cliques the clique-defining tokens themselves
+    exceed the cap once a clique outgrows 64 docs, so the valve
+    surrenders exactly those pairs (51,493 -> 300 at sf0.01; 5.1M ->
+    0 at sf0.1, in 2.5 s instead of ~80).  That asymmetry is the
+    operator's honest contract: the cap removes *boilerplate-scale*
+    duplication from the workload, which is the part an exact join
+    cannot afford — `dedup_minhash_lsh` still catches high-Jaccard
+    pairs regardless of df.  Same plan body, same oracle body, one
+    `df <= cap` semi-join of difference (both engines apply it, so
+    the comparison stays exact about the approximation).
+
+    Scale shape: identical pinned sort-merge pipeline as the exact
+    operator; the cap bounds per-token posting lists at 64, so the
+    candidate join's worst case drops from sum(df^2) over the full
+    vocabulary to 64*|capped postings| — the knob
+    ``df_cap_candidate_curve`` prices empirically.
+    """
+    return _prefix_filter_plan(spark, sf_dir, df_cap=_PF_DF_CAP)

@@ -58,7 +58,10 @@ HEADLINE = [
 # rounds; same warm-up + reps discipline.
 EXTENDED = [
     "dedup_prefix_filter",
+    "dedup_prefix_filter_capped",  # the valve vs the exact cost, same run
     "minhash_lsh_eval",
+    "minhash_calibration",
+    "near_dup_source_matrix",
     "pagerank_event_graph",
     "ann_pq_adc_topk",
     "zorder_pruned_scan",

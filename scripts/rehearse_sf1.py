@@ -71,6 +71,9 @@ REHEARSAL = [
     "df_cap_candidate_curve",
     "near_dup_source_matrix",
     "minhash_calibration",
+    # the df-cap escape valve: bounded cost where the exact prefix
+    # filter is output-bound (its whole reason to exist)
+    "dedup_prefix_filter_capped",
     # relational + events families (round 6, tiling v3): facts tiled by
     # key offset with IDENTICAL per-replica structure (dims copied
     # verbatim — at 100 TB facts grow, dims don't), so q1's sums scale

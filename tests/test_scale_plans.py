@@ -653,6 +653,9 @@ _LADDER_BOUNDED_BROADCASTS = {
     # the dedup_minhash_lsh pipeline + two signature lookups, all
     # data-scaled and pinned
     "minhash_calibration": 0,
+    # same pinned pipeline as the exact prefix filter, plus the pinned
+    # rare-vocabulary semi-join
+    "dedup_prefix_filter_capped": 0,
 }
 
 
