@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window
 
+from awsbatch_mapreduce_spark.functions.rounding import dround
 from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.llm_text import (
     _N_BANDS,
@@ -698,3 +699,128 @@ def dedup_prefix_filter_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df_cap_candidate_curve`` prices empirically.
     """
     return _prefix_filter_plan(spark, sf_dir, df_cap=_PF_DF_CAP)
+
+
+_CONCENTRATION_ORACLE = """
+    WITH toks AS (
+      SELECT d.source, unnest(string_split(d.text, ' ')) AS token
+      FROM documents d),
+    counts AS (
+      SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_postings,
+           CAST(SUM(c * c) * 1000000 // (SUM(c) * SUM(c)) AS BIGINT)
+             AS simpson_ppm
+    FROM counts GROUP BY source
+"""
+
+
+@query("source_token_concentration", oracle=_CONCENTRATION_ORACLE, wave=7)
+def source_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical concentration per source via the Simpson index
+    (``sum(c^2)/total^2`` in ppm — the probability two random token
+    draws from the source coincide).  A source whose concentration
+    climbs is collapsing toward boilerplate (template spam, nav
+    chrome) long before its mean quality score moves; read next to
+    ``source_quality_profile`` when assigning mixture weights.
+    Entropy would say the same thing but needs ``ln`` (float,
+    engine-dependent ulps); Simpson is a ratio of integer counts, so
+    the cross-engine comparison is exact, not approximately equal.
+
+    Scale shape: one token explode, one (source, token)-keyed rollup
+    with map-side partials, one |sources|-bounded aggregate — no
+    joins, nothing driver-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        F.sum("c").cast("bigint").alias("n_postings"),
+        F.expr(
+            "CAST(sum(c * c) * 1000000 div (sum(c) * sum(c)) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+_CENTROID_DRIFT_ORACLE = """
+    WITH bits AS (SELECT vec_id, label, vec_id % 2 AS half,
+                         generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+    cent AS (
+      SELECT label, half, i,
+             FLOOR(AVG(v) * 10000.0 + 0.5) / 10000.0 AS cv,
+             COUNT(DISTINCT vec_id) AS n_vecs
+      FROM bits GROUP BY 1, 2, 3),
+    joined AS (
+      SELECT a.label,
+             SUM(a.cv * b.cv) AS dot,
+             SUM(a.cv * a.cv) AS aa,
+             SUM(b.cv * b.cv) AS bb,
+             MAX(a.n_vecs) AS n_a,
+             MAX(b.n_vecs) AS n_b
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1
+      GROUP BY a.label)
+    SELECT CAST(label AS INT) AS label,
+           CAST(n_a AS BIGINT) AS n_even,
+           CAST(n_b AS BIGINT) AS n_odd,
+           CAST(FLOOR((dot / (SQRT(aa) * SQRT(bb))) * 10000.0 + 0.5)
+                AS BIGINT) AS cosine_bp
+    FROM joined
+"""
+
+
+@query("embedding_centroid_drift", oracle=_CENTROID_DRIFT_ORACLE, wave=7)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid agreement between the even- and odd-id halves
+    of the embedding corpus (cosine in basis points).  On a healthy
+    corpus the interleaved halves are exchangeable and every label
+    reads ~10000; a label whose halves disagree has heterogeneous or
+    shifting embeddings — the cheap self-consistency probe to run
+    after an embedding-model change or a new ingest batch, before the
+    expensive ANN index rebuild.  Centroid values quantize to 4
+    decimals (same discipline as the IVF codebook) so the comparison
+    is engine-exact.
+
+    Scale shape: one posexplode, one (label, half, dim)-keyed average
+    with map-side partials, then a join of two |labels|x|dims|-bounded
+    centroid frames — bounded by construction, so its join strategy is
+    free to be anything.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("i", "v"),
+    ).select("vec_id", "label", "half", "i", F.col("v").cast("double").alias("v"))
+    cent = bits.groupBy("label", "half", "i").agg(
+        dround(F.avg("v"), 4).alias("cv"),
+        F.countDistinct("vec_id").alias("n_vecs"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "i", F.col("cv").alias("ca"), F.col("n_vecs").alias("n_even")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "i", F.col("cv").alias("cb"), F.col("n_vecs").alias("n_odd")
+    )
+    joined = a.join(b, ["label", "i"]).groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sum(F.col("ca") * F.col("ca")).alias("aa"),
+        F.sum(F.col("cb") * F.col("cb")).alias("bb"),
+        F.max("n_even").cast("bigint").alias("n_even"),
+        F.max("n_odd").cast("bigint").alias("n_odd"),
+    )
+    return joined.select(
+        F.col("label").cast("int").alias("label"),
+        "n_even",
+        "n_odd",
+        F.floor(
+            (F.col("dot") / (F.sqrt("aa") * F.sqrt("bb"))) * 10000.0 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cosine_bp"),
+    )

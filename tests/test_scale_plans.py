@@ -656,6 +656,11 @@ _LADDER_BOUNDED_BROADCASTS = {
     # same pinned pipeline as the exact prefix filter, plus the pinned
     # rare-vocabulary semi-join
     "dedup_prefix_filter_capped": 0,
+    # token rollup only, no joins
+    "source_token_concentration": 0,
+    # the half-vs-half join of two |labels|x|dims|-bounded centroid
+    # frames — broadcast is the correct plan for it
+    "embedding_centroid_drift": 1,
 }
 
 
