@@ -161,9 +161,13 @@ def token_df_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy(F.desc("df"), F.asc("token")).limit(20)
 
 
-_RECALL_ORACLE = f"""
+def _recall_oracle(approx_sql: str) -> str:
+    """Recall@5 oracle against brute-force truth for any ANN oracle that
+    yields (query_id, neighbor_id) rows — shared by the IVF and PQ
+    evals so the scoring arithmetic can't drift between them."""
+    return f"""
     WITH truth AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
-    approx AS (SELECT query_id, neighbor_id FROM ({_IVF_ORACLE}))
+    approx AS (SELECT query_id, neighbor_id FROM ({approx_sql}))
     SELECT t.query_id,
            COUNT(*) AS n_truth,
            CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
@@ -177,28 +181,14 @@ _RECALL_ORACLE = f"""
 """
 
 
-@query("ann_recall_eval", oracle=_RECALL_ORACLE, wave=7)
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the IVF ANN ladder against brute-force ground truth,
-    per query vector — the ANN-side twin of ``minhash_lsh_eval``: the
-    QA harness that says whether the *approximate* scale path is still
-    returning the neighbors the exact path would, so an operator can
-    re-tune nprobe/ncells from measurements instead of faith.
-
-    Scale shape: both inputs are the already-pinned ladder plans
-    (broadcast query batch, sort-merge corpus joins); this query adds
-    only a join between two k×|queries| frames — bounded by
-    construction (queries are an explicit ``vec_id < 8`` batch), so
-    whatever strategy the planner picks for it is safe.  At 100 TB the
-    eval costs one brute-force pass over the corpus for the fixed query
-    panel — the thing you run on a sample, on a schedule, not per
-    pipeline run.
-    """
+def _recall_frame(spark: SparkSession, sf_dir: str, approx_name: str) -> DataFrame:
+    """Spark twin of :func:`_recall_oracle`: join the named approximate
+    ladder's top-5 against brute-force truth and score per query."""
     truth = QUERIES["knn_bruteforce_cosine"].builder(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
     approx = (
-        QUERIES["ann_ivf_topk"].builder(spark, sf_dir)
+        QUERIES[approx_name].builder(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
@@ -212,6 +202,28 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr("CAST(n_hits * 10000 div n_truth AS BIGINT)").alias("recall_bp"),
     )
+
+
+@query("ann_recall_eval", oracle=_recall_oracle(_IVF_ORACLE), wave=7)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN ladder against brute-force ground truth,
+    per query vector — the ANN-side twin of ``minhash_lsh_eval``: the
+    QA harness that says whether the *approximate* scale path is still
+    returning the neighbors the exact path would, so an operator can
+    re-tune nprobe/ncells from measurements instead of faith.  Scoring
+    is the shared :func:`_recall_frame` harness (ADVICE r6: one scoring
+    body for the IVF and PQ evals so the arithmetic can't drift).
+
+    Scale shape: both inputs are the already-pinned ladder plans
+    (broadcast query batch, sort-merge corpus joins); this query adds
+    only a join between two k×|queries| frames — bounded by
+    construction (queries are an explicit ``vec_id < 8`` batch), so
+    whatever strategy the planner picks for it is safe.  At 100 TB the
+    eval costs one brute-force pass over the corpus for the fixed query
+    panel — the thing you run on a sample, on a schedule, not per
+    pipeline run.
+    """
+    return _recall_frame(spark, sf_dir, "ann_ivf_topk")
 
 
 _DF_CAPS = [16, 32, 64, 128, 256]
@@ -239,9 +251,13 @@ _DF_CAP_ORACLE = f"""
 @query("df_cap_candidate_curve", oracle=_DF_CAP_ORACLE, wave=7)
 def df_cap_candidate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-pair volume of a token-postings join as a function of
-    the document-frequency cap — the tuning curve behind every df-cap
-    escape valve (``minhash_lsh_eval``'s df>64 shingle cut,
-    ``dedup_prefix_filter``'s rare-token prefixes).  For each cap:
+    the document-frequency cap — the tuning curve behind the
+    *token-based* df-cap valves (``dedup_prefix_filter``'s rare-token
+    prefixes, ``dedup_prefix_filter_capped``'s hard cap).  The curve is
+    computed over whitespace tokens; ``minhash_lsh_eval``'s df>64 cut
+    operates on 5-gram shingles, whose df distribution differs, so this
+    curve prices the token caps only (a shingle-keyed twin would be the
+    tuning curve for the LSH cut).  For each cap:
     tokens kept, the worst-case candidate pairs they imply
     (``df*(df-1)/2`` per token), and the tokens/postings the cap
     discards.  Reading this at the current corpus size tells an
@@ -338,49 +354,6 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_jaccard_bp"
             ),
         )
-    )
-
-
-def _recall_oracle(approx_sql: str) -> str:
-    """Recall@5 oracle against brute-force truth for any ANN oracle that
-    yields (query_id, neighbor_id) rows — shared by the IVF and PQ
-    evals so the scoring arithmetic can't drift between them."""
-    return f"""
-    WITH truth AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
-    approx AS (SELECT query_id, neighbor_id FROM ({approx_sql}))
-    SELECT t.query_id,
-           COUNT(*) AS n_truth,
-           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
-                AS BIGINT) AS n_hits,
-           CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END), 0)
-                * 10000 // COUNT(*) AS BIGINT) AS recall_bp
-    FROM truth t
-    LEFT JOIN approx a
-      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-    GROUP BY t.query_id
-"""
-
-
-def _recall_frame(spark: SparkSession, sf_dir: str, approx_name: str) -> DataFrame:
-    """Spark twin of :func:`_recall_oracle`: join the named approximate
-    ladder's top-5 against brute-force truth and score per query."""
-    truth = QUERIES["knn_bruteforce_cosine"].builder(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    approx = (
-        QUERIES[approx_name].builder(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
-    )
-    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
-    return joined.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_truth"),
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
-    ).select(
-        "query_id",
-        "n_truth",
-        "n_hits",
-        F.expr("CAST(n_hits * 10000 div n_truth AS BIGINT)").alias("recall_bp"),
     )
 
 
@@ -731,6 +704,15 @@ def source_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one token explode, one (source, token)-keyed rollup
     with map-side partials, one |sources|-bounded aggregate — no
     joins, nothing driver-side.
+
+    Arithmetic width (ADVICE r6): DuckDB's SUM over BIGINT promotes to
+    HUGEINT (int128), so the Spark side squares and sums in
+    DECIMAL(38,0) rather than int64 — int64 would wrap silently above
+    ~3e9 postings per source in non-ANSI mode, exactly the corpus
+    scale this probe monitors.  DECIMAL(38,0) holds until
+    ``sum(c^2) * 1e6 > 1e38`` (per-token counts ~1e16), far beyond any
+    real corpus; past that Spark yields NULL rather than a wrong
+    number.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
@@ -739,7 +721,9 @@ def source_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
         F.sum("c").cast("bigint").alias("n_postings"),
         F.expr(
-            "CAST(sum(c * c) * 1000000 div (sum(c) * sum(c)) AS BIGINT)"
+            "CAST(sum(CAST(c AS DECIMAL(19,0)) * c) * 1000000"
+            " div (sum(CAST(c AS DECIMAL(19,0)))"
+            " * sum(CAST(c AS DECIMAL(19,0)))) AS BIGINT)"
         ).alias("simpson_ppm"),
     )
 

@@ -42,6 +42,9 @@ SF01 = "/root/testdata/sf0.1"
 # Three measured points (sf0.1 native, 10x, 100x) turn the pairwise
 # ratios into a two-decade scaling curve.
 REPLICAS = int(os.environ.get("REHEARSE_REPLICAS", "10"))
+# ADVICE r6: REPLICAS=1 would make decades=log10(1)=0 and divide the
+# exponent summary by zero; 0/negative would build an empty tiling.
+assert REPLICAS >= 2, "REHEARSE_REPLICAS must be >= 2 (one real decade step)"
 # Version of the tiling transforms (vocab rename + embedding roll/flip;
 # v3 adds key-offset tiling of the relational/events facts + verbatim
 # dim copies).  Encoded with REPLICAS into the tiled path so changing
@@ -113,11 +116,26 @@ def _sweep_stale_tiles() -> None:
         pass
 
 
+def _assert_keys_below(df, keys: list[str], offset: int) -> None:
+    """Tiling-safety guard (ADVICE r6): every offset key column must fit
+    strictly below the replica offset or replica key spaces overlap."""
+    row = df.agg(*[F.max(k).alias(k) for k in keys]).first()
+    for k in keys:
+        assert row[k] is None or row[k] < offset, (
+            f"tiling offset too small: max({k})={row[k]} >= {offset}"
+        )
+
+
 def build_tiled(spark) -> None:
     _sweep_stale_tiles()
     if os.path.exists(os.path.join(TILED, "_SUCCESS_TILED")):
         return
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    # ADVICE r6: the k*offset tiling silently produces OVERLAPPING key
+    # spaces (breaking the disjoint-replica invariant every exponent
+    # relies on) if a base fixture ever carries keys >= the offset —
+    # check once per build, cheap next to the write it guards.
+    _assert_keys_below(docs, ["doc_id"], 10_000_000)
     parts = []
     for k in range(REPLICAS):
         d = docs.withColumn(
@@ -145,6 +163,7 @@ def build_tiled(spark) -> None:
     )
 
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    _assert_keys_below(emb, ["vec_id"], 10_000_000)
     dim = len(emb.select("embedding").first()[0])
     parts = []
     for k in range(REPLICAS):
@@ -191,6 +210,7 @@ def build_tiled(spark) -> None:
     }
     for table, keys in fact_keys.items():
         base = load_table(spark, SF01, table)
+        _assert_keys_below(base, keys, _OFF)
         parts = []
         for k in range(REPLICAS):
             d = base
