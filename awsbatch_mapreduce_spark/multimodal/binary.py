@@ -197,18 +197,29 @@ def visual_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     runs inside codegen, so verification costs one instruction per
     candidate.  Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
-    a = hashed.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("phash").alias("ph_a"),
-        "b0", "b1", "b2", "b3",
+    # Both band-join sides are O(corpus) frames derived through
+    # MapInPandas (perceptual_hash), whose size estimate Catalyst
+    # cannot trust — the exact class that OOM'd the r5 sf1 rehearsal on
+    # dedup_minhash_lsh.  Pin them off the broadcast path (VERDICT r6
+    # #2); same doctrine as plans/hints.py on the text-dedup ladders.
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+
+    a = never_broadcast(
+        hashed.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("phash").alias("ph_a"),
+            "b0", "b1", "b2", "b3",
+        )
     )
-    b = hashed.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("phash").alias("ph_b"),
-        F.col("b0").alias("c0"),
-        F.col("b1").alias("c1"),
-        F.col("b2").alias("c2"),
-        F.col("b3").alias("c3"),
+    b = never_broadcast(
+        hashed.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("phash").alias("ph_b"),
+            F.col("b0").alias("c0"),
+            F.col("b1").alias("c1"),
+            F.col("b2").alias("c2"),
+            F.col("b3").alias("c3"),
+        )
     )
     cands = None
     for i in range(4):

@@ -289,15 +289,25 @@ def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
         .localCheckpoint()
     )
+    # Both propagation joins pair O(duplicate-set) frames whose
+    # localCheckpoint'd stats Catalyst cannot size statically — pin them
+    # off the broadcast path so an AQE runtime estimate can never
+    # upgrade a corpus-scaled labels frame to a driver-built broadcast
+    # (VERDICT r6 #2: the same latent class as the r5 rehearsal OOM).
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+
     for _ in range(8):  # covers chains up to 2^8 hops via doubling
-        one_hop = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
-        )
+        one_hop = edges.join(
+            never_broadcast(labels), edges.src == labels.node
+        ).select(F.col("dst").alias("node"), "label")
         # pointer doubling: every label value is itself a node key, so
         # label(label) is always defined
         doubled = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
+            never_broadcast(labels.alias("a"))
+            .join(
+                never_broadcast(labels.alias("b")),
+                F.col("a.label") == F.col("b.node"),
+            )
             .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
         )
         prop = (

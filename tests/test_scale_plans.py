@@ -683,3 +683,221 @@ def test_dedup_ladder_never_broadcasts_data_scaled_sides(spark, name):
         f"{name}: {got} distinct BroadcastExchange nodes, expected {want}"
         f" (bounded-by-construction only)\n{tree[:3000]}"
     )
+
+
+# Registry-wide broadcast budget (VERDICT r6 #2): the enumeration now
+# covers EVERY registered query, not just the dedup/ANN ladders.  Counts
+# are distinct BroadcastExchange nodes in the statically-planned
+# formatted explain at the test fixture scale.  Classification doctrine
+# (SCALING.md "Broadcast hygiene"):
+#   - bounded-by-construction frames (dims, scalar/quantile/top-k
+#     aggregates, iteration codebooks, literal spines, query batches)
+#     broadcast correctly at ANY corpus size;
+#   - DIRECT SCAN subtrees (Filter/Project over parquet) may broadcast
+#     at test scale because Catalyst's estimate tracks file size — the
+#     same query re-plans them as shuffle joins when the table is big,
+#     which is the correct adaptive behavior, so they are enumerated,
+#     not pinned;
+#   - derived O(corpus) frames with untrustworthy estimates
+#     (MapInPandas outputs, checkpointed iteration frames, exploded
+#     candidate sets) must NEVER broadcast — those carry
+#     `never_broadcast` pins and contribute 0 here.
+# Any new broadcast that shifts a count fails this gate before it can
+# OOM a scaled run.
+_REGISTRY_BROADCAST_BUDGET = {
+    # wave 8 (round 7): pure shuffle-path skew-safe twins
+    "salted_topk_orders_per_customer": 0,
+    "sessionization_time_sliced": 0,
+    "shingle_df_cap_curve": 0,
+    "analyze_table_stats": 0,
+    "anti_join_customers_without_orders": 1,  # bcast lineage: orders
+    "approx_sketches": 0,
+    "asof_join_purchase_attribution": 0,
+    "batch_padding_waste": 0,
+    "bbox_filter_project": 0,
+    "bbox_summary_stats": 0,
+    "bigram_dice_topk": 2,  # bcast lineage: documents
+    "bigram_lm_familiarity": 1,  # bcast lineage: documents
+    "bootstrap_ci_order_value": 2,  # bcast lineage: orders
+    "bucketed_join_no_shuffle": 1,
+    "cogroup_user_activity_reconcile": 0,
+    "cohort_retention_daily": 1,  # bcast lineage: events
+    "column_profile_documents": 0,
+    "conversion_funnel_users": 5,  # bcast lineage: events
+    "corpus_curation_funnel": 0,
+    "corpus_half_drift": 3,  # bcast lineage: documents
+    "corpus_mixture_epochs": 0,
+    "corpus_pack_sequences": 0,
+    "corpus_shard_plan": 2,  # bcast lineage: documents
+    "csv_roundtrip_part_summary": 0,
+    "cube_status_priority": 0,
+    "customer_pareto_abc": 6,  # bcast lineage: orders
+    "customer_rfm_segments": 1,  # bcast lineage: orders
+    "customer_value_deciles": 7,  # bcast lineage: customer
+    "data_quality_report": 1,  # bcast lineage: orders
+    "dataset_snapshot_diff": 0,
+    "decimal_exact_revenue": 0,
+    "decontaminate_train_vs_eval": 1,  # bcast lineage: documents
+    "dedup_canonical_assignment": 0,
+    "dedup_cluster_size_histogram": 0,
+    "dedup_exact": 0,
+    "dedup_simhash": 0,
+    "distinct_customers_per_status": 0,
+    "doc_chunk_windows": 0,
+    "doc_embedding_join_profile": 1,  # bcast lineage: documents
+    "domain_cap_sample": 0,
+    "drift_union_normalize": 0,
+    "embedding_centroid_per_label": 0,
+    "embedding_int8_quantization": 0,
+    "embedding_norms": 0,
+    "entity_resolution_blocked": 1,  # bcast lineage: customer
+    "event_dwell_histogram": 0,
+    "event_path_topk": 0,
+    "event_transition_matrix": 0,
+    "event_type_cooccurrence": 2,  # bcast lineage: events
+    "events_cdc_latest_per_key": 0,
+    "events_ewma_halflife": 0,
+    "events_fill_forward": 0,
+    "events_hourly_gapfill": 2,  # bcast lineage: events
+    "events_hourly_unique_users": 0,
+    "events_json_extract": 0,
+    "events_mad_outliers": 3,  # bcast lineage: events
+    "events_quantiles_exact": 6,  # bcast lineage: events
+    "events_rolling_7d_active_users": 1,  # bcast lineage: events
+    "events_session_window_native": 0,
+    "events_sessionization": 0,
+    "events_sliding_windows": 0,
+    "events_top_sessions": 0,
+    "events_trailing_hour_range_frame": 0,
+    "events_tumbling_hourly": 0,
+    "events_user_activity_pivot": 0,
+    "events_winsorized_stats": 1,  # bcast lineage: events
+    "events_zscore_outliers": 1,  # bcast lineage: events
+    "except_custkeys": 1,  # bcast lineage: orders
+    "feature_hashing_sparse": 0,
+    "frame_histogram2d": 0,
+    "full_outer_nation_coverage": 0,
+    "grouped_map_regression": 0,
+    "grouping_sets_revenue": 0,
+    "hard_negative_mining": 1,  # bcast lineage: embeddings
+    "higher_order_array_ops": 0,
+    "incremental_agg_merge": 0,
+    "intersect_custkeys": 1,  # bcast lineage: orders
+    "interval_join_click_purchase": 1,  # bcast lineage: events
+    "inverted_index_postings": 0,
+    "join_key_skew_profile": 1,  # bcast lineage: lineitem
+    "json_malformed_handling": 0,
+    "kmeans_embeddings": 10,  # bcast lineage: embeddings
+    "lang_distinctive_terms": 3,  # bcast lineage: documents
+    "lang_id_confusion": 0,
+    "lsh_band_load_histogram": 0,
+    "manifest_json_roundtrip": 0,
+    "map_mktsegment_stats": 0,
+    "mercator_projection": 0,
+    "mixture_temperature_weights": 1,  # bcast lineage: documents
+    "month_manifest": 0,
+    "monthly_frames_ordered": 0,
+    "monthly_revenue_mom_change": 0,
+    "multimodal_audio_energy": 0,
+    "multimodal_binary_stats": 0,
+    "multimodal_decode_features": 0,
+    "multimodal_frame_sample": 0,
+    "multimodal_resize": 0,
+    "multimodal_visual_near_dup": 0,
+    "nation_customer_extremes": 1,
+    "nation_revenue_share": 3,  # bcast lineage: customer
+    "nation_segment_listagg": 1,
+    "ngram_boilerplate_ratio": 1,  # bcast lineage: documents
+    "orc_roundtrip_orders_summary": 0,
+    "orders_above_customer_avg": 0,
+    "orders_weekday_seasonality": 0,
+    "orders_with_lineitem_stats": 1,  # bcast lineage: orders
+    "pagerank_event_graph": 10,  # bcast lineage: events
+    "pca_top_component": 435,  # bcast lineage: embeddings
+    "pii_detect_redact": 0,
+    "price_histogram_width_bucket": 0,
+    "pysource_month_manifest": 0,
+    "q10_returned_revenue": 3,  # bcast lineage: customer, orders
+    "q11_important_stock": 7,  # bcast lineage: lineitem
+    "q12_shipping_speed_priority": 1,  # bcast lineage: orders
+    "q13_customer_order_distribution": 1,  # bcast lineage: orders
+    "q14_type_revenue_share": 1,
+    "q15_top_supplier": 2,  # bcast lineage: lineitem
+    "q16_supplier_part_counts": 2,
+    "q17_small_quantity_revenue": 2,  # bcast lineage: lineitem
+    "q18_large_orders": 2,  # bcast lineage: customer, orders
+    "q19_disjunctive_predicates": 1,
+    "q1_pricing_summary": 0,
+    "q20_concentrated_suppliers": 5,  # bcast lineage: lineitem
+    "q21_sole_late_supplier": 2,  # bcast lineage: orders
+    "q22_wealthy_inactive_customers": 2,  # bcast lineage: customer, orders
+    "q2_min_cost_supplier": 4,
+    "q3_shipping_priority": 2,  # bcast lineage: customer, orders
+    "q4_order_priority_checking": 1,  # bcast lineage: lineitem
+    "q5_nation_revenue": 5,  # bcast lineage: customer, orders
+    "q6_forecast_revenue": 0,
+    "q7_nation_trade_volume": 5,  # bcast lineage: customer, orders
+    "q8_market_share": 3,  # bcast lineage: orders
+    "q9_nation_profit": 5,  # bcast lineage: lineitem, orders
+    "range_join_banded_global": 1,  # bcast lineage: events
+    "range_join_error_context": 1,  # bcast lineage: events
+    "recursive_key_lineage": 0,
+    "referential_integrity_audit": 5,  # bcast lineage: customer, orders
+    "rollup_region_nation": 2,
+    "salted_join_priority_revenue": 1,  # bcast lineage: orders
+    "scalar_functions_showcase": 0,
+    "scd2_user_value_intervals": 0,
+    "semi_join_customers_with_open_orders": 1,  # bcast lineage: orders
+    "shipping_delay_profile": 1,  # bcast lineage: orders
+    "shuffle_hash_priority_revenue": 0,
+    "sql_registered_udf_mercator": 0,
+    "stats_numeric_profile": 0,
+    "stratified_sample_by_lang": 0,
+    "text_bpe_token_count": 0,
+    "text_compression_ratio": 0,
+    "text_fingerprint": 0,
+    "text_language_id": 0,
+    "text_quality_score": 0,
+    "text_repetition_score": 0,
+    "text_token_stats": 0,
+    "text_unigram_logprob": 2,  # bcast lineage: documents
+    "tile_pyramid_counts": 0,
+    "token_budget_threshold": 3,  # bcast lineage: documents
+    "token_df_heavy_hitters": 0,
+    "tokenize_with_vocab": 1,  # bcast lineage: documents
+    "top_customers": 1,  # bcast lineage: customer
+    "train_val_test_split": 0,
+    "trigram_novelty_score": 1,  # bcast lineage: documents
+    "udaf_geomean_value": 0,
+    "udtf_word_explode": 0,
+    "union_all_priority_counts": 0,
+    "unpivot_status_metrics": 0,
+    "url_domain_stats": 0,
+    "user_engagement_profile": 0,
+    "variant_json_extract": 0,
+    "vocab_growth_curve": 7,  # bcast lineage: documents
+    "vocab_oov_rate": 1,  # bcast lineage: documents
+    "vocab_top_words": 0,
+    "weighted_doc_sample": 0,
+    "window_analytics_order_profile": 0,
+    "window_running_revenue": 0,
+    "window_top_orders_per_customer": 0,
+    "zorder_pruned_scan": 0,
+}
+
+
+
+@pytest.mark.parametrize("name", sorted(_REGISTRY_BROADCAST_BUDGET))
+def test_registry_broadcast_budget(spark, name):
+    """Whole-registry twin of the ladder test above: the distinct
+    BroadcastExchange count of every remaining query's static plan must
+    match the audited budget exactly — a new broadcast anywhere in the
+    registry (plan change, upstream refactor, accidental hint loss) is
+    a scale-hygiene event that must be reviewed, not silently shipped."""
+    tree = _plan(spark, QUERIES[name].builder(spark, SF_DIR)).split("\n\n")[0]
+    got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
+    want = _REGISTRY_BROADCAST_BUDGET[name]
+    assert got == want, (
+        f"{name}: {got} distinct BroadcastExchange nodes, budget {want}\n"
+        f"{tree[:3000]}"
+    )
