@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def salted_join(
@@ -47,3 +48,45 @@ def salted_join(
     )
     out = salted_probe.join(replicated_build, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def two_phase_topk(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    k: int,
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe per-key top-k: rank within (key, salt) buckets first,
+    then rank the <= n_salts*k survivors per key.
+
+    A plain ranking window shuffles every row of a hot key into ONE
+    task's sort — a 30%-hot key at 100 TB is a single-task sort of 30%
+    of the table.  Phase 1 spreads the hot key over ``n_salts``
+    partitions and discards all but k rows per bucket; phase 2's
+    per-key partitions are bounded at ``n_salts * k`` rows by
+    construction, so no partition ever depends on the key's row count.
+
+    ``salt_from`` must name a column that is unique-per-row within a
+    key (an id) so the salt is DETERMINISTIC (engine determinism
+    doctrine: rand() only where placement can't change results; here
+    even placement is pinned).  Result is row-identical to the plain
+    window (asserted in ``tests/test_skew.py``): any row in the true
+    per-key top-k is in the top-k of whichever bucket it landed in.
+
+    ``order_cols`` are Column expressions (e.g. ``[F.desc("price"),
+    F.asc("id")]``); the final ``rn`` column is the true per-key rank.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(key), salt).orderBy(*order_cols)
+    phase1 = (
+        df.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= k)
+        .drop("__rk1")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        phase1.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rn") <= k)
+    )

@@ -93,9 +93,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_sessionization",
-    oracle=f"""
+# Shared with wave8's time-sliced sessionization: BOTH implementations
+# must match this one oracle exactly, which is the equivalence proof
+# that the scale-safe sliced plan computes the same sessions.
+SESSIONIZATION_ORACLE = f"""
         WITH ordered AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                    LAG(epoch_us(ts)) OVER (
@@ -121,8 +122,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(ts_us) AS session_end_us
         FROM sessioned
         GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@query("events_sessionization", oracle=SESSIONIZATION_ORACLE)
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum.
 

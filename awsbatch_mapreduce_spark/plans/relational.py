@@ -248,9 +248,10 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_top_orders_per_customer",
-    oracle="""
+# Shared with wave8's two-phase salted top-k: both implementations must
+# match this one oracle exactly — the equivalence proof that the
+# skew-safe plan keeps per-key ranking semantics.
+WINDOW_TOPK_ORACLE = """
         SELECT o_custkey, o_orderkey, o_totalprice, rn
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
@@ -260,8 +261,10 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
         )
         WHERE rn <= 3
-    """,
-)
+    """
+
+
+@query("window_top_orders_per_customer", oracle=WINDOW_TOPK_ORACLE)
 def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window function: top-3 orders per customer.
 

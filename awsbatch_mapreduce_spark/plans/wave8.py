@@ -1,0 +1,220 @@
+"""Wave-8 queries (round 7): skew-safe twins of hot-key-vulnerable
+operators, plus the shingle-keyed cap tuning curve.
+
+Round 7's theme is the gap between uniform-corpus scale evidence and a
+real 100 TB corpus, whose mass concentrates on hot keys (heavy users,
+boilerplate cliques, whale customers).  Two operator families here are
+the mitigation plans, each registered against the SAME oracle as its
+plain twin — the equivalence proof that the skew-safe plan computes
+identical results:
+
+- ``salted_topk_orders_per_customer`` vs ``window_top_orders_per_customer``
+  (two-phase bucketed ranking vs one hot-key window sort);
+- ``sessionization_time_sliced`` vs ``events_sessionization``
+  (bounded per-(user, slice) windows + session-level merge vs an
+  unbounded per-user window).
+
+Reference parity note: the reference engine has no skew handling at
+all (its reduce stage is a single-node pandas concat,
+``Reduce.ps1``/``Implementation.cs``); these operators exist because a
+1000-executor Spark run needs them, not because the reference had them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from awsbatch_mapreduce_spark.operators.skew import two_phase_topk
+from awsbatch_mapreduce_spark.plans.events import SESSIONIZATION_ORACLE
+from awsbatch_mapreduce_spark.plans.llm_text import _SH_SQL, _shingles
+from awsbatch_mapreduce_spark.plans.registry import query
+from awsbatch_mapreduce_spark.plans.relational import WINDOW_TOPK_ORACLE
+from awsbatch_mapreduce_spark.sources.tables import load_table
+
+
+@query("salted_topk_orders_per_customer", oracle=WINDOW_TOPK_ORACLE, wave=8)
+def salted_topk_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 orders per customer via the two-phase salted ranking
+    operator (``operators/skew.py:two_phase_topk``) — the skew-safe
+    twin of ``window_top_orders_per_customer``, sharing its oracle so
+    the driver proves the two plans return identical rows.
+
+    Scale shape: phase 1 shuffles on (o_custkey, salt) — a customer
+    holding 30% of all orders spreads over 16 buckets instead of one
+    task's sort — and keeps <= k rows per bucket; phase 2's per-key
+    partitions are bounded at 16*k = 48 rows by construction.  The
+    skew rehearsal (SCALING.md round 7) measures both twins on the
+    hot-customer tiling.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return two_phase_topk(
+        orders,
+        key="o_custkey",
+        order_cols=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        salt_from="o_orderkey",
+        n_salts=16,
+    )
+
+
+_GAP_US = 30 * 60 * 1_000_000
+# slice width MUST exceed the session gap: then a session can never
+# span an eventless slice, so merging ADJACENT slice-sessions (single
+# lag, no running max) reconstructs exact sessions.
+_SLICE_US = 6 * 3600 * 1_000_000
+
+
+@query("sessionization_time_sliced", oracle=SESSIONIZATION_ORACLE, wave=8)
+def sessionization_time_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization computed scalably: sessionize within
+    bounded (user_id, 6h-slice) window partitions, then merge sessions
+    across slice boundaries at the SESSION level — the scale answer to
+    ``events_sessionization``'s docstring caveat ("survives any scale
+    where a single user's history fits a partition; salt or time-slice
+    beyond that").  Same oracle as the plain operator: the driver
+    proves slice-and-merge returns byte-identical sessions.
+
+    Why it is exact: slices partition event time, in-slice runs are the
+    true sessions restricted to the slice, and since the slice width
+    (6 h) exceeds the gap (30 min) a true session can never jump an
+    empty slice — so joining a slice-session to its predecessor when
+    ``start - prev_end <= gap`` (one LAG over per-user SESSIONS, a
+    frame compressed by orders of magnitude vs events) reconstructs
+    exactly the unbounded computation.
+
+    Scale shape: the events-level window partitions by (user, slice) —
+    a hot user's history splits across slices, bounding every sort by
+    the user's per-6h event rate; the merge pass partitions by user
+    over session summaries only.  At 100 TB: thousands of sessions per
+    user-year vs billions of events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    sliced = ev.withColumn(
+        "slice", F.floor(F.col("ts_us") / F.lit(_SLICE_US))
+    )
+    w_lag = Window.partitionBy("user_id", "slice").orderBy("ts_us", "event_id")
+    flagged = sliced.select(
+        "user_id",
+        "slice",
+        "ts_us",
+        "event_id",
+        F.when(
+            F.lag("ts_us").over(w_lag).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_lag) > _GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "slice")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    slice_sessions = (
+        flagged.withColumn("sub", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "slice", "sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+    )
+    # merge pass over SESSIONS: starts are strictly increasing per user
+    # (sessions are disjoint time intervals), so one lag suffices
+    w_u = Window.partitionBy("user_id").orderBy("start_us")
+    merged = slice_sessions.select(
+        "user_id",
+        "n_events",
+        "start_us",
+        "end_us",
+        F.when(
+            F.lag("end_us").over(w_u).isNull()
+            | (F.col("start_us") - F.lag("end_us").over(w_u) > _GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_ur = (
+        Window.partitionBy("user_id")
+        .orderBy("start_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn(
+            "session_id", F.sum("new_sess").over(w_ur).cast("bigint")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.min("start_us").alias("session_start_us"),
+            F.max("end_us").alias("session_end_us"),
+        )
+    )
+
+
+_SHINGLE_CAPS = [16, 32, 64, 128, 256]
+
+_SHINGLE_CAP_ORACLE = f"""
+    WITH {_SH_SQL.strip().rstrip()},
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    caps AS (SELECT unnest([{", ".join(str(c) for c in _SHINGLE_CAPS)}]) AS cap)
+    SELECT CAST(cap AS BIGINT) AS cap,
+           CAST(COALESCE(SUM(CASE WHEN df <= cap THEN 1 END), 0) AS BIGINT)
+             AS n_shingles_kept,
+           CAST(COALESCE(SUM(CASE WHEN df <= cap THEN df * (df - 1) // 2 END), 0)
+             AS BIGINT) AS candidate_pairs,
+           CAST(COALESCE(SUM(CASE WHEN df > cap THEN 1 END), 0) AS BIGINT)
+             AS n_shingles_dropped,
+           CAST(COALESCE(SUM(CASE WHEN df > cap THEN df END), 0) AS BIGINT)
+             AS postings_dropped
+    FROM df CROSS JOIN caps
+    GROUP BY cap
+"""
+
+
+@query("shingle_df_cap_curve", oracle=_SHINGLE_CAP_ORACLE, wave=8)
+def shingle_df_cap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair volume vs document-frequency cap over the SAME
+    3-token shingles the LSH ladder uses — the shingle-keyed twin of
+    ``df_cap_candidate_curve`` (whose docstring scopes itself to token
+    caps; ADVICE r6 asked for this curve to genuinely price
+    ``minhash_lsh_eval``'s df > 64 shingle cut).  For each cap: the
+    shingles kept, the worst-case candidate pairs they imply
+    (df*(df-1)/2), and the shingles/postings the cap discards.
+
+    Scale shape: one shingle explode (shared builder with the dedup
+    ladder, ``llm_text._shingles``), one shingle-keyed rollup with
+    map-side partials, a 5-way literal explode, a 5-group aggregate —
+    no joins; strictly cheaper than the LSH eval it tunes.
+    """
+    sh = _shingles(spark, sf_dir)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    caps = F.explode(F.array(*[F.lit(c) for c in _SHINGLE_CAPS])).alias("cap")
+    curve = df.select("df", caps)
+    kept = F.col("df") <= F.col("cap")
+    return curve.groupBy(F.col("cap").cast("bigint").alias("cap")).agg(
+        F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_shingles_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.expr("df * (df - 1) div 2"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        F.coalesce(F.sum(F.when(~kept, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_shingles_dropped"),
+        F.coalesce(F.sum(F.when(~kept, F.col("df"))), F.lit(0))
+        .cast("bigint")
+        .alias("postings_dropped"),
+    )

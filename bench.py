@@ -75,6 +75,33 @@ EXTENDED = [
 _SINGLE_SHOT = {"dedup_prefix_filter"}
 
 
+def _calibration_sec(spark) -> float:
+    """Constant-work, JVM-only host-speed probe (VERDICT r6 #5): hash +
+    sum over a fixed 64M-row range, 32 partitions, no I/O, no data
+    dependence — pure codegen + scheduler throughput.  min-of-5 after
+    one untimed JIT warm-up.  Cross-round bench totals compare VM hosts
+    (r6 measured 13.1–17.1 s spreads on identical code); dividing each
+    headline time by this probe gives a host-speed-normalized ratio
+    that IS comparable across rounds."""
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        # pmod keeps the 256M-term sum far inside int64 (ANSI mode);
+        # 256M rows ≈ 0.5-1 s — long enough that scheduler jitter is a
+        # small fraction of the probe itself
+        spark.range(0, 256_000_000, 1, 32).select(
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("h")
+        ).agg(F.sum("h")).write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -93,6 +120,8 @@ def main() -> None:
     # executes: the heavy extended jobs disturb the JVM (GC pressure,
     # page cache) enough to inflate headline minima, which must stay
     # comparable with prior rounds' headline-only runs.
+    calibration = _calibration_sec(spark)
+
     samples: dict[str, list[float]] = {
         name: [] for name in HEADLINE + EXTENDED
     }
@@ -166,6 +195,15 @@ def main() -> None:
                 "spread": spread,
                 "reps": _REPS,
                 "sf": sf,
+                # host-speed calibration (VERDICT r6 #5): divide any
+                # cross-round headline comparison by the probe ratio
+                # before calling it a regression
+                "calibration_sec": calibration,
+                "normalized": {
+                    name: round(t / calibration, 2)
+                    for name, t in timings.items()
+                },
+                "normalized_total": round(total / calibration, 2),
             }
         )
     )

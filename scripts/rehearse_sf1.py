@@ -18,6 +18,16 @@ exact prefix-filter join at sf1).  Prints one JSON line per
 (delta of total shuffle-write across stages, from the local REST API),
 then a summary with the sf0.1 -> sf1 scaling exponent
 ``log10(t_sf1 / t_sf01)`` (1.0 = linear).
+
+Skew mode (round 7, VERDICT r6 #1): ``REHEARSE_SKEW=0.3`` builds a
+SECOND tiling where 30% of events hit one user_id, 30% of orders hit
+one o_custkey, and ``REHEARSE_SKEW_CLIQUE`` (default 1%) of documents
+share one boilerplate text — then measures each query on the uniform
+vs the skewed tiling at the same scale, records per-stage straggler
+ratios (p100/p50 task time) and whether AQE's skew-join split engaged,
+and A/Bs the explicit salted join against plain sort-merge on the hot
+orders⋈customer join.  AQE skew thresholds are scaled down so the
+mechanism is exercisable at rehearsal volume (see main()).
 """
 
 from __future__ import annotations
@@ -52,11 +62,30 @@ assert REPLICAS >= 2, "REHEARSE_REPLICAS must be >= 2 (one real decade step)"
 # stale tile would invalidate every scaling exponent this script exists
 # to measure.
 TILE_VERSION = "v3"
-_TILE_TAG = f"r{REPLICAS}_{TILE_VERSION}"
-_TILE_PREFIX = "awsbatch_sf1_tiled"
-TILED = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), f"{_TILE_PREFIX}_{_TILE_TAG}"
+# Skew mode (VERDICT r6 #1): REHEARSE_SKEW=0.3 routes that fraction of
+# events (one hot user_id=0) and orders (one hot o_custkey=1) onto a
+# single key ACROSS all replicas, and REHEARSE_SKEW_CLIQUE (default
+# 0.01 when skew is on) replaces that fraction of every replica's docs
+# with one shared boilerplate text — a corpus-wide near-dup mega-clique.
+# The uniform tiling's disjoint-replica linearity invariant deliberately
+# does NOT hold here; skew mode measures task-time skew ratios, whether
+# AQE's skew-join split engages, and the salted-join A/B instead of
+# scaling exponents.
+SKEW = float(os.environ.get("REHEARSE_SKEW", "0"))
+CLIQUE = float(
+    os.environ.get("REHEARSE_SKEW_CLIQUE", "0.01" if SKEW > 0 else "0")
 )
+assert 0 <= SKEW < 1 and 0 <= CLIQUE < 1
+_TAG_UNIFORM = f"r{REPLICAS}_{TILE_VERSION}"
+_TILE_TAG = (
+    f"{_TAG_UNIFORM}_skew{SKEW:g}_{CLIQUE:g}" if SKEW > 0 else _TAG_UNIFORM
+)
+_TILE_PREFIX = "awsbatch_sf1_tiled"
+_TMP = os.environ.get("TMPDIR", "/tmp")
+TILED = os.path.join(_TMP, f"{_TILE_PREFIX}_{_TILE_TAG}")
+# skew mode compares skewed vs uniform tiling at the SAME scale, so it
+# needs both generations on disk
+TILED_UNIFORM = os.path.join(_TMP, f"{_TILE_PREFIX}_{_TAG_UNIFORM}")
 
 REHEARSAL = [
     "dedup_minhash_lsh",
@@ -89,14 +118,20 @@ REHEARSAL = [
     "events_sessionization",
     "events_top_sessions",
     "range_join_error_context",
+    # round 7 (VERDICT r6 #3): the one headline query whose hot path
+    # crosses the JVM<->Python boundary — measures Arrow-stage
+    # throughput scaling + Python-worker peak RSS (sampled from /proc)
+    "multimodal_decode_features",
 ]
 
-# Resume/partition support: REHEARSE_ONLY="a,b" runs a subset, so an
-# interrupted run (the heavy exact-dedup queries dominate wall time)
-# can be completed without re-measuring what already finished.
+# Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any
+# registry query, not just the default list), so an interrupted run
+# (the heavy exact-dedup queries dominate wall time) can be completed
+# without re-measuring what already finished, and one-off modes (skew)
+# can target exactly the queries under study.
 _only = os.environ.get("REHEARSE_ONLY")
 if _only:
-    REHEARSAL = [n for n in REHEARSAL if n in set(_only.split(","))]
+    REHEARSAL = [n for n in _only.split(",") if n]
 
 
 def _sweep_stale_tiles() -> None:
@@ -107,10 +142,10 @@ def _sweep_stale_tiles() -> None:
     import shutil
 
     root = os.environ.get("TMPDIR", "/tmp")
-    keep = os.path.basename(TILED)
+    keep = {os.path.basename(TILED), os.path.basename(TILED_UNIFORM)}
     try:
         for entry in os.listdir(root):
-            if entry.startswith(_TILE_PREFIX) and entry != keep:
+            if entry.startswith(_TILE_PREFIX) and entry not in keep:
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     except OSError:
         pass
@@ -126,9 +161,19 @@ def _assert_keys_below(df, keys: list[str], offset: int) -> None:
         )
 
 
-def build_tiled(spark) -> None:
+_BOILER = " ".join(f"boiler{i}" for i in range(60))
+
+
+def build_tiled(spark, dest: str | None = None, skew: float | None = None,
+                clique: float | None = None) -> None:
+    """Build one tiled generation at ``dest`` (default: TILED).  With
+    ``skew``/``clique`` > 0 the hot-key transforms apply (module
+    docstring); the uniform build is the skew=0 special case."""
+    dest = TILED if dest is None else dest
+    skew = SKEW if skew is None else skew
+    clique = CLIQUE if clique is None else clique
     _sweep_stale_tiles()
-    if os.path.exists(os.path.join(TILED, "_SUCCESS_TILED")):
+    if os.path.exists(os.path.join(dest, "_SUCCESS_TILED")):
         return
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     # ADVICE r6: the k*offset tiling silently produces OVERLAPPING key
@@ -154,12 +199,24 @@ def build_tiled(spark) -> None:
                     " ",
                 ),
             )
+        if clique > 0:
+            # skew mode: a deterministic slice of EVERY replica's docs
+            # shares one boilerplate text (no per-replica rename) — a
+            # corpus-wide near-dup mega-clique, the hot-key shape of
+            # template spam at 100 TB
+            d = d.withColumn(
+                "text",
+                F.when(
+                    F.pmod("doc_id", 1000) < int(clique * 1000),
+                    F.lit(_BOILER),
+                ).otherwise(F.col("text")),
+            )
         parts.append(d)
     tiled_docs = parts[0]
     for p in parts[1:]:
         tiled_docs = tiled_docs.unionAll(p)
     tiled_docs.repartition(32).write.mode("overwrite").parquet(
-        f"{TILED}/documents.parquet"
+        f"{dest}/documents.parquet"
     )
 
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
@@ -189,7 +246,7 @@ def build_tiled(spark) -> None:
     for p in parts[1:]:
         tiled_emb = tiled_emb.unionAll(p)
     tiled_emb.repartition(8).write.mode("overwrite").parquet(
-        f"{TILED}/embeddings.parquet"
+        f"{dest}/embeddings.parquet"
     )
 
     # Relational + events facts (tiling v3): offset every key column by
@@ -216,39 +273,238 @@ def build_tiled(spark) -> None:
             d = base
             for col in keys:
                 d = d.withColumn(col, F.col(col) + F.lit(k * _OFF))
+            if skew > 0 and table == "events":
+                # hot user: one user_id absorbs `skew` of ALL replicas'
+                # events (sessionization / per-user window hot key)
+                d = d.withColumn(
+                    "user_id",
+                    F.when(
+                        F.pmod("event_id", 1000) < int(skew * 1000), F.lit(0)
+                    ).otherwise(F.col("user_id")),
+                )
+            if skew > 0 and table == "orders":
+                # hot customer: one o_custkey holds `skew` of all orders
+                d = d.withColumn(
+                    "o_custkey",
+                    F.when(
+                        F.pmod("o_orderkey", 1000) < int(skew * 1000), F.lit(1)
+                    ).otherwise(F.col("o_custkey")),
+                )
             parts.append(d)
         tiled = parts[0]
         for p in parts[1:]:
             tiled = tiled.unionAll(p)
         tiled.repartition(32).write.mode("overwrite").parquet(
-            f"{TILED}/{table}.parquet"
+            f"{dest}/{table}.parquet"
         )
     for dim in ("region", "nation", "supplier", "part"):
         load_table(spark, SF01, dim).write.mode("overwrite").parquet(
-            f"{TILED}/{dim}.parquet"
+            f"{dest}/{dim}.parquet"
         )
-    with open(os.path.join(TILED, "_SUCCESS_TILED"), "w") as f:
+    with open(os.path.join(dest, "_SUCCESS_TILED"), "w") as f:
         f.write("ok")
+
+
+def _rest(spark, path: str):
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}{path}") as r:
+            return json.load(r)
+    except Exception:
+        return None
 
 
 def shuffle_write_bytes(spark) -> int:
     """Total shuffle-write bytes across all completed stages (REST)."""
-    ui = spark.sparkContext.uiWebUrl
-    if not ui:
+    stages = _rest(spark, "/stages?status=complete")
+    if stages is None:
         return -1
-    try:
-        with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
-            app_id = json.load(r)[0]["id"]
-        with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
-        ) as r:
-            stages = json.load(r)
-        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    except Exception:
-        return -1
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
-def main() -> None:
+def completed_stage_ids(spark) -> set[int]:
+    stages = _rest(spark, "/stages?status=complete") or []
+    return {s["stageId"] for s in stages}
+
+
+def task_skew_ratio(spark, new_stage_ids: set[int]) -> dict | None:
+    """Max p100/p50 task executorRunTime over the 3 heaviest NEW stages
+    — the per-stage straggler factor a hot key produces.  1.0 = every
+    task took the same time; a 0.3-hot-key groupBy shows ~0.3*n_tasks
+    here if nothing mitigates it."""
+    stages = _rest(spark, "/stages?status=complete") or []
+    mine = [s for s in stages if s["stageId"] in new_stage_ids]
+    mine.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+    worst = None
+    for s in mine[:3]:
+        summ = _rest(
+            spark,
+            f"/stages/{s['stageId']}/{s.get('attemptId', 0)}/taskSummary"
+            "?quantiles=0.5,1.0",
+        )
+        if not summ or "executorRunTime" not in summ:
+            continue
+        p50, p100 = summ["executorRunTime"]
+        if p50 <= 0:
+            continue
+        ratio = round(p100 / p50, 1)
+        rec = {
+            "stage": s["stageId"],
+            "n_tasks": s.get("numCompleteTasks"),
+            "p50_ms": round(p50),
+            "p100_ms": round(p100),
+            "ratio": ratio,
+        }
+        if worst is None or ratio > worst["ratio"]:
+            worst = rec
+    return worst
+
+
+class _PyWorkerRss:
+    """Samples the summed RSS of all pyspark worker/daemon processes
+    every 200 ms on a daemon thread; ``peak_mb`` after stop() is the
+    peak Python-side memory of an Arrow stage — the number that decides
+    whether a mapInPandas batch size fits executor memory at scale."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.peak_kb = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _sample(self) -> int:
+        import glob as g
+
+        total = 0
+        for cmdline in g.glob("/proc/[0-9]*/cmdline"):
+            try:
+                with open(cmdline, "rb") as f:
+                    cmd = f.read()
+                if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
+                    continue
+                pid_dir = os.path.dirname(cmdline)
+                with open(os.path.join(pid_dir, "status")) as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            total += int(line.split()[1])
+                            break
+            except OSError:
+                continue
+        return total
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self.peak_kb = max(self.peak_kb, self._sample())
+            self._stop.wait(0.2)
+
+    def __enter__(self) -> "_PyWorkerRss":
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._t.join(timeout=2)
+
+    @property
+    def peak_mb(self) -> int | None:
+        return round(self.peak_kb / 1024) if self.peak_kb else None
+
+
+def _run_for_final_plan(df) -> tuple[int, str]:
+    """Execute the frame's OWN physical plan (not a derived count()
+    plan) and return (row count, final post-AQE plan string) — the only
+    way a `skew=true` AQEShuffleRead marker is observable, since
+    ``df.count()`` builds a separate QueryExecution whose final plan
+    the original frame never sees."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    n = int(jplan.execute().count())
+    return n, jplan.toString()
+
+
+def _salted_ab(spark) -> None:
+    """A/B the explicit salted join against the plain sort-merge join on
+    the skewed tiling's hot-customer orders⋈customer join, with AQE's
+    skew split off and on — three measured points that say which
+    mitigation actually pays at this skew (VERDICT r6 #1).  Result-set
+    identity between variants is asserted (same row count)."""
+    from awsbatch_mapreduce_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{TILED}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = (
+        spark.read.parquet(f"{TILED}/customer.parquet")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+
+    def _plain():
+        return orders.hint("merge").join(cust.hint("merge"), "o_custkey")
+
+    def _salted():
+        # merge-hint both sides so the A/B compares shuffle regimes —
+        # a broadcast of the replicated build would dodge the skew
+        # question entirely (and at real dim sizes would be the answer)
+        return salted_join(orders.hint("merge"), cust.hint("merge"), "o_custkey")
+
+    counts = []
+    for label, build, skew_split in (
+        ("smj_no_aqe_skew_split", _plain, "false"),
+        ("smj_aqe_skew_split", _plain, "true"),
+        ("salted_join", _salted, "true"),
+    ):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_split)
+        pre = completed_stage_ids(spark)
+        t0 = time.perf_counter()
+        n, final = _run_for_final_plan(build())
+        dt = round(time.perf_counter() - t0, 2)
+        counts.append(n)
+        rec = {
+            "ab": label,
+            "sec": dt,
+            "rows": n,
+            "task_skew": task_skew_ratio(spark, completed_stage_ids(spark) - pre),
+            "aqe_skew_split": "skew=true" in final,
+        }
+        print(json.dumps(rec), flush=True)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    assert len(set(counts)) == 1, f"salted join changed the result: {counts}"
+
+
+def _valve_scale_point(spark, cap: int) -> None:
+    """Non-degenerate scale evidence for the df-cap valve (VERDICT r6
+    #6): at the default cap=64 the fixture's wide cliques blow the cap
+    and the valve honestly emits 0 pairs at sf0.1+ — weak evidence of
+    its POSITIVE path.  With a raised cap (default 512) the clique
+    tokens survive and the valve emits a real pair set; measure it at
+    the base and tiled scales, and at sf0.1 assert the capped pairs are
+    a subset of the exact operator's output (the accuracy side of the
+    valve's cost/accuracy trade, checked where exact is affordable)."""
+    from awsbatch_mapreduce_spark.plans.wave5 import _prefix_filter_plan
+
+    for label, sf_dir in (("sf0.1", SF01), (f"sf{REPLICAS / 10:g}", TILED)):
+        t0 = time.perf_counter()
+        capped = _prefix_filter_plan(spark, sf_dir, df_cap=cap)
+        n = capped.count()
+        dt = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {"valve_cap": cap, "scale": label, "sec": dt, "pairs": n}
+            ),
+            flush=True,
+        )
+    exact = QUERIES["dedup_prefix_filter"].builder(spark, SF01).select(
+        "id_a", "id_b"
+    )
+    capped01 = _prefix_filter_plan(spark, SF01, df_cap=cap).select("id_a", "id_b")
+    stray = capped01.join(exact, ["id_a", "id_b"], "left_anti").count()
+    print(json.dumps({"valve_cap": cap, "containment_check_sf0.1":
+                      "pass" if stray == 0 else f"FAIL: {stray} stray pairs"}),
+          flush=True)
     # Rehearsal session hardening (VERDICT r5 #1a / the r5 crash):
     # - explicit driver heap: the default (1g) is what OOM'd the r5 run
     #   when AQE upgraded a data-scaled frame to a driver-built
@@ -258,28 +514,57 @@ def main() -> None:
     # - AQE runtime broadcast upgrades off: a size-misestimated upgrade
     #   mid-measurement would change the executed plan between scales
     #   and OOM exactly like r5; static dim broadcasts are unaffected.
-    spark = get_spark(
-        app_name="awsbatch-sf1-rehearsal",
-        extra_conf={
-            "spark.driver.memory": "16g",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-        },
-    )
+    extra_conf = {
+        "spark.driver.memory": "16g",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    if SKEW > 0:
+        # Scale AQE's skew-split thresholds to the rehearsal's data
+        # volume so the MECHANISM is exercisable: the production
+        # defaults (256 MB skewed-partition floor) are sized for real
+        # clusters, where a 30%-hot key easily clears them; at sf1 the
+        # hot partition is ~tens of MB, below the default floor, and
+        # the split would never engage regardless of skew.
+        extra_conf.update(
+            {
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            }
+        )
+    spark = get_spark(app_name="awsbatch-sf1-rehearsal", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
-    build_tiled(spark)
+    if SKEW > 0:
+        build_tiled(spark, TILED_UNIFORM, skew=0, clique=0)
+        build_tiled(spark, TILED, skew=SKEW, clique=CLIQUE)
+        tiled_label = f"sf{REPLICAS / 10:g}"
+        points = (
+            (f"{tiled_label}-uniform", TILED_UNIFORM),
+            (f"{tiled_label}-skew", TILED),
+        )
+    else:
+        build_tiled(spark)
+        tiled_label = f"sf{REPLICAS / 10:g}"
+        points = (("sf0.1", SF01), (tiled_label, TILED))
 
     results: dict[str, dict[str, dict]] = {}
     for name in REHEARSAL:
         results[name] = {}
-        tiled_label = f"sf{REPLICAS / 10:g}"
-        for label, sf_dir in (("sf0.1", SF01), (tiled_label, TILED)):
+        for label, sf_dir in points:
+            pre_stages = completed_stage_ids(spark) if SKEW > 0 else set()
             sw0 = shuffle_write_bytes(spark)
             t0 = time.perf_counter()
             # one failure must not lose the rest of the run's data
             # (ADVICE r5): record the error and keep measuring
+            final_plan = None
+            rss = None
             try:
-                df = QUERIES[name].builder(spark, sf_dir)
-                n_rows = df.count()
+                with _PyWorkerRss() as rss:
+                    df = QUERIES[name].builder(spark, sf_dir)
+                    if SKEW > 0:
+                        n_rows, final_plan = _run_for_final_plan(df)
+                    else:
+                        n_rows = df.count()
                 err = None
             except Exception as exc:  # noqa: BLE001 — recorded, not hidden
                 n_rows = None
@@ -293,10 +578,47 @@ def main() -> None:
                     round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 else None
                 ),
             }
+            if rss is not None and rss.peak_mb:
+                rec["py_worker_peak_rss_mb"] = rss.peak_mb
             if err is not None:
                 rec["error"] = err
+            if SKEW > 0 and err is None:
+                new_ids = completed_stage_ids(spark) - pre_stages
+                rec["task_skew"] = task_skew_ratio(spark, new_ids)
+                # did AQE's skew-join split engage anywhere in the
+                # executed (post-AQE) plan?
+                rec["aqe_skew_split"] = "skew=true" in final_plan
             results[name][label] = rec
             print(json.dumps({"query": name, "scale": label, **rec}), flush=True)
+
+    if SKEW > 0:
+        _salted_ab(spark)
+    valve_cap = os.environ.get("REHEARSE_VALVE_CAP")
+    if valve_cap and SKEW == 0:
+        _valve_scale_point(spark, int(valve_cap))
+
+    if SKEW > 0:
+        # skew mode compares hot-key vs uniform at ONE scale; the
+        # scaling-exponent summary is meaningless here — report the
+        # skew-vs-uniform slowdown and straggler ratios instead
+        u, s = points[0][0], points[1][0]
+        summary = {}
+        for name, r in results.items():
+            if any(rec.get("error") for rec in r.values()):
+                summary[name] = {"error": True}
+                continue
+            summary[name] = {
+                "slowdown": round(
+                    max(r[s]["sec"], 0.1) / max(r[u]["sec"], 0.1), 2
+                ),
+                "uniform_task_skew": (r[u].get("task_skew") or {}).get("ratio"),
+                "skewed_task_skew": (r[s].get("task_skew") or {}).get("ratio"),
+                "aqe_skew_split": r[s].get("aqe_skew_split"),
+            }
+        print(json.dumps({"skew_summary": summary, "skew": SKEW,
+                          "clique": CLIQUE}), flush=True)
+        spark.stop()
+        return
 
     import math
 
