@@ -162,6 +162,127 @@ def sessionization_time_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_CAP = 48
+# the LSH pipeline's own constants (must stay in lockstep with
+# llm_text.dedup_minhash_lsh / _LSH_ORACLE)
+_N_HASHES = 8
+_N_BANDS = 4
+
+_LSH_CAPPED_ORACLE = f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS h{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, md5(h{2 * b} || h{2 * b + 1} || '/{b}') AS bk FROM sig" for b in range(_N_BANDS))}),
+    ok AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= {_BUCKET_CAP}),
+    capped AS (SELECT bands.doc_id, bands.bk FROM bands JOIN ok USING (bk)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           FLOOR((n_common * 1.0 / (sa.n + sb.n - n_common)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+@query("dedup_minhash_lsh_bucket_capped", oracle=_LSH_CAPPED_ORACLE, wave=8)
+def dedup_minhash_lsh_bucket_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-LSH near-dup with a band-bucket size cap — the skew
+    escape valve for the LSH ladder itself.  A boilerplate mega-clique
+    puts its whole membership into ONE band bucket, whose self-join is
+    quadratic in clique size (the round-7 skew rehearsal measured a 1%
+    clique multiplying LSH output 18x at sf1); capping bucket size at
+    48 sheds exactly those pathological buckets before the candidate
+    join, bounding per-bucket work at cap^2 regardless of corpus shape.
+    The shed is corpus-dependent and deliberate: a clique that wide is
+    exact-dedup's job (``dedup_exact`` collapses byte-identical docs
+    first in the production funnel), not pairwise verification's.
+
+    Same plan pins as the uncapped operator (every data-scaled join
+    side sort-merge); the cap's semi-join runs on the O(buckets) band
+    frame and is itself pinned.
+    """
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+    from awsbatch_mapreduce_spark.plans.llm_text import _shingles as _sh
+    from awsbatch_mapreduce_spark.functions.rounding import dround
+
+    sh = _sh(spark, sf_dir).persist()
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)
+        ).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(f"/{b}"))
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "n", F.explode(band_keys).alias("bk")
+    ).persist()
+    ok = never_broadcast(
+        bands.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") <= _BUCKET_CAP)
+        .select("bk")
+    )
+    capped = bands.join(ok, "bk", "semi")
+    a = capped.alias("a")
+    b = never_broadcast(capped.alias("b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    sha = never_broadcast(sh.alias("sa"))
+    shb = never_broadcast(sh.alias("sb"))
+    inter = (
+        cand.join(sha, F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            shb,
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        dround(
+            F.col("n_common")
+            * 1.0
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
 _SHINGLE_CAPS = [16, 32, 64, 128, 256]
 
 _SHINGLE_CAP_ORACLE = f"""

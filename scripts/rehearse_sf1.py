@@ -497,14 +497,35 @@ def _valve_scale_point(spark, cap: int) -> None:
             ),
             flush=True,
         )
+    # Accuracy side, measured where exact is affordable.  NOTE (round-7
+    # finding): capped pairs are NOT a subset of exact pairs — the cap
+    # computes Jaccard over the CAPPED vocabulary, which can exceed the
+    # full-vocabulary Jaccard when the dropped high-df tokens were
+    # mostly unshared, so the valve is a different estimator, not a
+    # filter of the exact output.  Report precision against the exact
+    # operator instead of asserting containment.
     exact = QUERIES["dedup_prefix_filter"].builder(spark, SF01).select(
         "id_a", "id_b"
     )
     capped01 = _prefix_filter_plan(spark, SF01, df_cap=cap).select("id_a", "id_b")
+    n_capped = capped01.count()
     stray = capped01.join(exact, ["id_a", "id_b"], "left_anti").count()
-    print(json.dumps({"valve_cap": cap, "containment_check_sf0.1":
-                      "pass" if stray == 0 else f"FAIL: {stray} stray pairs"}),
-          flush=True)
+    print(
+        json.dumps(
+            {
+                "valve_cap": cap,
+                "sf0.1_capped_pairs": n_capped,
+                "not_in_exact": stray,
+                "precision_vs_exact_pct": round(
+                    100 * (n_capped - stray) / max(n_capped, 1), 1
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
     # Rehearsal session hardening (VERDICT r5 #1a / the r5 crash):
     # - explicit driver heap: the default (1g) is what OOM'd the r5 run
     #   when AQE upgraded a data-scaled frame to a driver-built
@@ -527,8 +548,15 @@ def _valve_scale_point(spark, cap: int) -> None:
         # the split would never engage regardless of skew.
         extra_conf.update(
             {
-                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+                # 2m/1m: the sf1 hot partition is ~5-6 MB compressed
+                # (30% of an ~18 MB shuffle), so the floor must sit
+                # below that for the split to be demonstrable — the
+                # first run at 8m measured the hot partition just under
+                # the floor and the split (correctly) stayed off
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": os.environ.get(
+                    "REHEARSE_SKEW_THRESH", "2m"
+                ),
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
                 "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
             }
         )
