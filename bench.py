@@ -65,6 +65,13 @@ EXTENDED = [
     "pagerank_event_graph",
     "ann_pq_adc_topk",
     "zorder_pruned_scan",
+    # round 7 (wave 8): skew-safe twins vs their plain counterparts in
+    # the SAME run — the premium of the bounded-partition plans at
+    # uniform sf0.1 is the number to read next to the headline twins
+    "salted_topk_orders_per_customer",
+    "sessionization_time_sliced",
+    "dedup_minhash_lsh_bucket_capped",
+    "shingle_df_cap_curve",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound

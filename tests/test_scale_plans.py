@@ -116,6 +116,11 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     # at fixture scale the planner prefers broadcast (which ignores
     # bucketing); force the fact-fact regime the test models — a 100 TB
     # side is never broadcastable
+    # save/RESTORE (not unset): unset falls back to Spark's 10m
+    # default, but the session configures 64m — an unset here leaked a
+    # different threshold into every later static-plan test and flipped
+    # a borderline broadcast in the registry budget (round-7 flake)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = _plan(spark, joined)
@@ -125,7 +130,7 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         n = joined.count()
         assert n == load_table(spark, SF_DIR, "lineitem").count()
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
 
@@ -548,6 +553,7 @@ def test_bucketed_join_has_no_join_exchange(spark):
     side fits in memory), the bucketed orders-lineitem join must plan
     as a sort-merge join with NO exchange on either join key — the
     layout already co-partitions and co-sorts both sides."""
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = (
@@ -558,7 +564,7 @@ def test_bucketed_join_has_no_join_exchange(spark):
             .toString()
         )
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     assert "SortMergeJoin" in plan, plan[:1500]
     assert "Bucketed: true" in plan
     assert not re.search(
