@@ -339,3 +339,46 @@ def shingle_df_cap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("postings_dropped"),
     )
+
+
+_CLIQUE_HIST_ORACLE = """
+    WITH g AS (SELECT md5(text) AS fp, COUNT(*) AS n
+               FROM documents GROUP BY 1)
+    SELECT CAST(n AS BIGINT) AS clique_size,
+           CAST(COUNT(*) AS BIGINT) AS n_cliques,
+           CAST(n * COUNT(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY n
+"""
+
+
+@query("dup_clique_size_histogram", oracle=_CLIQUE_HIST_ORACLE, wave=8)
+def dup_clique_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of exact-duplicate clique sizes: how many
+    fingerprint groups exist at each multiplicity, and how many docs
+    they hold.  The corpus-health read behind every cap in the dedup
+    ladder: wide cliques are where pairwise output goes quadratic (the
+    round-7 skew rehearsal measured a single 500-doc clique multiplying
+    near-dup output 18x), and this histogram is the early warning that
+    says whether `dedup_exact`'s keep-one collapse has been run before
+    the pair emitters — the production ordering that keeps
+    `dedup_minhash_lsh_bucket_capped`'s shed at zero.
+
+    Scale shape: one digest-keyed rollup (16-byte md5 shuffle keys,
+    never bodies) and one |distinct sizes|-bounded rollup on top —
+    map-side partials everywhere, no joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        groups.groupBy(F.col("n").cast("bigint").alias("clique_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cliques"))
+        .select(
+            "clique_size",
+            "n_cliques",
+            (F.col("clique_size") * F.col("n_cliques"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

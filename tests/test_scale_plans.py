@@ -714,6 +714,7 @@ _REGISTRY_BROADCAST_BUDGET = {
     # wave 8 (round 7): pure shuffle-path skew-safe twins
     "salted_topk_orders_per_customer": 0,
     "dedup_minhash_lsh_bucket_capped": 0,
+    "dup_clique_size_histogram": 0,
     "sessionization_time_sliced": 0,
     "shingle_df_cap_curve": 0,
     "analyze_table_stats": 0,
