@@ -382,3 +382,305 @@ def dup_clique_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs"),
         )
     )
+
+
+# --- split-leakage audit -------------------------------------------------
+
+_SPLIT_LEAK_ORACLE = """
+    WITH d AS (
+      SELECT md5(substr(text, 1, 24)) AS fp,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 100 AS b_id,
+             ('0x' || substr(md5(md5(substr(text, 1, 24))), 1, 8))::UBIGINT
+               % 100 AS b_ct
+      FROM documents),
+    m AS (
+      SELECT 'by_doc_id' AS split_mode, fp,
+             CASE WHEN b_id < 80 THEN 'train'
+                  WHEN b_id < 90 THEN 'val' ELSE 'test' END AS split
+      FROM d
+      UNION ALL
+      SELECT 'by_content', fp,
+             CASE WHEN b_ct < 80 THEN 'train'
+                  WHEN b_ct < 90 THEN 'val' ELSE 'test' END
+      FROM d),
+    g AS (SELECT split_mode, fp, split, COUNT(*) AS ns
+          FROM m GROUP BY 1, 2, 3),
+    c AS (SELECT split_mode, fp,
+                 SUM(ns) AS n,
+                 SUM(ns * (ns - 1) // 2) AS same_pairs
+          FROM g GROUP BY 1, 2)
+    SELECT split_mode,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_dup_pairs,
+           CAST(SUM(n * (n - 1) // 2 - same_pairs) AS BIGINT)
+             AS n_leaked_pairs,
+           CAST(SUM(n * (n - 1) // 2 - same_pairs) * 1000000
+                // GREATEST(SUM(n * (n - 1) // 2), 1) AS BIGINT)
+             AS leak_ppm
+    FROM c GROUP BY 1
+"""
+
+
+@query("split_leakage_audit", oracle=_SPLIT_LEAK_ORACLE, wave=8)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the train/val/test split leak duplicate content across the
+    boundary?  Audits two split functions against the corpus's
+    near-dup clique structure — groups keyed on the same 24-char
+    content prefix that ``dedup_canonical_assignment``'s pair
+    generator uses (the fixture has such groups at every SF; byte-
+    exact dups would be a stricter, sparser key): the id-keyed
+    80/10/10 split (``train_val_test_split``'s rule — the classic
+    bug, because copies of one document carry different doc_ids and
+    land in different splits) and a content-keyed split (bucket on
+    the group key — all copies travel together, leakage provably
+    zero).  One row per mode: total within-clique pairs, pairs
+    crossing a split boundary, and the leak rate in ppm.
+
+    The pair counts are computed WITHOUT a pair join: for a clique of
+    n docs with n_s per split, leaked = C(n,2) - sum_s C(n_s,2) —
+    pure per-fingerprint aggregation, so a 500-doc boilerplate clique
+    costs one histogram row, not 125k pair rows.
+
+    Scale shape: two digest-keyed rollups (16-byte md5 shuffle keys)
+    and a 2-row final aggregate; no joins, no pair materialization,
+    map-side partials everywhere.  Same cost profile as
+    ``dedup_exact`` at any corpus size.
+    """
+    from awsbatch_mapreduce_spark.plans.sampling import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring("text", 1, 24))
+    d = docs.select(
+        fp.alias("fp"),
+        md5_bucket("doc_id", 100).alias("b_id"),
+        md5_bucket(fp, 100).alias("b_ct"),
+    )
+
+    def _split(b):
+        return (
+            F.when(F.col(b) < 80, "train")
+            .when(F.col(b) < 90, "val")
+            .otherwise("test")
+        )
+
+    m = d.select(
+        F.lit("by_doc_id").alias("split_mode"), "fp", _split("b_id").alias("split")
+    ).unionAll(
+        d.select(
+            F.lit("by_content").alias("split_mode"),
+            "fp",
+            _split("b_ct").alias("split"),
+        )
+    )
+    g = m.groupBy("split_mode", "fp", "split").agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    c = g.groupBy("split_mode", "fp").agg(
+        F.sum("ns").alias("n"),
+        F.sum(F.expr("ns * (ns - 1) div 2")).alias("same_pairs"),
+    )
+    pairs = F.sum(F.expr("n * (n - 1) div 2"))
+    leaked = F.sum(F.expr("n * (n - 1) div 2 - same_pairs"))
+    return (
+        c.groupBy("split_mode")
+        .agg(
+            pairs.cast("bigint").alias("n_dup_pairs"),
+            leaked.cast("bigint").alias("n_leaked_pairs"),
+        )
+        .withColumn(
+            "leak_ppm",
+            F.expr(
+                "CAST(n_leaked_pairs * 1000000"
+                " div GREATEST(n_dup_pairs, CAST(1 AS BIGINT)) AS BIGINT)"
+            ),
+        )
+    )
+
+
+# --- incremental LSH novelty probe ---------------------------------------
+
+_INCR_LSH_ORACLE = f"""
+    WITH {_SH_SQL},
+    b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS h{i}" for i in range(_N_HASHES))}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, md5(h{2 * b} || h{2 * b + 1} || '/{b}') AS bk FROM sig" for b in range(_N_BANDS))}),
+    hits AS (
+      SELECT DISTINCT n.doc_id, s.doc_id AS seen_id
+      FROM bands n JOIN bands s ON n.bk = s.bk CROSS JOIN b
+      WHERE n.doc_id > b.mid AND s.doc_id <= b.mid),
+    nn AS (SELECT doc_id, COUNT(*) AS n_seen_nbrs FROM hits GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(nn.n_seen_nbrs, 0) AS BIGINT) AS n_seen_nbrs,
+           CAST(CASE WHEN nn.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_novel
+    FROM documents d CROSS JOIN b
+    LEFT JOIN nn ON nn.doc_id = d.doc_id
+    WHERE d.doc_id > b.mid
+"""
+
+
+@query("incremental_lsh_novelty", oracle=_INCR_LSH_ORACLE, wave=8)
+def incremental_lsh_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screening: each document of the new batch
+    (upper doc_id half) probes the already-ingested corpus's LSH band
+    index (lower half) and reports how many distinct seen docs share
+    at least one band — the near-dup twin of
+    ``incremental_dedup_new_docs``'s exact-digest membership test, and
+    the daily-crawl operation that avoids re-running full-corpus
+    ``dedup_minhash_lsh`` (quadratic over time) on every append.
+
+    Docs too short to shingle (< 3 tokens) have no signature and are
+    reported novel — identically in both engines.
+
+    Scale shape: in production the seen side is a PERSISTED band-key
+    index appended per batch, so each increment shuffles only the new
+    batch's bands plus the band-bucket collisions; nothing rescans
+    seen documents' text.  Both join sides here are data-scaled, so
+    they carry the dedup ladder's ``never_broadcast`` pin (the r5
+    OOM class), and collision volume is bounded by the same band
+    capacity argument as ``dedup_minhash_lsh_bucket_capped``.
+    """
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)
+        ).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(f"/{b}")
+                )
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / F.lit(2))
+        .cast("bigint")
+        .alias("mid")
+    )
+    bands_m = bands.crossJoin(F.broadcast(mid))
+    new_bands = bands_m.filter(F.col("doc_id") > F.col("mid")).select(
+        "doc_id", "bk"
+    )
+    seen_bands = bands_m.filter(F.col("doc_id") <= F.col("mid")).select(
+        F.col("doc_id").alias("seen_id"), "bk"
+    )
+    hits = (
+        new_bands.join(never_broadcast(seen_bands), "bk")
+        .select("doc_id", "seen_id")
+        .distinct()
+    )
+    nn = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seen_nbrs"))
+    new_docs = (
+        docs.crossJoin(F.broadcast(mid))
+        .filter(F.col("doc_id") > F.col("mid"))
+        .select("doc_id")
+    )
+    # nn is O(new batch): keep the membership join on the shuffle path
+    return new_docs.join(
+        never_broadcast(nn.withColumn("hit", F.lit(1))), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_seen_nbrs"), F.lit(0))
+        .cast("bigint")
+        .alias("n_seen_nbrs"),
+        F.when(F.col("hit").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_novel"),
+    )
+
+
+# --- histogram-based exact per-language percentile gate ------------------
+
+_LANG_P10_ORACLE = """
+    WITH v AS (
+      SELECT lang, len(string_split(text, ' ')) AS nt FROM documents),
+    h AS (SELECT lang, nt, COUNT(*) AS c FROM v GROUP BY 1, 2),
+    t AS (SELECT lang, SUM(c) AS n FROM h GROUP BY 1),
+    cum AS (
+      SELECT lang, nt,
+             SUM(c) OVER (PARTITION BY lang ORDER BY nt) AS cc
+      FROM h),
+    cut AS (
+      SELECT cum.lang, MIN(cum.nt) AS p10
+      FROM cum JOIN t USING (lang)
+      WHERE cum.cc >= (t.n + 9) // 10
+      GROUP BY 1)
+    SELECT h.lang,
+           CAST(MAX(t.n) AS BIGINT) AS n_docs,
+           CAST(MAX(cut.p10) AS BIGINT) AS p10_tokens,
+           CAST(COALESCE(SUM(h.c) FILTER (WHERE h.nt < cut.p10), 0)
+                AS BIGINT) AS n_below_cut
+    FROM h JOIN t USING (lang) JOIN cut USING (lang)
+    GROUP BY h.lang
+"""
+
+
+@query("lang_token_p10_gate", oracle=_LANG_P10_ORACLE, wave=8)
+def lang_token_p10_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language length floor: the EXACT 10th-percentile
+    token count per language (rank ceil(n/10) on the sorted counts)
+    and how many documents fall below it — the per-stratum adaptive
+    threshold that replaces one global length cut (which over-prunes
+    terse languages and under-prunes verbose ones).
+
+    Third exact-quantile recipe on the engine, picked by value-domain
+    shape: ``events_quantiles_exact`` bands an UNBOUNDED float domain;
+    here token counts are small integers, so the corpus collapses to a
+    (lang, n_tokens) histogram first and every rank operation runs on
+    that bounded frame.  The cumulative window partitions are
+    histogram-sized, never corpus-sized — no hot-key sort at any
+    corpus scale.
+
+    Scale shape: one map + one (lang, nt)-keyed partial-agg shuffle is
+    the only corpus-sized work; the window/join/final-agg all run on
+    the bounded histogram, so the exact percentile costs the same at
+    100 TB as at sf0.01.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select("lang", F.size(F.split("text", " ")).alias("nt"))
+    h = v.groupBy("lang", "nt").agg(F.count(F.lit(1)).alias("c"))
+    t = h.groupBy("lang").agg(F.sum("c").alias("n"))
+    cum = h.select(
+        "lang",
+        "nt",
+        "c",
+        F.sum("c")
+        .over(Window.partitionBy("lang").orderBy("nt"))
+        .alias("cc"),
+    )
+    cut = (
+        cum.join(F.broadcast(t), "lang")
+        .filter(F.col("cc") >= F.expr("(n + 9) div 10"))
+        .groupBy("lang")
+        .agg(F.min("nt").alias("p10"))
+    )
+    return (
+        h.join(F.broadcast(t), "lang")
+        .join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max("p10").cast("bigint").alias("p10_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("nt") < F.col("p10"), F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_below_cut"),
+        )
+    )

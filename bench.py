@@ -72,6 +72,10 @@ EXTENDED = [
     "sessionization_time_sliced",
     "dedup_minhash_lsh_bucket_capped",
     "shingle_df_cap_curve",
+    # round 7 (wave 8, batch 2): split-safety + incremental-append ops
+    "split_leakage_audit",
+    "incremental_lsh_novelty",
+    "lang_token_p10_gate",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound

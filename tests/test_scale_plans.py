@@ -717,6 +717,15 @@ _REGISTRY_BROADCAST_BUDGET = {
     "dup_clique_size_histogram": 0,
     "sessionization_time_sliced": 0,
     "shingle_df_cap_curve": 0,
+    # wave 8 batch 2: digest rollups only, no joins
+    "split_leakage_audit": 0,
+    # the 1-row mid scalar at its 3 cross-join sites (both band halves
+    # + the new-docs filter); the band probe and nn membership joins
+    # are data-scaled and pinned
+    "incremental_lsh_novelty": 3,
+    # per-lang totals t (2 sites) + the p10 cut frame — all bounded by
+    # the (lang x token-count) histogram domain
+    "lang_token_p10_gate": 3,
     "analyze_table_stats": 0,
     "anti_join_customers_without_orders": 1,  # bcast lineage: orders
     "approx_sketches": 0,
@@ -909,3 +918,20 @@ def test_registry_broadcast_budget(spark, name):
         f"{name}: {got} distinct BroadcastExchange nodes, budget {want}\n"
         f"{tree[:3000]}"
     )
+
+
+def test_broadcast_budget_covers_whole_registry():
+    """Completeness gate for the audit itself: every registered query
+    must appear in exactly one of the two broadcast enumerations, so a
+    new @query registration cannot ship without a reviewed broadcast
+    budget (the failure mode VERDICT r6 #2 flagged: legal at sf0.01,
+    broadcast-upgradeable at scale, invisible until a rehearsal OOMs).
+    """
+    audited = set(_LADDER_BOUNDED_BROADCASTS) | set(_REGISTRY_BROADCAST_BUDGET)
+    registry = set(QUERIES)
+    missing = sorted(registry - audited)
+    stale = sorted(audited - registry)
+    assert not missing, f"queries with no broadcast budget: {missing}"
+    assert not stale, f"budget rows for unregistered queries: {stale}"
+    both = sorted(set(_LADDER_BOUNDED_BROADCASTS) & set(_REGISTRY_BROADCAST_BUDGET))
+    assert not both, f"queries audited twice (ambiguous budget): {both}"
