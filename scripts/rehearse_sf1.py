@@ -417,10 +417,17 @@ class _PyWorkerRss:
 
 def _run_for_final_plan(df) -> tuple[int, str]:
     """Execute the frame's OWN physical plan (not a derived count()
-    plan) and return (row count, final post-AQE plan string) — the only
-    way a `skew=true` AQEShuffleRead marker is observable, since
-    ``df.count()`` builds a separate QueryExecution whose final plan
-    the original frame never sees."""
+    plan) and return (row count, final post-AQE plan string).  This is
+    the ONLY honest measurement action, for two reasons: (a) a
+    `skew=true` AQEShuffleRead marker is observable only on the frame's
+    own QueryExecution — ``df.count()`` builds a separate one; and (b)
+    ``df.count()`` lets Catalyst PRUNE the measured work — a final
+    left join whose right side is unique on the key is eliminated
+    outright, and any column-only pipeline feeding pruned columns goes
+    with it (measured round 7: pagerank_event_graph under count() ran
+    0 MB shuffle / 1.7 s where its real plan runs 2.0 MB / 3.0 s, and
+    incremental_lsh_novelty's whole LSH probe was optimized away).
+    Executing the frame's own plan evaluates every output column."""
     jplan = df._jdf.queryExecution().executedPlan()
     n = int(jplan.execute().count())
     return n, jplan.toString()
@@ -589,10 +596,10 @@ def main() -> None:
             try:
                 with _PyWorkerRss() as rss:
                     df = QUERIES[name].builder(spark, sf_dir)
-                    if SKEW > 0:
-                        n_rows, final_plan = _run_for_final_plan(df)
-                    else:
-                        n_rows = df.count()
+                    # always the frame's own plan — df.count() would let
+                    # Catalyst prune the work being measured (see
+                    # _run_for_final_plan docstring)
+                    n_rows, final_plan = _run_for_final_plan(df)
                 err = None
             except Exception as exc:  # noqa: BLE001 — recorded, not hidden
                 n_rows = None

@@ -208,3 +208,32 @@ def test_ewma_constant_stream_identity(spark, cents, n_events):
     k = min(n_events, _EWMA_LAGS)
     want = cents * ((1 << _EWMA_LAGS) - (1 << (_EWMA_LAGS - k)))
     assert out[0].ewma_fp == want and out[0].n_events == n_events
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.sampled_from(["train", "val", "test"])),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_split_leak_arithmetic_matches_bruteforce(members):
+    """split_leakage_audit counts leaked pairs WITHOUT a pair join via
+    the identity  leaked(group) = C(n,2) - sum_s C(n_s,2).  Verify the
+    identity against a brute-force enumeration of cross-split
+    same-group pairs on random (group, split) assignments."""
+    from collections import Counter
+    from itertools import combinations
+
+    brute = sum(
+        1
+        for (ga, sa), (gb, sb) in combinations(members, 2)
+        if ga == gb and sa != sb
+    )
+    total = Counter(g for g, _ in members)
+    per_split = Counter(members)
+    formula = sum(n * (n - 1) // 2 for n in total.values()) - sum(
+        n * (n - 1) // 2 for n in per_split.values()
+    )
+    assert formula == brute
