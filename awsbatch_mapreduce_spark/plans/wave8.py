@@ -564,7 +564,11 @@ def incremental_lsh_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+    # persist: both the seen and new band branches consume this frame;
+    # without it the shingle->signature pipeline (scan + explode +
+    # distinct + groupBy) plans TWICE — the static plan showed 0
+    # ReusedExchange across the branches (alias-divergent subtrees)
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bk")).persist()
 
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg(
