@@ -688,3 +688,76 @@ def lang_token_p10_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_below_cut"),
         )
     )
+
+
+# --- near-dup component-size histogram -----------------------------------
+
+_COMPONENT_HIST_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      SELECT prev AS id_a, doc_id AS id_b FROM (
+        SELECT doc_id,
+               LAG(doc_id) OVER (PARTITION BY substr(text, 1, 24)
+                                 ORDER BY doc_id) AS prev
+        FROM documents)
+      WHERE prev IS NOT NULL),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node, MIN(root) AS canonical FROM reach GROUP BY node),
+    sizes AS (SELECT canonical, COUNT(*) AS s FROM comp GROUP BY canonical)
+    SELECT CAST(s AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(s * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY s
+"""
+
+
+@query("near_dup_component_histogram", oracle=_COMPONENT_HIST_ORACLE, wave=8)
+def near_dup_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup CONNECTED COMPONENTS — the
+    post-closure twin of ``dup_clique_size_histogram``: that probe
+    reads raw exact-fingerprint groups, this one reads what keep-one
+    dedup will actually collapse after the closure chains the pair
+    list back together (the generator emits only consecutive-id edges
+    per group, so a size-n family reassembles from an (n-1)-edge
+    chain).  With THIS generator the pair groups are disjoint
+    (one 24-char prefix per doc), so components equal prefix groups —
+    pinned as a test invariant; with production pair generators
+    (MinHash ∪ embedding ∪ exact), groups overlap and the gap between
+    the two histograms measures the chaining effect that assembles
+    mega-components out of mild pairwise overlap.
+
+    Composed from ``dedup_canonical_assignment``'s registered builder
+    (wave-7 discipline: one closure implementation, two consumers, so
+    the oracles cannot drift): component size = members mapped to a
+    canonical + the canonical itself.  Singleton docs (no near-dup
+    edge) are out of scope by construction — the histogram prices the
+    collapse, and singletons don't collapse.
+
+    Scale shape: the closure's own cost (pointer doubling, O(log L)
+    rounds, label frames localCheckpoint-ed) plus two bounded rollups
+    — the size histogram domain is |distinct component sizes|.
+    """
+    from awsbatch_mapreduce_spark.plans.iterative import (
+        dedup_canonical_assignment,
+    )
+
+    assignment = dedup_canonical_assignment(spark, sf_dir)
+    sizes = assignment.groupBy("canonical_id").agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("component_size")
+    )
+    return (
+        sizes.groupBy("component_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .select(
+            F.col("component_size").cast("bigint").alias("component_size"),
+            "n_components",
+            (F.col("component_size") * F.col("n_components"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

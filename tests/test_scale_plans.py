@@ -719,6 +719,9 @@ _REGISTRY_BROADCAST_BUDGET = {
     "shingle_df_cap_curve": 0,
     # wave 8 batch 2: digest rollups only, no joins
     "split_leakage_audit": 0,
+    # the canonical-assignment closure (0, its own audited budget)
+    # plus two bounded rollups
+    "near_dup_component_histogram": 0,
     # the 1-row mid scalar at its 3 cross-join sites (both band halves
     # + the new-docs filter); the band probe and nn membership joins
     # are data-scaled and pinned

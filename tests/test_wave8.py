@@ -123,3 +123,31 @@ def test_lang_p10_gate_rank_semantics(spark):
         assert r["n_docs"] == b["n"]
         assert b["lo"] <= r["p10_tokens"] <= b["hi"]
         assert 0 <= r["n_below_cut"] < (b["n"] + 9) // 10
+
+
+# --- near_dup_component_histogram -----------------------------------------
+
+
+def test_component_histogram_equals_prefix_group_histogram(spark):
+    """With the prefix-keyed pair generator, pair groups are DISJOINT
+    (one 24-char prefix per doc), so the closure's components are
+    exactly the multi-doc prefix groups — the histogram must equal an
+    independently computed prefix-group size histogram (sizes >= 2).
+    With overlapping production generators this equality breaks (the
+    chaining effect); here it pins both the closure and the rollup."""
+    hist = {
+        r["component_size"]: (r["n_components"], r["n_docs"])
+        for r in _rows(spark, "near_dup_component_histogram")
+    }
+    groups = (
+        load_table(spark, SF_DIR, "documents")
+        .groupBy(F.substring("text", 1, 24).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .collect()
+    )
+    want = {r["n"]: (r["n_groups"], r["n"] * r["n_groups"]) for r in groups}
+    assert hist == want and hist, f"hist={hist} want={want}"
+    assert all(size >= 2 for size in hist)
