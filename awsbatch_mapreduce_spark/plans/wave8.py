@@ -761,3 +761,109 @@ def near_dup_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs"),
         )
     )
+
+
+# --- embedding label-outlier screen --------------------------------------
+
+_EMB_OUTLIER_K = 20
+
+_EMB_OUTLIER_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS vfp
+      FROM embeddings),
+    c AS (
+      SELECT label, i,
+             CAST(FLOOR(AVG(vfp / 10000.0) * 10000.0 + 0.5) AS BIGINT)
+               AS cfp
+      FROM e GROUP BY label, i),
+    d AS (
+      SELECT e.vec_id, e.label,
+             SUM(e.vfp * c.cfp) AS dot,
+             SUM(e.vfp * e.vfp) AS na,
+             SUM(c.cfp * c.cfp) AS nc
+      FROM e JOIN c ON c.label = e.label AND c.i = e.i
+      GROUP BY 1, 2)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS INT) AS label,
+           CAST(FLOOR(dot / (sqrt(na) * sqrt(nc)) * 10000.0 + 0.5)
+                AS BIGINT) AS cosine_bp
+    FROM d
+    WHERE na > 0 AND nc > 0
+    ORDER BY cosine_bp ASC, vec_id ASC
+    LIMIT {_EMB_OUTLIER_K}
+"""
+
+
+@query("embedding_label_outliers", oracle=_EMB_OUTLIER_ORACLE, wave=8)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen: the {k} vectors LEAST aligned with their own
+    label's centroid (cosine in basis points, ascending) — the cheap
+    mislabeled/contaminated-sample detector run before training on a
+    labeled embedding corpus, and the per-vector drill-down behind
+    ``embedding_centroid_drift``'s label-level health read.
+
+    Determinism recipe: vector components and centroid components both
+    quantize to 4 decimals (the IVF-codebook discipline), so the dot
+    product and both norms are EXACT int64 arithmetic — order-
+    independent under any partitioning; only the final cosine touches
+    floats (sqrt of exact integers), rounded once to bp.  At 64 dims
+    and |v| <= 1, the integer sums stay < 2e9 — no overflow at any
+    corpus size (per-vector sums don't grow with the corpus).
+
+    Scale shape: one posexplode + a (label, dim)-keyed centroid
+    average (map-side partials, |labels| x 64 rows, broadcast-sized by
+    construction), a per-vector integer reduce, then distributed
+    top-k (TakeOrderedAndProject) — no corpus-sized sort, no
+    data-scaled join.
+    """
+    from awsbatch_mapreduce_spark.functions.rounding import dround
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.posexplode("embedding").alias("i", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.col("v").cast("double") * 10000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vfp"),
+    )
+    c = e.groupBy("label", "i").agg(
+        F.floor(F.avg(F.col("vfp") / F.lit(10000.0)) * 10000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cfp")
+    )
+    d = (
+        e.join(F.broadcast(c), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("vfp") * F.col("cfp")).alias("dot"),
+            F.sum(F.col("vfp") * F.col("vfp")).alias("na"),
+            F.sum(F.col("cfp") * F.col("cfp")).alias("nc"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nc") > 0))
+    )
+    return (
+        d.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "label",
+            F.floor(
+                F.col("dot") / (F.sqrt("na") * F.sqrt("nc")) * 10000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cosine_bp"),
+        )
+        .orderBy(F.asc("cosine_bp"), F.asc("vec_id"))
+        .limit(_EMB_OUTLIER_K)
+    )
+
+
+embedding_label_outliers.__doc__ = embedding_label_outliers.__doc__.format(
+    k=_EMB_OUTLIER_K
+)

