@@ -940,3 +940,22 @@ def test_broadcast_budget_covers_whole_registry():
     assert not stale, f"budget rows for unregistered queries: {stale}"
     both = sorted(set(_LADDER_BOUNDED_BROADCASTS) & set(_REGISTRY_BROADCAST_BUDGET))
     assert not both, f"queries audited twice (ambiguous budget): {both}"
+
+
+def test_count_action_prunes_probe_joins(spark):
+    """Regression pin for the round-7 harness lesson (SCALING.md "The
+    measurement action matters"): a derived count() plan lets Catalyst
+    eliminate incremental_lsh_novelty's final left join (right side
+    unique on doc_id) and, transitively, the ENTIRE LSH probe feeding
+    it — so any timing/shuffle measurement MUST execute the frame's
+    own plan.  If Catalyst ever stops pruning here the rehearsal
+    doctrine is merely redundant; if this test fails the other way
+    (own plan loses its joins), the query itself broke."""
+    df = QUERIES["incremental_lsh_novelty"].builder(spark, SF_DIR)
+    own = _plan(spark, df)
+    cnt = _plan(spark, df.groupBy().count())
+    assert "SortMergeJoin" in own, own[:1500]
+    assert "SortMergeJoin" not in cnt, (
+        "count() no longer prunes the probe — rehearsal doctrine "
+        "unaffected, but update SCALING.md's account\n" + cnt[:1500]
+    )
