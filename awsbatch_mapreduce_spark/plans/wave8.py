@@ -867,3 +867,75 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_label_outliers.__doc__ = embedding_label_outliers.__doc__.format(
     k=_EMB_OUTLIER_K
 )
+
+
+# --- duplication-vs-quality correlation ----------------------------------
+
+_DUP_QUALITY_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 24) AS p,
+             FLOOR((0.4 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+                   + 0.3 * FLOOR((len(list_filter(string_split(text, ' '),
+                                       x -> x IN ('the', 'a')))
+                         * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0
+                   + 0.3 * FLOOR((len(list_distinct(string_split(text, ' ')))
+                         * 1.0 / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0
+                   ) * 10000.0 + 0.5) AS q_fp
+      FROM documents),
+    g AS (SELECT p, COUNT(*) AS gs FROM d GROUP BY p)
+    SELECT CAST(gs AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(q_fp AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS mean_quality_fp
+    FROM d JOIN g USING (p)
+    GROUP BY gs
+"""
+
+
+@query("dup_quality_correlation", oracle=_DUP_QUALITY_ORACLE, wave=8)
+def dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does duplicated content score lower on the quality heuristic?
+    Mean quality (1e-4 fixed point, floor-mean — exact integer
+    arithmetic) bucketed by the document's near-dup group size (the
+    same 24-char-prefix generator as the canonical-assignment ladder;
+    size 1 = unique docs).  The empirical check behind the standard
+    curation ordering — if mean quality falls as group size rises
+    (boilerplate, mirrored pages), dedup-before-quality-filter saves
+    the filter from scoring mass that dedup would drop anyway.
+
+    Composition: quality comes from the shared ``with_quality``
+    formula (one definition, three consumers), so this probe cannot
+    drift from ``text_quality_score``.
+
+    Scale shape: the group-size frame is O(distinct prefixes) and the
+    membership join runs docs x sizes on the prefix key — data-scaled
+    on both sides, so it carries the dedup ladder's
+    ``never_broadcast`` pin; the final rollup is bounded by |distinct
+    group sizes|.
+    """
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+    from awsbatch_mapreduce_spark.plans.llm_text import with_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = with_quality(docs).select(
+        F.substring("text", 1, 24).alias("p"),
+        F.floor(F.col("quality") * 10000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_fp"),
+    )
+    g = d.groupBy("p").agg(F.count(F.lit(1)).alias("gs"))
+    return (
+        d.join(never_broadcast(g), "p")
+        .groupBy(F.col("gs").cast("bigint").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("q_fp").alias("sum_fp"),
+        )
+        .select(
+            "group_size",
+            "n_docs",
+            F.expr("CAST(sum_fp div n_docs AS BIGINT)").alias(
+                "mean_quality_fp"
+            ),
+        )
+    )

@@ -724,6 +724,8 @@ _REGISTRY_BROADCAST_BUDGET = {
     "near_dup_component_histogram": 0,
     # the |labels| x 64 centroid frame — bounded by construction
     "embedding_label_outliers": 1,
+    # docs x prefix-group-sizes membership join, both O(corpus), pinned
+    "dup_quality_correlation": 0,
     # the 1-row mid scalar at its 3 cross-join sites (both band halves
     # + the new-docs filter); the band probe and nn membership joins
     # are data-scaled and pinned

@@ -173,3 +173,26 @@ def test_embedding_outliers_topk_semantics(spark):
     assert all(-10_000 <= c <= 10_000 for c in cos)
     keys = [(r["cosine_bp"], r["vec_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# --- dup_quality_correlation ----------------------------------------------
+
+
+def test_dup_quality_buckets_account_for_every_doc(spark):
+    """Group-size buckets weighted by size x count must partition the
+    corpus exactly, and each bucket's floor-mean must lie within the
+    corpus-wide quality range."""
+    rows = _rows(spark, "dup_quality_correlation")
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    qs = [
+        r["q"]
+        for r in QUERIES["text_quality_score"]
+        .builder(spark, SF_DIR)
+        .select((F.floor(F.col("quality") * 10000.0 + F.lit(0.5))).alias("q"))
+        .collect()
+    ]
+    lo, hi = min(qs), max(qs)
+    for r in rows:
+        assert lo <= r["mean_quality_fp"] <= hi
+        assert r["n_docs"] % r["group_size"] == 0  # whole groups only
