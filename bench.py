@@ -76,6 +76,9 @@ EXTENDED = [
     "split_leakage_audit",
     "incremental_lsh_novelty",
     "lang_token_p10_gate",
+    "near_dup_component_histogram",
+    "embedding_label_outliers",
+    "dup_quality_correlation",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound
