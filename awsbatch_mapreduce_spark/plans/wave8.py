@@ -939,3 +939,104 @@ def dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- substring-dedup retention (the transformation, not just the metric) --
+
+_SPAN8 = 8
+
+_SPAN_RETENTION_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+{_SPAN8 - 1}], ' ')) AS sh
+      FROM tok, UNNEST(range(1, len(t) - {_SPAN8 - 2})) AS u(i)
+      WHERE len(t) >= {_SPAN8}),
+    dup AS (
+      SELECT sh FROM spans GROUP BY sh
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT s.doc_id, s.i + o AS pos
+      FROM spans s JOIN dup USING (sh), UNNEST(range(0, {_SPAN8})) AS r(o)),
+    rem AS (SELECT doc_id, COUNT(*) AS nrem FROM cov GROUP BY doc_id),
+    n AS (SELECT doc_id, len(t) AS nt FROM tok)
+    SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(COALESCE(rem.nrem, 0) AS BIGINT) AS n_tokens_removed,
+           CAST((nt - COALESCE(rem.nrem, 0)) * 1000000 // nt AS BIGINT)
+             AS kept_ppm
+    FROM n LEFT JOIN rem USING (doc_id)
+"""
+
+
+@query("span_dedup_retention", oracle=_SPAN_RETENTION_ORACLE, wave=8)
+def span_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup as a TRANSFORMATION, not just a metric:
+    drop every token position covered by an 8-token span that also
+    occurs in another document (cf. the suffix-array substring dedup
+    of Lee et al. 2022), and report per document how many tokens
+    survive.  ``duplicated_span_fraction`` measures the signal; this
+    is the rewrite it prices — a doc quoting a 5% boilerplate block
+    keeps 95% of its tokens, two mirrored docs keep ~0.
+
+    Exactness notes: coverage is the UNION of overlapping dup spans
+    (distinct (doc, position)), so nested/overlapping repeats are not
+    double-counted; spans repeated only WITHIN one document are kept
+    (cross-doc df >= 2, same rule as the metric); docs shorter than 8
+    tokens have no spans and keep everything.
+
+    Scale shape: spans hash to md5 digests before any shuffle (digest
+    discipline); the df rollup and the join-back carry 16-byte keys;
+    the position explode is a bounded x8 map-side expansion of only
+    the DUPLICATED span positions.  Every join runs data-scaled x
+    data-scaled and carries the ``never_broadcast`` pin.
+    """
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    spans = (
+        t.filter(F.expr(f"size(t) >= {_SPAN8}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_SPAN8 - 1}),"
+                    f" i -> struct(i AS i,"
+                    f" md5(concat_ws(' ', slice(t, i, {_SPAN8}))) AS sh))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.sh").alias("sh"))
+    )
+    dup = (
+        spans.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    cov = (
+        spans.join(never_broadcast(dup), "sh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {_SPAN8 - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    rem = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nrem"))
+    n = t.select("doc_id", F.size("t").alias("nt"))
+    return (
+        n.join(never_broadcast(rem), "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("nt").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("nrem"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            F.expr(
+                "CAST((nt - COALESCE(nrem, 0)) * 1000000 div nt AS BIGINT)"
+            ).alias("kept_ppm"),
+        )
+    )

@@ -726,6 +726,8 @@ _REGISTRY_BROADCAST_BUDGET = {
     "embedding_label_outliers": 1,
     # docs x prefix-group-sizes membership join, both O(corpus), pinned
     "dup_quality_correlation": 0,
+    # digest-keyed span joins, all data-scaled, all pinned
+    "span_dedup_retention": 0,
     # the 1-row mid scalar at its 3 cross-join sites (both band halves
     # + the new-docs filter); the band probe and nn membership joins
     # are data-scaled and pinned

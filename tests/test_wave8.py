@@ -196,3 +196,32 @@ def test_dup_quality_buckets_account_for_every_doc(spark):
     for r in rows:
         assert lo <= r["mean_quality_fp"] <= hi
         assert r["n_docs"] % r["group_size"] == 0  # whole groups only
+
+
+# --- span_dedup_retention -------------------------------------------------
+
+
+def test_span_retention_consistent_with_span_fraction_metric(spark):
+    """The rewrite and the metric read the same dup-span relation, so
+    per doc: dup spans exist <=> tokens are removed; any removal is at
+    least one whole span (8 tokens) and at most min(n_tokens,
+    8 * n_dup_spans); kept_ppm is the exact floor ratio; every doc
+    appears exactly once."""
+    ret = {r["doc_id"]: r for r in _rows(spark, "span_dedup_retention")}
+    frac = {r["doc_id"]: r for r in _rows(spark, "duplicated_span_fraction")}
+    docs = load_table(spark, SF_DIR, "documents")
+    assert len(ret) == docs.count()
+    assert any(r["n_tokens_removed"] > 0 for r in ret.values())
+    for doc_id, r in ret.items():
+        f = frac.get(doc_id)
+        n_dup = f["n_dup_spans"] if f else 0
+        if n_dup == 0:
+            assert r["n_tokens_removed"] == 0 and r["kept_ppm"] == 1_000_000
+        else:
+            assert 8 <= r["n_tokens_removed"] <= min(
+                r["n_tokens"], 8 * n_dup
+            )
+        assert (
+            r["kept_ppm"]
+            == (r["n_tokens"] - r["n_tokens_removed"]) * 1_000_000 // r["n_tokens"]
+        )
