@@ -79,6 +79,8 @@ EXTENDED = [
     "near_dup_component_histogram",
     "embedding_label_outliers",
     "dup_quality_correlation",
+    "dup_clique_size_histogram",
+    "span_dedup_retention",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound
