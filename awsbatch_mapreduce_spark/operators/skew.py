@@ -75,6 +75,14 @@ def two_phase_topk(
     window (asserted in ``tests/test_skew.py``): any row in the true
     per-key top-k is in the top-k of whichever bucket it landed in.
 
+    PRECONDITION for that identity (ADVICE r7): ``order_cols`` must
+    totally order rows within a key — include a unique tiebreaker
+    (e.g. ``F.asc(salt_from)``).  With ties, phase 1 can discard a row
+    that a plain ROW_NUMBER window would have ranked <= k (bucket-local
+    tie-break differs from the global one), so the equivalence only
+    holds for tie-free orderings.  Both registered uses order on a
+    unique id last.
+
     ``order_cols`` are Column expressions (e.g. ``[F.desc("price"),
     F.asc("id")]``); the final ``rn`` column is the true per-key rank.
     """

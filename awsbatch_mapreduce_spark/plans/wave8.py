@@ -28,7 +28,12 @@ from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.operators.skew import two_phase_topk
 from awsbatch_mapreduce_spark.plans.events import SESSIONIZATION_ORACLE
-from awsbatch_mapreduce_spark.plans.llm_text import _SH_SQL, _shingles
+from awsbatch_mapreduce_spark.plans.llm_text import (
+    _N_BANDS,
+    _N_HASHES,
+    _SH_SQL,
+    _shingles,
+)
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.plans.relational import WINDOW_TOPK_ORACLE
 from awsbatch_mapreduce_spark.sources.tables import load_table
@@ -163,10 +168,9 @@ def sessionization_time_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUCKET_CAP = 48
-# the LSH pipeline's own constants (must stay in lockstep with
-# llm_text.dedup_minhash_lsh / _LSH_ORACLE)
-_N_HASHES = 8
-_N_BANDS = 4
+# _N_HASHES/_N_BANDS are imported from plans.llm_text (ADVICE r7:
+# local re-declaration could silently desynchronize the capped and
+# incremental variants from the pipeline they share)
 
 _LSH_CAPPED_ORACLE = f"""
     WITH {_SH_SQL},
@@ -775,9 +779,12 @@ _EMB_OUTLIER_ORACLE = f"""
       FROM embeddings),
     c AS (
       SELECT label, i,
-             CAST(FLOOR(AVG(vfp / 10000.0) * 10000.0 + 0.5) AS BIGINT)
+             CAST((num - (((num % den) + den) % den)) / den AS BIGINT)
                AS cfp
-      FROM e GROUP BY label, i),
+      FROM (SELECT label, i,
+                   2 * SUM(vfp) + COUNT(*) AS num,
+                   2 * COUNT(*) AS den
+            FROM e GROUP BY label, i)),
     d AS (
       SELECT e.vec_id, e.label,
              SUM(e.vfp * c.cfp) AS dot,
@@ -804,11 +811,13 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled embedding corpus, and the per-vector drill-down behind
     ``embedding_centroid_drift``'s label-level health read.
 
-    Determinism recipe: vector components and centroid components both
-    quantize to 4 decimals (the IVF-codebook discipline), so the dot
-    product and both norms are EXACT int64 arithmetic — order-
-    independent under any partitioning; only the final cosine touches
-    floats (sqrt of exact integers), rounded once to bp.  At 64 dims
+    Determinism recipe: vector components quantize to 4 decimals (the
+    IVF-codebook discipline) and the centroid component is
+    round-half-up(sum/n) computed entirely in int64
+    (floor((2S+n)/(2n)) via pmod — no float accumulation anywhere), so
+    the dot product and both norms are EXACT int64 arithmetic —
+    order-independent under any partitioning; only the final cosine
+    touches floats (sqrt of exact integers), rounded once to bp.  At 64 dims
     and |v| <= 1, the integer sums stay < 2e9 — no overflow at any
     corpus size (per-vector sums don't grow with the corpus).
 
@@ -833,10 +842,27 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vfp"),
     )
-    c = e.groupBy("label", "i").agg(
-        F.floor(F.avg(F.col("vfp") / F.lit(10000.0)) * 10000.0 + F.lit(0.5))
-        .cast("bigint")
-        .alias("cfp")
+    # Centroid component = round-half-up(sum/n) in EXACT int64 per the
+    # repo's fixed_point_avg doctrine (ADVICE r7: a float F.avg could
+    # flip a component landing on a .5 quantization boundary between
+    # partitionings/engines).  floor((2S+n)/(2n)) == floor(S/n + 1/2);
+    # pmod makes the division floor (not truncate) for negative sums,
+    # and (num - pmod) is exactly divisible so the final `/` is exact.
+    c = (
+        e.groupBy("label", "i")
+        .agg(
+            (F.lit(2) * F.sum("vfp") + F.count(F.lit(1))).alias("num"),
+            (F.lit(2) * F.count(F.lit(1))).alias("den"),
+        )
+        .select(
+            "label",
+            "i",
+            (
+                (F.col("num") - F.pmod("num", "den")) / F.col("den")
+            )
+            .cast("bigint")
+            .alias("cfp"),
+        )
     )
     d = (
         e.join(F.broadcast(c), ["label", "i"])

@@ -1,7 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+Prints TWO JSON lines — first the full payload (extended set, spreads,
+calibration-normalized times, drift vs BASELINE_QUERIES.json; also
+written to ``BENCH_FULL.json``), then a compact FINAL line
+``{"metric": "...", "value": N, "unit": "sec", "queries": {18 headline},
+"sf": ...}`` sized to fit the driver's ~2 KB stdout-tail capture
+(VERDICT r7 #1: the r7 single-line payload outgrew it, parsed:null).
 
 Each query executes with a ``noop``-format write so the full plan runs
 (no collect to driver, no result materialization skew).  After an
@@ -93,7 +97,7 @@ _SINGLE_SHOT = {"dedup_prefix_filter"}
 
 def _calibration_sec(spark) -> float:
     """Constant-work, JVM-only host-speed probe (VERDICT r6 #5): hash +
-    sum over a fixed 64M-row range, 32 partitions, no I/O, no data
+    sum over a fixed 256M-row range, 32 partitions, no I/O, no data
     dependence — pure codegen + scheduler throughput.  min-of-5 after
     one untimed JIT warm-up.  Cross-round bench totals compare VM hosts
     (r6 measured 13.1–17.1 s spreads on identical code); dividing each
@@ -198,31 +202,67 @@ def main() -> None:
     # before calling a cross-round delta a regression
     spread = {name: round(max(s) - min(s), 3) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended": extended,
-                "extended_total_sec": round(sum(extended.values()), 3),
-                "extended_metrics": extended_metrics,
-                "spread": spread,
-                "reps": _REPS,
-                "sf": sf,
-                # host-speed calibration (VERDICT r6 #5): divide any
-                # cross-round headline comparison by the probe ratio
-                # before calling it a regression
-                "calibration_sec": calibration,
-                "normalized": {
-                    name: round(t / calibration, 2)
-                    for name, t in timings.items()
-                },
-                "normalized_total": round(total / calibration, 2),
-            }
-        )
-    )
+
+    # Per-query drift vs the declared reference points (VERDICT r7 #4):
+    # BASELINE_QUERIES.json is the machine-readable home of the prose
+    # re-baselines that started accumulating in BASELINE.md.  drift > 2.0
+    # is the per-query gate the judge reads.
+    here = os.path.dirname(os.path.abspath(__file__))
+    drift: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BASELINE_QUERIES.json")) as fh:
+            reference = json.load(fh)["queries"]
+        drift = {
+            name: round(t / reference[name]["reference_sec"], 2)
+            for name, t in timings.items()
+            if name in reference
+        }
+    except (OSError, KeyError, ValueError):
+        pass  # table absent/malformed: full payload simply omits drift
+
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extended": extended,
+        "extended_total_sec": round(sum(extended.values()), 3),
+        "extended_metrics": extended_metrics,
+        "spread": spread,
+        "reps": _REPS,
+        "sf": sf,
+        # host-speed calibration (VERDICT r6 #5): divide any
+        # cross-round headline comparison by the probe ratio
+        # before calling it a regression
+        "calibration_sec": calibration,
+        "normalized": {
+            name: round(t / calibration, 2) for name, t in timings.items()
+        },
+        "normalized_total": round(total / calibration, 2),
+        "drift_vs_reference": drift,
+    }
+    # Full payload goes to a sidecar file + an EARLY stdout line: the
+    # driver captures only the final ~2 KB of stdout and BENCH_r07.json
+    # came back parsed:null because the single metric line outgrew that
+    # window (VERDICT r7 #1).  The FINAL stdout line is a compact
+    # headline-only JSON (~0.9 KB) that always fits the tail capture.
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": _REPS,
+        "calibration_sec": calibration,
+        "normalized_total": full["normalized_total"],
+        "extended_total_sec": full["extended_total_sec"],
+        "full_report": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
