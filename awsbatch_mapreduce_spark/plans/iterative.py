@@ -88,6 +88,34 @@ def _centroids_of(assigned: DataFrame) -> DataFrame:
     )
 
 
+def label_centroid_init(emb: DataFrame) -> DataFrame:
+    """Deterministic k-means init: one centroid per ``label`` (the mean
+    of the label's quantized vectors — same exact-int-sum + single-
+    division arithmetic as ``_centroids_of``).  Shared by
+    ``kmeans_embeddings`` and the wave-9 SemDeDup pipeline so both run
+    the IDENTICAL cluster step (and the identical unrolled oracle,
+    ``_kmeans_cte``)."""
+    return (
+        emb.select(
+            F.col("label").cast("int").alias("cell"),
+            F.posexplode(_quantize(F.col("embedding"))).alias("pos", "v"),
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum("v").cast("double") / (F.lit(_VSCALE) * F.count(F.lit(1)))
+            ).alias("cv")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame, k_init: DataFrame, n_iter: int = 5
 ) -> tuple[DataFrame, list[float]]:
@@ -136,11 +164,13 @@ def kmeans_fit(
     return assigned_prev, inertia_trace
 
 
-def _kmeans_oracle(n_iter: int = 5) -> str:
-    """Unrolled Lloyd iterations as chained CTEs — the same quantized
-    arithmetic as the Spark path, textually parallel per step, so the
-    driver's value hash is exact (the 'iterated CTE' form VERDICT r2
-    #7 asked for; fixed seed = deterministic per-label init)."""
+def _kmeans_cte(n_iter: int = 5) -> str:
+    """The unrolled Lloyd CTE chain WITHOUT a final SELECT: ``WITH q AS
+    (...), c0 AS (...), d1/a1/c1, ..., a{n_iter}`` — ``a{n_iter}`` is
+    the final (vec_id, cell, dfp) assignment and ``q`` the quantized
+    (vec_id, pos, vq) components.  Shared by the kmeans oracle and the
+    wave-9 SemDeDup oracle so the cluster step can never drift between
+    the two."""
     steps = [
         """WITH q AS (
       SELECT vec_id, CAST(label AS INT) AS label,
@@ -174,12 +204,22 @@ def _kmeans_oracle(n_iter: int = 5) -> str:
       FROM a{i} a JOIN q ON q.vec_id = a.vec_id
       GROUP BY 1, 2)"""
             )
-    final = f"""
+    return ",\n    ".join(steps)
+
+
+def _kmeans_oracle(n_iter: int = 5) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the same quantized
+    arithmetic as the Spark path, textually parallel per step, so the
+    driver's value hash is exact (the 'iterated CTE' form VERDICT r2
+    #7 asked for; fixed seed = deterministic per-label init)."""
+    return (
+        _kmeans_cte(n_iter)
+        + f"""
     SELECT cell, COUNT(*) AS n_members,
            FLOOR(CAST(SUM(dfp) AS BIGINT) / 1000000000000.0 * 10000.0 + 0.5)
              / 10000.0 AS inertia
     FROM a{n_iter} GROUP BY cell"""
-    return ",\n    ".join(steps) + final
+    )
 
 
 @query("kmeans_embeddings", oracle=_kmeans_oracle(5))
@@ -190,28 +230,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     every iteration's arithmetic is integer-quantized (module
     docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding")
-    init = (
-        emb.select(
-            F.col("label").cast("int").alias("cell"),
-            F.posexplode(_quantize(F.col("embedding"))).alias("pos", "v"),
-        )
-        .groupBy("cell", "pos")
-        .agg(
-            (
-                F.sum("v").cast("double")
-                / (F.lit(_VSCALE) * F.count(F.lit(1)))
-            ).alias("cv")
-        )
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s["cv"],
-            ).alias("centroid")
-        )
+    assigned, _ = kmeans_fit(
+        emb.select("vec_id", "embedding"), label_centroid_init(emb), n_iter=5
     )
-    assigned, _ = kmeans_fit(corpus, init, n_iter=5)
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),
         (

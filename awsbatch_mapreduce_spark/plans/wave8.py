@@ -503,6 +503,36 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- incremental LSH novelty probe ---------------------------------------
 
+
+def band_keys_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bk) — one row per LSH band key per document, the
+    exploded form of the minhash signature used across the whole dedup
+    ladder (identical constants, so every consumer — full-corpus LSH,
+    the bucket-capped valve, the incremental probe, and the wave-9
+    persisted index — shares one band space).  Un-persisted: callers
+    decide (persist for multi-branch plans, write for the persisted
+    index)."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)
+        ).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(f"/{b}")
+                )
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_keys).alias("bk"))
+
+
 _INCR_LSH_ORACLE = f"""
     WITH {_SH_SQL},
     b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
@@ -550,29 +580,11 @@ def incremental_lsh_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 
-    sh = _shingles(spark, sf_dir)
-    aggs = [
-        F.min(
-            F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)
-        ).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat(
-                    F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"), F.lit(f"/{b}")
-                )
-            )
-            for b in range(_N_BANDS)
-        ]
-    )
     # persist: both the seen and new band branches consume this frame;
     # without it the shingle->signature pipeline (scan + explode +
     # distinct + groupBy) plans TWICE — the static plan showed 0
     # ReusedExchange across the branches (alias-divergent subtrees)
-    bands = sig.select("doc_id", F.explode(band_keys).alias("bk")).persist()
+    bands = band_keys_frame(spark, sf_dir).persist()
 
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg(

@@ -85,6 +85,12 @@ EXTENDED = [
     "dup_quality_correlation",
     "dup_clique_size_histogram",
     "span_dedup_retention",
+    # round 8 (wave 9): semantic dedup + persisted band index; read the
+    # lifecycle next to incremental_lsh_novelty (same output, persisted
+    # vs recompute seen side) and semdedup next to kmeans_embeddings +
+    # dedup_embedding_cosine (cluster step + the high-cosine sibling)
+    "semdedup_cluster_prune",
+    "lsh_band_index_lifecycle",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound

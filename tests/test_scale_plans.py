@@ -711,6 +711,14 @@ def test_dedup_ladder_never_broadcasts_data_scaled_sides(spark, name):
 # Any new broadcast that shifts a count fails this gate before it can
 # OOM a scaled run.
 _REGISTRY_BROADCAST_BUDGET = {
+    # wave 9 (round 8): the kmeans codebook lineage (identical to
+    # kmeans_embeddings' 10 bounded centroid broadcasts); the intra-cell
+    # pair join and the retention join are data-scaled and pinned
+    "semdedup_cluster_prune": 10,
+    # probe plan: bucketed index scan + pinned band/membership joins,
+    # no broadcasts anywhere (the mid boundary is a Python literal
+    # here, not a broadcast scalar frame)
+    "lsh_band_index_lifecycle": 0,
     # wave 8 (round 7): pure shuffle-path skew-safe twins
     "salted_topk_orders_per_customer": 0,
     "dedup_minhash_lsh_bucket_capped": 0,
