@@ -62,15 +62,34 @@ from awsbatch_mapreduce_spark.sources.tables import load_table
 _SEMDEDUP_EPS_BP = 3000
 # sentinel for "no duplicate peer": below the cosine floor (-10000 bp)
 _NO_PEER_BP = -10001
+# Bounded-cell shard cap: a cell larger than this is deterministically
+# sharded (md5 of vec_id mod ceil(n/cap)) and pairwise cosine runs
+# within shards only.  Production SemDeDup keeps cells bounded by
+# growing k with the corpus (~100k clusters for ~100M docs); with k
+# fixed by the oracle contract, the shard is the in-plan equivalent —
+# per-shard work is <= ~cap^2 regardless of corpus shape, so candidate
+# volume is linear in n (n/cap shards x cap^2), never (n/k)^2.  Below
+# the cap the query IS exact SemDeDup (every fixture cell is a single
+# shard); above it, cross-shard pairs inside one mega-cell are ceded —
+# the same documented trade as ``dedup_minhash_lsh_bucket_capped``.
+_CELL_CAP = 512
 
 _SEMDEDUP_ORACLE = (
     _kmeans_cte(5)
     + f""",
     nrm AS (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
+    sz AS (SELECT cell, CAST(CEIL(COUNT(*) / {_CELL_CAP}.0) AS BIGINT) AS nsub
+           FROM a5 GROUP BY 1),
+    sb AS (
+      SELECT a.vec_id, a.cell,
+             CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % s.nsub AS BIGINT) AS sub
+      FROM a5 a JOIN sz s ON s.cell = a.cell),
     pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              SUM(qa.vq * qb.vq) AS dot
-      FROM a5 a JOIN a5 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM sb a JOIN sb b
+        ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
       JOIN q qa ON qa.vec_id = a.vec_id
       JOIN q qb ON qb.vec_id = b.vec_id AND qb.pos = qa.pos
       GROUP BY 1, 2),
@@ -101,9 +120,10 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cluster the embedding
     corpus (the exact 5-iteration Lloyd pipeline of
     ``kmeans_embeddings`` — shared code AND shared unrolled oracle),
-    then compute EXACT pairwise cosine only WITHIN each cell and prune
-    greedily by id: a vector is dropped when some lower-id vector in
-    the same cell has cosine >= {eps} bp.  Output is the per-vector
+    then compute EXACT pairwise cosine only WITHIN each cell (sharded
+    at {cap} members — see Scale shape) and prune greedily by id: a
+    vector is dropped when some lower-id vector in the same cell shard
+    has cosine >= {eps} bp.  Output is the per-vector
     retention decision (cell, lower-id duplicate count, max duplicate
     cosine, dropped flag) — the frame a curation pipeline anti-joins
     against, one row per vector.
@@ -117,39 +137,62 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept/dropped status of the peer deliberately does not matter, so
     no sequential dependency exists).
 
-    Scale shape: candidate generation is bucketed by cell — NEVER
-    all-pairs; per-cell pairwise work is the algorithm's intrinsic
-    cost, bounded by (corpus/k)^2 per cell, and k grows with the
-    corpus in production (SemDeDup used ~100k clusters for ~100M
-    docs) so cells stay bounded.  Both pair-join sides are O(corpus)
-    -> ``never_broadcast``-pinned (the r5 OOM class); dot products
-    stay in-array (zip_with over the quantized vectors, no component
-    explode on the pair path); the final retention join is digest-thin
-    (vec_id, two ints).
+    Scale shape: candidate generation is bucketed by (cell, shard) —
+    NEVER all-pairs: cells above {cap} members are deterministically
+    sharded (md5(vec_id) mod ceil(n/{cap})), so per-shard pairwise
+    work is <= ~{cap}^2 by construction and total candidate volume is
+    LINEAR in the corpus (see ``_CELL_CAP``; below the cap the shard
+    is the whole cell and the semantics are exact SemDeDup).  Both
+    pair-join sides are O(corpus) -> ``never_broadcast``-pinned (the
+    r5 OOM class); dot products stay in-array (zip_with over the
+    quantized vectors, no component explode on the pair path); the
+    final retention join is digest-thin (vec_id, two ints); the
+    per-cell size frame is k rows — bounded — and broadcasts.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_fit(
         emb.select("vec_id", "embedding"), label_centroid_init(emb), n_iter=5
     )
-    m = assigned.select(
-        "vec_id",
-        F.col("cell").cast("int").alias("cell"),
-        "vq",
-        F.aggregate(
+    sizes = assigned.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(_CELL_CAP)))
+        .cast("bigint")
+        .alias("nsub")
+    )
+    m = (
+        assigned.select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
             "vq",
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v * v,
-        ).alias("nn"),
+            F.aggregate(
+                "vq",
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v * v,
+            ).alias("nn"),
+        )
+        .join(F.broadcast(sizes.select(F.col("cell").cast("int").alias("cell"), "nsub")), "cell")
+        .withColumn(
+            "sub",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("nsub")
+            ).cast("bigint"),
+        )
     )
     pa = m.select(
         F.col("vec_id").alias("id_a"),
         "cell",
+        "sub",
         F.col("vq").alias("vq_a"),
         F.col("nn").alias("nn_a"),
     )
     pb = m.select(
         F.col("vec_id").alias("id_b"),
         F.col("cell").alias("cell_b"),
+        F.col("sub").alias("sub_b"),
         F.col("vq").alias("vq_b"),
         F.col("nn").alias("nn_b"),
     )
@@ -162,6 +205,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa.join(
             never_broadcast(pb),
             (F.col("cell") == F.col("cell_b"))
+            & (F.col("sub") == F.col("sub_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
         .filter((F.col("nn_a") > 0) & (F.col("nn_b") > 0))
@@ -206,7 +250,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 semdedup_cluster_prune.__doc__ = semdedup_cluster_prune.__doc__.format(
-    eps=_SEMDEDUP_EPS_BP
+    eps=_SEMDEDUP_EPS_BP, cap=_CELL_CAP
 )
 
 

@@ -712,9 +712,11 @@ def test_dedup_ladder_never_broadcasts_data_scaled_sides(spark, name):
 # OOM a scaled run.
 _REGISTRY_BROADCAST_BUDGET = {
     # wave 9 (round 8): the kmeans codebook lineage (identical to
-    # kmeans_embeddings' 10 bounded centroid broadcasts); the intra-cell
-    # pair join and the retention join are data-scaled and pinned
-    "semdedup_cluster_prune": 10,
+    # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
+    # cell-size frame re-planned at each of m's 3 consumption sites
+    # (pa/pb/retention base); the intra-cell pair join and the
+    # retention join are data-scaled and pinned
+    "semdedup_cluster_prune": 13,
     # probe plan: bucketed index scan + pinned band/membership joins,
     # no broadcasts anywhere (the mid boundary is a Python literal
     # here, not a broadcast scalar frame)

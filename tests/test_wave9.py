@@ -87,10 +87,11 @@ def test_semdedup_lowest_id_per_cell_never_dropped(spark):
 def test_semdedup_pair_join_is_pinned_sort_merge(spark):
     """Both sides of the intra-cell pair join are O(corpus): the only
     broadcasts in the plan must be the kmeans codebook lineage (10, as
-    in kmeans_embeddings), never the pair or retention frames."""
+    in kmeans_embeddings) plus the bounded k-row cell-size frame at
+    m's 3 consumption sites — never the pair or retention frames."""
     tree = _plan(QUERIES["semdedup_cluster_prune"].builder(spark, SF_DIR))
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
-    assert got == 10, tree[:2000]
+    assert got == 13, tree[:2000]
     assert "SortMergeJoin" in tree
 
 
