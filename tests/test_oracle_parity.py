@@ -17,11 +17,26 @@ def con():
     c.close()
 
 
+# Queries that may legitimately return zero rows at sf0.01; everything
+# else must be non-empty for the oracle hash to be a meaningful signal
+# (two empty frames hash-match vacuously).  The check rides inside
+# check_query so each query executes ONCE — the standalone
+# test_query_nonempty_or_known_empty duplicate re-executed all 200+
+# queries for ~3 min of suite time (VERDICT r7 #7).
+_ALLOWED_EMPTY = {"anti_join_customers_without_orders"}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, con, name):
     spec = QUERIES[name]
     problems = check_query(
-        spark, con, name, spec.builder, spec.oracle, SF_DIR_ORACLE
+        spark,
+        con,
+        name,
+        spec.builder,
+        spec.oracle,
+        SF_DIR_ORACLE,
+        allow_empty=name in _ALLOWED_EMPTY,
     )
     assert not problems, f"{name}: " + "; ".join(problems)
 
@@ -127,15 +142,24 @@ def test_output_schema_is_comparator_safe(spark, name):
     assert not offenders, f"{name} outputs comparator-unsafe columns: {offenders}"
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_nonempty_or_known_empty(spark, con, name):
-    """Every query should produce rows at sf0.01 (catches vacuous filters).
+def test_nonempty_check_is_wired_into_check_query():
+    """The per-query zero-row guard lives INSIDE check_query (one
+    execution per query instead of two — suite wall-time guard); this
+    canary keeps it from being silently dropped in a refactor."""
+    class _Con:
+        def execute(self, _):
+            raise AssertionError("oracle must not run for empty frame")
 
-    anti_join may legitimately be empty; everything else must be
-    non-empty for the oracle hash to be a meaningful signal.
-    """
-    allowed_empty = {"anti_join_customers_without_orders"}
-    df = QUERIES[name].builder(spark, SF_DIR_ORACLE)
-    n = df.count()
-    if name not in allowed_empty:
-        assert n > 0, f"{name} returned 0 rows at sf0.01"
+    class _DF:
+        def toPandas(self):
+            import pandas as pd
+
+            return pd.DataFrame({"a": []})
+
+    problems = check_query(
+        None, _Con(), "canary", lambda s, d: _DF(), None, "sfX"
+    )
+    assert problems and "0 rows" in problems[0]
+    assert not check_query(
+        None, _Con(), "canary", lambda s, d: _DF(), None, "sfX", allow_empty=True
+    )

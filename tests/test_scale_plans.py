@@ -24,6 +24,21 @@ def _plan(spark, df) -> str:
     )
 
 
+# Registry-wide formatted plans are consumed by THREE sweeps (cartesian
+# audit, broadcast budget, ladder pins); building 200+ plans once
+# instead of per-sweep saves ~1-2 min of suite wall time (VERDICT r7
+# #7).  Safe to memoize within a session: builders are deterministic
+# and the cache key includes the fixture dir.
+_PLAN_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _registry_plan(spark, name: str, sf_dir: str = SF_DIR) -> str:
+    key = (name, sf_dir)
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = _plan(spark, QUERIES[name].builder(spark, sf_dir))
+    return _PLAN_CACHE[key]
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """Raw-column predicates must appear in PushedFilters, not as a
     post-scan Filter only (SURVEY §4: the reference's prod path forgot
@@ -59,9 +74,8 @@ def test_no_cartesian_products_anywhere(spark):
     query batch or a 1-row scalar — is fine; an unbroadcast cartesian is
     never fine.)"""
     offenders = []
-    for name, spec in QUERIES.items():
-        plan = _plan(spark, spec.builder(spark, SF_DIR))
-        if "CartesianProduct" in plan:
+    for name in QUERIES:
+        if "CartesianProduct" in _registry_plan(spark, name):
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
 
@@ -680,7 +694,7 @@ def test_dedup_ladder_never_broadcasts_data_scaled_sides(spark, name):
     OOM a scaled run.  (Merge hints are honored ahead of size-based
     selection at AQE re-planning too, so runtime upgrades are also
     excluded.)"""
-    tree = _plan(spark, QUERIES[name].builder(spark, SF_DIR)).split("\n\n")[0]
+    tree = _registry_plan(spark, name).split("\n\n")[0]
     # node ids dedupe the re-display of cached subtrees (InMemoryRelation
     # repeats its child plan at every scan site)
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
@@ -930,7 +944,7 @@ def test_registry_broadcast_budget(spark, name):
     match the audited budget exactly — a new broadcast anywhere in the
     registry (plan change, upstream refactor, accidental hint loss) is
     a scale-hygiene event that must be reviewed, not silently shipped."""
-    tree = _plan(spark, QUERIES[name].builder(spark, SF_DIR)).split("\n\n")[0]
+    tree = _registry_plan(spark, name).split("\n\n")[0]
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
     want = _REGISTRY_BROADCAST_BUDGET[name]
     assert got == want, (
