@@ -74,7 +74,10 @@ _NO_PEER_BP = -10001
 # the same documented trade as ``dedup_minhash_lsh_bucket_capped``.
 _CELL_CAP = 512
 
-_SEMDEDUP_ORACLE = (
+# CTE chain through ``sim`` (id_a, id_b, cos_bp over intra-shard
+# pairs) — shared by the prune query and the eps-retention curve so
+# the pair set can never drift between them.
+_SEMDEDUP_SIM_CTE = (
     _kmeans_cte(5)
     + f""",
     nrm AS (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
@@ -100,7 +103,12 @@ _SEMDEDUP_ORACLE = (
       FROM pr
       JOIN nrm na ON na.vec_id = id_a
       JOIN nrm nb ON nb.vec_id = id_b
-      WHERE na.nn > 0 AND nb.nn > 0),
+      WHERE na.nn > 0 AND nb.nn > 0)"""
+)
+
+_SEMDEDUP_ORACLE = (
+    _SEMDEDUP_SIM_CTE
+    + f""",
     dup AS (
       SELECT id_b AS vec_id, COUNT(*) AS n_dup_lower, MAX(cos_bp) AS max_cos_bp
       FROM sim WHERE cos_bp >= {_SEMDEDUP_EPS_BP} GROUP BY 1)
@@ -149,6 +157,44 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     final retention join is digest-thin (vec_id, two ints); the
     per-cell size frame is k rows — bounded — and broadcasts.
     """
+    m, sim = _semdedup_sim(spark, sf_dir)
+    dup = (
+        sim.filter(F.col("cos_bp") >= F.lit(_SEMDEDUP_EPS_BP))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_lower"),
+            F.max("cos_bp").alias("max_cos_bp"),
+        )
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        m.select("vec_id", "cell")
+        .join(never_broadcast(dup), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "cell",
+            F.coalesce("n_dup_lower", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_lower"),
+            F.coalesce("max_cos_bp", F.lit(_NO_PEER_BP))
+            .cast("bigint")
+            .alias("max_cos_bp"),
+            F.when(F.col("hit").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("dropped"),
+        )
+    )
+
+
+def _semdedup_sim(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared SemDeDup pair pipeline: returns ``(m, sim)`` where
+    ``m`` is the per-vector frame (vec_id, cell, sub, vq, nn) and
+    ``sim`` the intra-(cell, shard) lower-id pair frame (id_a, id_b,
+    cos_bp).  Mirrors ``_SEMDEDUP_SIM_CTE`` exactly; consumed by the
+    prune query and the eps-retention curve."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_fit(
         emb.select("vec_id", "embedding"), label_centroid_init(emb), n_iter=5
@@ -220,37 +266,97 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_bp"),
         )
     )
-    dup = (
-        sim.filter(F.col("cos_bp") >= F.lit(_SEMDEDUP_EPS_BP))
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_dup_lower"),
-            F.max("cos_bp").alias("max_cos_bp"),
-        )
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        m.select("vec_id", "cell")
-        .join(never_broadcast(dup), "vec_id", "left")
-        .select(
-            F.col("vec_id").cast("bigint").alias("vec_id"),
-            "cell",
-            F.coalesce("n_dup_lower", F.lit(0))
-            .cast("bigint")
-            .alias("n_dup_lower"),
-            F.coalesce("max_cos_bp", F.lit(_NO_PEER_BP))
-            .cast("bigint")
-            .alias("max_cos_bp"),
-            F.when(F.col("hit").isNull(), F.lit(0))
-            .otherwise(F.lit(1))
-            .cast("bigint")
-            .alias("dropped"),
-        )
-    )
+    return m, sim
 
 
 semdedup_cluster_prune.__doc__ = semdedup_cluster_prune.__doc__.format(
     eps=_SEMDEDUP_EPS_BP, cap=_CELL_CAP
+)
+
+
+# --- SemDeDup eps-retention curve ----------------------------------------
+
+_SEMDEDUP_EPS_GRID = [2000, 2500, 3000, 3500, 4000]
+
+_SEMDEDUP_CURVE_ORACLE = (
+    _SEMDEDUP_SIM_CTE
+    + f""",
+    mx AS (SELECT id_b AS vec_id, MAX(cos_bp) AS mx FROM sim GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n_total FROM a5),
+    eps AS (SELECT UNNEST([{", ".join(str(e) for e in _SEMDEDUP_EPS_GRID)}])
+              AS eps_bp),
+    d AS (
+      SELECT e.eps_bp,
+             SUM(CASE WHEN m.mx >= e.eps_bp THEN 1 ELSE 0 END) AS n_dropped
+      FROM eps e CROSS JOIN mx m GROUP BY 1)
+    SELECT CAST(d.eps_bp AS BIGINT) AS eps_bp,
+           CAST(d.n_dropped AS BIGINT) AS n_dropped,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           CAST((t.n_total - d.n_dropped) * 1000000 // t.n_total AS BIGINT)
+             AS retention_ppm
+    FROM d CROSS JOIN t
+"""
+)
+
+
+@query("semdedup_eps_retention_curve", oracle=_SEMDEDUP_CURVE_ORACLE, wave=9)
+def semdedup_eps_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for the SemDeDup rung: corpus
+    retention at eps in {grid} bp, computed from ONE pass over the
+    shared intra-shard pair frame (``_semdedup_sim`` — identical
+    pipeline and oracle CTE as ``semdedup_cluster_prune``, so the
+    curve prices exactly the operator that would run).  The operational
+    question it answers is the SemDeDup paper's figure-1: how much
+    corpus survives as eps tightens — picked BEFORE committing a
+    full-corpus prune, the same role ``shingle_df_cap_curve`` and
+    ``jaccard_threshold_curve`` play for the lexical ladder.
+
+    Output: one row per eps (n_dropped, n_total, retention_ppm in
+    exact integer ppm).
+
+    Scale shape: the pair pipeline's cost (linear, shard-bounded —
+    measured in REHEARSAL_r8) plus a per-vector max rollup; the
+    {n_eps}-row eps grid is a literal broadcast frame crossed against
+    the per-vector maxima (|corpus| x {n_eps} thin rows, map-side
+    aggregated), and the 1-row total is a broadcast scalar — no
+    corpus-sized sort or extra shuffle beyond the shared pipeline's.
+    """
+    _, sim = _semdedup_sim(spark, sf_dir)
+    mx = sim.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.max("cos_bp").alias("mx")
+    )
+    eps = spark.createDataFrame(
+        [(e,) for e in _SEMDEDUP_EPS_GRID], "eps_bp bigint"
+    )
+    t = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    d = (
+        mx.crossJoin(F.broadcast(eps))
+        .groupBy("eps_bp")
+        .agg(
+            F.sum(
+                F.when(F.col("mx") >= F.col("eps_bp"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_dropped")
+        )
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        F.col("eps_bp").cast("bigint").alias("eps_bp"),
+        "n_dropped",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.expr(
+            "CAST((n_total - n_dropped) * 1000000 div n_total AS BIGINT)"
+        ).alias("retention_ppm"),
+    )
+
+
+semdedup_eps_retention_curve.__doc__ = semdedup_eps_retention_curve.__doc__.format(
+    grid="{" + ", ".join(str(e) for e in _SEMDEDUP_EPS_GRID) + "}",
+    n_eps=len(_SEMDEDUP_EPS_GRID),
 )
 
 

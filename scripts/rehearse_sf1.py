@@ -122,6 +122,11 @@ REHEARSAL = [
     # crosses the JVM<->Python boundary — measures Arrow-stage
     # throughput scaling + Python-worker peak RSS (sampled from /proc)
     "multimodal_decode_features",
+    # round 8 (wave 9): the semantic-dedup rung (cell-shard-bounded
+    # pair volume) and the persisted band-index write->append->probe
+    # cycle; measured 10x/100x in REHEARSAL_r8.jsonl
+    "semdedup_cluster_prune",
+    "lsh_band_index_lifecycle",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any

@@ -735,6 +735,10 @@ _REGISTRY_BROADCAST_BUDGET = {
     # no broadcasts anywhere (the mid boundary is a Python literal
     # here, not a broadcast scalar frame)
     "lsh_band_index_lifecycle": 0,
+    # the shared sim pipeline's bounded broadcasts (kmeans codebooks 10
+    # + cell-size frame at pa/pb's 2 sites) + the literal eps grid +
+    # the 1-row corpus total
+    "semdedup_eps_retention_curve": 14,
     # wave 8 (round 7): pure shuffle-path skew-safe twins
     "salted_topk_orders_per_customer": 0,
     "dedup_minhash_lsh_bucket_capped": 0,

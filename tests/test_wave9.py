@@ -95,6 +95,50 @@ def test_semdedup_pair_join_is_pinned_sort_merge(spark):
     assert "SortMergeJoin" in tree
 
 
+# --- semdedup_eps_retention_curve ----------------------------------------
+
+
+def test_eps_curve_monotone_and_consistent_with_prune(spark):
+    """Retention must be non-decreasing in eps (a looser threshold can
+    only drop MORE), every count in [0, n_total], and the curve's point
+    at the prune query's own eps must equal the prune's dropped count —
+    the two queries share one pair pipeline, so any divergence is a
+    refactor bug."""
+    rows = {
+        r["eps_bp"]: r
+        for r in QUERIES["semdedup_eps_retention_curve"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    grid = sorted(rows)
+    assert grid == [2000, 2500, 3000, 3500, 4000]
+    n_total = rows[grid[0]]["n_total"]
+    for lo, hi in zip(grid, grid[1:]):
+        assert rows[lo]["n_dropped"] >= rows[hi]["n_dropped"]
+    for r in rows.values():
+        assert 0 <= r["n_dropped"] <= n_total
+        assert r["retention_ppm"] == (n_total - r["n_dropped"]) * 1_000_000 // n_total
+    prune_dropped = sum(
+        r["dropped"]
+        for r in QUERIES["semdedup_cluster_prune"].builder(spark, SF_DIR).collect()
+    )
+    assert rows[_SEMDEDUP_EPS_BP]["n_dropped"] == prune_dropped
+
+
+def test_eps_curve_non_vacuous_at_both_sfs(spark):
+    """The grid must straddle the fixture's cosine tail at both SFs:
+    the loosest eps drops some-but-not-all, and the curve actually
+    moves across the grid (no constant output)."""
+    for sf in (SF_SMALL, SF_DIR):
+        rows = {
+            r["eps_bp"]: r["n_dropped"]
+            for r in QUERIES["semdedup_eps_retention_curve"]
+            .builder(spark, sf)
+            .collect()
+        }
+        assert 0 < rows[2000] and len(set(rows.values())) > 1
+
+
 # --- lsh_band_index_lifecycle --------------------------------------------
 
 
