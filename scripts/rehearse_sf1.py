@@ -246,6 +246,20 @@ def build_tiled(spark, dest: str | None = None, skew: float | None = None,
                     ).otherwise(v),
                 ),
             )
+        if clique > 0:
+            # round 8: the embedding twin of the boilerplate doc clique
+            # — a deterministic slice of EVERY replica's vectors becomes
+            # ONE constant vector (cosine 1.0 with each other), so
+            # k-means funnels the whole clique into a single cell: the
+            # hot-cell shape SemDeDup's 512-member cell shards exist to
+            # bound (template/near-empty embeddings at 100 TB)
+            e = e.withColumn(
+                "embedding",
+                F.when(
+                    F.pmod("vec_id", 1000) < int(clique * 1000),
+                    F.array(*[F.lit(0.1)] * dim).cast("array<float>"),
+                ).otherwise(F.col("embedding")),
+            )
         parts.append(e)
     tiled_emb = parts[0]
     for p in parts[1:]:
