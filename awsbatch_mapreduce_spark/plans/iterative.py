@@ -164,20 +164,22 @@ def kmeans_fit(
     return assigned_prev, inertia_trace
 
 
-def _kmeans_cte(n_iter: int = 5) -> str:
+def _kmeans_cte(n_iter: int = 5, source: str = "embeddings") -> str:
     """The unrolled Lloyd CTE chain WITHOUT a final SELECT: ``WITH q AS
     (...), c0 AS (...), d1/a1/c1, ..., a{n_iter}`` — ``a{n_iter}`` is
     the final (vec_id, cell, dfp) assignment and ``q`` the quantized
     (vec_id, pos, vq) components.  Shared by the kmeans oracle and the
-    wave-9 SemDeDup oracle so the cluster step can never drift between
-    the two."""
+    wave-9/10 SemDeDup oracles so the cluster step can never drift
+    between them.  ``source`` is the corpus relation — a table name or
+    a parenthesized subquery (wave 10 clusters the seen HALF for the
+    persisted-codebook probe)."""
     steps = [
-        """WITH q AS (
+        f"""WITH q AS (
       SELECT vec_id, CAST(label AS INT) AS label,
              generate_subscripts(embedding, 1) AS pos,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
                   AS BIGINT) AS vq
-      FROM embeddings),
+      FROM {source}),
     c0 AS (
       SELECT label AS cell, pos,
              CAST(SUM(vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c

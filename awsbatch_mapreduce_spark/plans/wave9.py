@@ -75,19 +75,42 @@ _NO_PEER_BP = -10001
 _CELL_CAP = 512
 
 # CTE chain through ``sim`` (id_a, id_b, cos_bp over intra-shard
-# pairs) — shared by the prune query and the eps-retention curve so
-# the pair set can never drift between them.
-_SEMDEDUP_SIM_CTE = (
-    _kmeans_cte(5)
-    + f""",
+# pairs) — shared by the prune query, the eps-retention curve, and the
+# wave-10 cell-sampled curve so the pair set can never drift between
+# them.
+
+
+def _semdedup_sim_cte(cell_rate: int | None = None) -> str:
+    """``cell_rate`` (wave 10) restricts the pair pipeline to the
+    k-means CELLS whose md5 bucket falls under the rate — whole-cell
+    sampling, the unbiased estimator for the retention curve (drop
+    decisions are cell-local by construction, so sampled cells carry
+    their EXACT pair structure; per-document sampling thins pairs
+    quadratically and overstates retention — measured at +31-33%
+    retention on a 40% doc sample vs <=1.6% deviation for 50% cell
+    sampling, SCALING.md round 9)."""
+    base = "a5" if cell_rate is None else "a5s"
+    sampled = (
+        f""",
+    a5s AS (
+      SELECT * FROM a5
+      WHERE ('0x' || substr(md5(CAST(cell AS VARCHAR)), 1, 8))::UBIGINT
+            % 100 < {cell_rate})"""
+        if cell_rate is not None
+        else ""
+    )
+    return (
+        _kmeans_cte(5)
+        + sampled
+        + f""",
     nrm AS (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
     sz AS (SELECT cell, CAST(CEIL(COUNT(*) / {_CELL_CAP}.0) AS BIGINT) AS nsub
-           FROM a5 GROUP BY 1),
+           FROM {base} GROUP BY 1),
     sb AS (
       SELECT a.vec_id, a.cell,
              CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::UBIGINT
                   % s.nsub AS BIGINT) AS sub
-      FROM a5 a JOIN sz s ON s.cell = a.cell),
+      FROM {base} a JOIN sz s ON s.cell = a.cell),
     pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              SUM(qa.vq * qb.vq) AS dot
@@ -104,7 +127,10 @@ _SEMDEDUP_SIM_CTE = (
       JOIN nrm na ON na.vec_id = id_a
       JOIN nrm nb ON nb.vec_id = id_b
       WHERE na.nn > 0 AND nb.nn > 0)"""
-)
+    )
+
+
+_SEMDEDUP_SIM_CTE = _semdedup_sim_cte()
 
 _SEMDEDUP_ORACLE = (
     _SEMDEDUP_SIM_CTE
@@ -188,17 +214,25 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_sim(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cell_rate: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The shared SemDeDup pair pipeline: returns ``(m, sim)`` where
     ``m`` is the per-vector frame (vec_id, cell, sub, vq, nn) and
     ``sim`` the intra-(cell, shard) lower-id pair frame (id_a, id_b,
-    cos_bp).  Mirrors ``_SEMDEDUP_SIM_CTE`` exactly; consumed by the
-    prune query and the eps-retention curve."""
+    cos_bp).  Mirrors ``_semdedup_sim_cte`` exactly; consumed by the
+    prune query, the eps-retention curve, and (with ``cell_rate``) the
+    wave-10 cell-sampled curve — when set, only vectors in md5-sampled
+    CELLS enter the pair pipeline, so the quadratic-ish pair pass is
+    priced on the sample while the (linear, already-measured) cluster
+    step still sees the full corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_fit(
         emb.select("vec_id", "embedding"), label_centroid_init(emb), n_iter=5
     )
+    if cell_rate is not None:
+        from awsbatch_mapreduce_spark.plans.sampling import md5_bucket
+
+        assigned = assigned.filter(md5_bucket(F.col("cell"), 100) < cell_rate)
     sizes = assigned.groupBy("cell").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(float(_CELL_CAP)))
         .cast("bigint")
@@ -278,11 +312,16 @@ semdedup_cluster_prune.__doc__ = semdedup_cluster_prune.__doc__.format(
 
 _SEMDEDUP_EPS_GRID = [2000, 2500, 3000, 3500, 4000]
 
-_SEMDEDUP_CURVE_ORACLE = (
-    _SEMDEDUP_SIM_CTE
-    + f""",
+def _semdedup_curve_oracle(cell_rate: int | None = None) -> str:
+    """Full (``cell_rate=None``) or cell-sampled curve oracle: the
+    shared sim CTE plus the curve tail; the retention denominator is
+    the (sampled) corpus the pair pipeline actually ran over."""
+    base = "a5" if cell_rate is None else "a5s"
+    return (
+        _semdedup_sim_cte(cell_rate)
+        + f""",
     mx AS (SELECT id_b AS vec_id, MAX(cos_bp) AS mx FROM sim GROUP BY 1),
-    t AS (SELECT COUNT(*) AS n_total FROM a5),
+    t AS (SELECT COUNT(*) AS n_total FROM {base}),
     eps AS (SELECT UNNEST([{", ".join(str(e) for e in _SEMDEDUP_EPS_GRID)}])
               AS eps_bp),
     d AS (
@@ -296,7 +335,10 @@ _SEMDEDUP_CURVE_ORACLE = (
              AS retention_ppm
     FROM d CROSS JOIN t
 """
-)
+    )
+
+
+_SEMDEDUP_CURVE_ORACLE = _semdedup_curve_oracle()
 
 
 @query("semdedup_eps_retention_curve", oracle=_SEMDEDUP_CURVE_ORACLE, wave=9)
@@ -322,14 +364,25 @@ def semdedup_eps_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized sort or extra shuffle beyond the shared pipeline's.
     """
     _, sim = _semdedup_sim(spark, sf_dir)
+    t = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return retention_curve_frame(spark, sim, t)
+
+
+def retention_curve_frame(
+    spark: SparkSession, sim: DataFrame, t: DataFrame
+) -> DataFrame:
+    """The curve tail shared by the full (wave 9) and cell-sampled
+    (wave 10) eps-retention curves: per-vector max-cosine rollup over
+    ``sim``, crossed with the literal eps grid and the 1-row total
+    frame ``t`` — identical output schema, so the two curves cannot
+    drift structurally."""
     mx = sim.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.max("cos_bp").alias("mx")
     )
     eps = spark.createDataFrame(
         [(e,) for e in _SEMDEDUP_EPS_GRID], "eps_bp bigint"
-    )
-    t = load_table(spark, sf_dir, "embeddings").agg(
-        F.count(F.lit(1)).alias("n_total")
     )
     d = (
         mx.crossJoin(F.broadcast(eps))

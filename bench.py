@@ -91,6 +91,12 @@ EXTENDED = [
     # dedup_embedding_cosine (cluster step + the high-cosine sibling)
     "semdedup_cluster_prune",
     "lsh_band_index_lifecycle",
+    # round 9 (wave 10): the cell-sampled eps curve next to the full
+    # curve (the calibration discount is the number to read) and the
+    # persisted-codebook probe next to semdedup_cluster_prune (probe
+    # vs batch, the same read incremental_lsh_novelty offers for LSH)
+    "semdedup_eps_curve_sampled",
+    "semdedup_codebook_novelty",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound

@@ -127,6 +127,15 @@ REHEARSAL = [
     # cycle; measured 10x/100x in REHEARSAL_r8.jsonl
     "semdedup_cluster_prune",
     "lsh_band_index_lifecycle",
+    # round 9 (wave 10): the cell-sampled eps curve (inherits the
+    # prune's shard cap -> 10x/100x) and the persisted-codebook
+    # novelty probe (10x only: exact intra-cell membership check is
+    # |batch| x cell-size by SEMANTICS — recall-lossless sharding does
+    # not exist — and k is pinned by the shared-oracle contract, so
+    # cells grow with the corpus here; production grows k instead.
+    # SCALING.md round 9 quantifies the 100x cost this trades away.)
+    "semdedup_eps_curve_sampled",
+    "semdedup_codebook_novelty",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any

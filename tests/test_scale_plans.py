@@ -725,6 +725,18 @@ def test_dedup_ladder_never_broadcasts_data_scaled_sides(spark, name):
 # Any new broadcast that shifts a count fails this gate before it can
 # OOM a scaled run.
 _REGISTRY_BROADCAST_BUDGET = {
+    # wave 10 (round 9): the shared sim pipeline's bounded broadcasts
+    # (kmeans codebooks 10 + the cell-size frame's sites) + the literal
+    # eps grid + the 1-row sample total, whose lineage now runs through
+    # the sampled membership frame (one more size-frame site than the
+    # full curve's 14)
+    "semdedup_eps_curve_sampled": 15,
+    # probe plan: the k-row persisted codebook at its 2 consumption
+    # sites (assignment feeding the hits side and the retention base);
+    # the members membership join and the hits retention join are
+    # data-scaled and pinned — and the bucketed members scan feeds the
+    # SMJ with no exchange (tests/test_wave10.py)
+    "semdedup_codebook_novelty": 2,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites
