@@ -27,6 +27,21 @@ def _plan(df) -> str:
     ).split("\n\n")[0]
 
 
+# Each semdedup builder pays a 5-iteration Lloyd fit (inertia collects
+# at build time), so repeated builds dominate this module's wall time.
+# Memoize collected rows per (query, sf) — the same consolidation that
+# kept the r8 suite under the wall-time line (SCALING.md "Harness
+# deltas").  The idempotency test deliberately bypasses the cache.
+_ROWS: dict[tuple[str, str], list] = {}
+
+
+def _rows(spark, name: str, sf: str) -> list:
+    key = (name, sf)
+    if key not in _ROWS:
+        _ROWS[key] = QUERIES[name].builder(spark, sf).collect()
+    return _ROWS[key]
+
+
 # --- semdedup_eps_curve_sampled ------------------------------------------
 
 # Measured max |sampled - full| retention_ppm at rate 50 on the
@@ -45,15 +60,11 @@ def test_sampled_curve_tracks_full_curve_within_tolerance(spark):
     for sf in (SF_SMALL, SF_DIR):
         full = {
             r["eps_bp"]: r["retention_ppm"]
-            for r in QUERIES["semdedup_eps_retention_curve"]
-            .builder(spark, sf)
-            .collect()
+            for r in _rows(spark, "semdedup_eps_retention_curve", sf)
         }
         samp = {
             r["eps_bp"]: r["retention_ppm"]
-            for r in QUERIES["semdedup_eps_curve_sampled"]
-            .builder(spark, sf)
-            .collect()
+            for r in _rows(spark, "semdedup_eps_curve_sampled", sf)
         }
         assert sorted(full) == sorted(samp)
         dev = {e: abs(samp[e] - full[e]) for e in full}
@@ -63,15 +74,11 @@ def test_sampled_curve_tracks_full_curve_within_tolerance(spark):
 def test_sampled_curve_is_a_real_sample(spark):
     """The sample must be proper (0 < n_total < corpus), internally
     consistent, and the curve must actually move across the grid."""
+    from awsbatch_mapreduce_spark.sources.tables import load_table
+
     for sf in (SF_SMALL, SF_DIR):
-        rows = (
-            QUERIES["semdedup_eps_curve_sampled"].builder(spark, sf).collect()
-        )
-        corpus = (
-            QUERIES["semdedup_eps_retention_curve"]
-            .builder(spark, sf)
-            .collect()[0]["n_total"]
-        )
+        rows = _rows(spark, "semdedup_eps_curve_sampled", sf)
+        corpus = load_table(spark, sf, "embeddings").count()
         n_total = rows[0]["n_total"]
         assert 0 < n_total < corpus, (sf, n_total, corpus)
         dropped = set()
@@ -92,7 +99,7 @@ def test_sampled_curve_is_a_real_sample(spark):
 def test_codebook_novelty_flag_consistency(spark):
     """is_novel <=> zero seen duplicates <=> sentinel max cosine; a
     non-novel row's max duplicate cosine clears the threshold."""
-    rows = QUERIES["semdedup_codebook_novelty"].builder(spark, SF_DIR).collect()
+    rows = _rows(spark, "semdedup_codebook_novelty", SF_DIR)
     for r in rows:
         if r["is_novel"]:
             assert r["n_seen_dups"] == 0
@@ -106,9 +113,7 @@ def test_codebook_novelty_non_vacuous_at_both_sfs(spark):
     """The eps=0.30 threshold must split the new batch non-trivially at
     BOTH SFs (all-novel or none-novel would pass the oracle vacuously)."""
     for sf in (SF_SMALL, SF_DIR):
-        rows = (
-            QUERIES["semdedup_codebook_novelty"].builder(spark, sf).collect()
-        )
+        rows = _rows(spark, "semdedup_codebook_novelty", sf)
         n_novel = sum(r["is_novel"] for r in rows)
         assert 0 < n_novel < len(rows), (sf, n_novel, len(rows))
 
@@ -145,7 +150,7 @@ def test_codebook_probe_zero_seen_side_recompute(spark):
 def test_codebook_members_table_bucketed(spark):
     """The persisted members table carries an 8-bucket spec on cell, so
     the probe join reads the seen side partition-aligned from disk."""
-    QUERIES["semdedup_codebook_novelty"].builder(spark, SF_DIR).collect()
+    _rows(spark, "semdedup_codebook_novelty", SF_DIR)
     tbls = [
         t.name
         for t in spark.catalog.listTables()
