@@ -187,7 +187,10 @@ def semdedup_codebook_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen half (vec_id <= mid) is k-means-clustered once (the exact
     wave-9 Lloyd pipeline, k from the label init) and persisted as two
     tables — the final codebook (k rows) and the per-cell quantized
-    members (bucketed on cell); the new batch (vec_id > mid) is then
+    members (bucketed on cell, written in two generations: initial
+    build + a bucketed APPEND of the second quarter, the per-batch
+    admission path between codebook refits); the new batch (vec_id >
+    mid) is then
     assigned to cells via the broadcast codebook and checked by EXACT
     intra-cell cosine against persisted members only.  Output: one row
     per new vector — (cell, count of seen duplicates at cosine >=
@@ -248,19 +251,34 @@ def semdedup_codebook_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .saveAsTable(cb_tbl)
     )
+    members_frame = assigned.select(
+        F.col("vec_id").alias("seen_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("vq").alias("vq_s"),
+        F.aggregate(
+            "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("nn_s"),
+    )
+    # two generations, as the band index does: initial build (first
+    # quarter of vec_ids) + a bucketed APPEND of the second quarter
+    # ("yesterday's admitted batch") — the per-batch admission path a
+    # production pipeline runs between codebook refits; the bucket
+    # spec must match the table's, so the probe keeps reading the
+    # grown index exchange-free
+    q1 = (b.lo + mid) // 2  # plan-internal build/append boundary
     (
-        assigned.select(
-            F.col("vec_id").alias("seen_id"),
-            F.col("cell").cast("int").alias("cell"),
-            F.col("vq").alias("vq_s"),
-            F.aggregate(
-                "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
-            ).alias("nn_s"),
-        )
+        members_frame.filter(F.col("seen_id") <= F.lit(q1))
         .write.bucketBy(8, "cell")
         .sortBy("cell")
         .option("path", os.path.join(base, mem_tbl))
         .mode("overwrite")
+        .saveAsTable(mem_tbl)
+    )
+    (
+        members_frame.filter(F.col("seen_id") > F.lit(q1))
+        .write.bucketBy(8, "cell")
+        .sortBy("cell")
+        .mode("append")
         .saveAsTable(mem_tbl)
     )
 
