@@ -116,6 +116,28 @@ def label_centroid_init(emb: DataFrame) -> DataFrame:
     )
 
 
+def assign_to_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd ASSIGN step: quantized corpus (vec_id, vq) against a
+    broadcast codebook (cell, centroid) -> (vec_id, vq, cell, d_fp) by
+    integer-quantized argmin with the (d_fp, cell) tie-break.  Shared
+    by ``kmeans_fit``'s iteration loop and the wave-10 persisted-
+    codebook probe so the assignment arithmetic has exactly one home
+    (the oracle twins: the ``d{i}``/``a{i}`` CTEs and wave 10's ``an``)."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d_fp"), F.asc("cell"))
+    return (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "vq",
+            "cell",
+            _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame, k_init: DataFrame, n_iter: int = 5
 ) -> tuple[DataFrame, list[float]]:
@@ -138,20 +160,7 @@ def kmeans_fit(
     assigned_prev = None
     inertia_trace: list[float] = []
     for _ in range(n_iter):
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d_fp"), F.asc("cell"))
-        assigned = (
-            q.crossJoin(F.broadcast(centroids))
-            .select(
-                "vec_id",
-                "vq",
-                "cell",
-                _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
-            .persist()
-        )
+        assigned = assign_to_cells(q, centroids).persist()
         inertia_trace.append(
             assigned.agg((F.sum("d_fp") / F.lit(_DSCALE)).alias("i")).collect()[
                 0

@@ -112,23 +112,21 @@ PRIORITY_REGRADE: tuple[str, ...] = (
 )
 
 
-def _driver_proven(
-    root: str | None = None, max_mtime: float | None = None
-) -> frozenset[str]:
+def _driver_proven(root: str | None = None) -> frozenset[str]:
     """Names with a fully-green row in ANY ``CORRECTNESS_r*.json`` the
     driver has written so far (repo root).  Reading the record files
     directly makes the rotation self-maintaining: each round's newly
     proven queries automatically drop to the back of the next round's
-    grading window without anyone editing a frozen set.  Falls back to
-    the round-1 snapshot if no record files are readable.
+    grading window without anyone editing a frozen set — and since
+    round 9, ``tests/test_queries_md.py`` regenerates QUERIES.md from
+    this same union, so the board self-heals too (the old mtime-capped
+    variant of this function existed only for the now-removed drift
+    pin).  Falls back to the round-1 snapshot if no record files are
+    readable.
 
     ``root`` overrides the record directory (tests inject a tmp dir
     with synthetic record files to pin the rotation's behavior for
-    future rounds).  ``max_mtime`` skips record files written after
-    that timestamp — the drift pin in ``tests/test_queries_md.py``
-    passes QUERIES.md's own mtime so a record the driver writes
-    *after* the round's final commit (which QUERIES.md structurally
-    cannot reflect) is not counted as staleness."""
+    future rounds)."""
     import glob
     import json
     import os
@@ -139,8 +137,6 @@ def _driver_proven(
     found = False
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
-            if max_mtime is not None and os.path.getmtime(path) > max_mtime:
-                continue
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):

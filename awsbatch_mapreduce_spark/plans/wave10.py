@@ -45,14 +45,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.iterative import (
     _centroids_of,
     _kmeans_cte,
     _quantize,
-    _sq_dist_fp,
+    assign_to_cells,
     kmeans_fit,
     label_centroid_init,
 )
@@ -281,32 +280,23 @@ def semdedup_codebook_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("append")
         .saveAsTable(mem_tbl)
     )
+    # the build is on disk; the probe reads only the tables, so the
+    # fit's cached assignment frame would otherwise stay pinned for
+    # the session (one dead copy per builder call under bench's reps)
+    assigned.unpersist()
 
     # the PROBE (per batch): assign via broadcast codebook, exact
     # cosine against persisted members of the assigned cell only
     new = emb.filter(F.col("vec_id") > F.lit(mid)).select(
         "vec_id", _quantize(F.col("embedding")).alias("vq")
     )
-    cb = spark.table(cb_tbl)
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d_fp"), F.asc("cell"))
-    assigned_new = (
-        new.crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            "vq",
-            F.col("cell").cast("int").alias("cell"),
-            _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "vec_id",
-            "cell",
-            "vq",
-            F.aggregate(
-                "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
-            ).alias("nn_n"),
-        )
+    assigned_new = assign_to_cells(new, spark.table(cb_tbl)).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "vq",
+        F.aggregate(
+            "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("nn_n"),
     )
     members = spark.table(mem_tbl)
     dot = F.aggregate(

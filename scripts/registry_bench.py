@@ -69,12 +69,26 @@ def compare(
     prev: dict[str, dict], cur: dict[str, dict]
 ) -> list[dict]:
     """Queries whose normalized time grew > _FLAG_RATIO x AND whose raw
-    delta exceeds the jitter floor; plus any query that vanished."""
+    delta exceeds the jitter floor, plus ERR TRANSITIONS and vanished
+    queries.  A query that newly errors records a tiny sec (the raise
+    is fast), so the timing rule alone would read the worst regression
+    class — broken — as an improvement; err status is therefore
+    diffed explicitly and err rows are excluded from the timing rule
+    (their sec measures the raise, not the plan)."""
     flagged = []
     for name, c in cur.items():
         p = prev.get(name)
         if p is None:
             continue  # new query: no reference point yet
+        if "err" in c and "err" not in p:
+            flagged.append(
+                {"query": name, "newly_erroring": c["err"], "prev_sec": p["sec"]}
+            )
+            continue
+        if "err" in p:
+            if "err" not in c:
+                flagged.append({"query": name, "recovered_from_err": p["err"]})
+            continue  # err->err: still broken, already flagged when it broke
         if (
             p["norm"] > 0
             and c["norm"] > _FLAG_RATIO * p["norm"]
@@ -128,9 +142,15 @@ def main() -> None:
     from awsbatch_mapreduce_spark.session import get_spark
     from bench import _calibration_sec
 
-    run_id = os.environ.get(
-        "SPARK_GRAFT_RUN_ID", f"run{len(runs) + 1:03d}"
-    )
+    run_id = os.environ.get("SPARK_GRAFT_RUN_ID")
+    if run_id is None:
+        # first runNNN id not already present — len()+1 could collide
+        # with survivors of a hand-pruned file and silently merge two
+        # sweeps under one key
+        n = len(runs) + 1
+        while f"run{n:03d}" in runs:
+            n += 1
+        run_id = f"run{n:03d}"
     sf_dir = os.environ.get(
         "SPARK_GRAFT_REGISTRY_SF_DIR", "/root/testdata/sf0.01"
     )

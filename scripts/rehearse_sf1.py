@@ -146,6 +146,14 @@ REHEARSAL = [
 _only = os.environ.get("REHEARSE_ONLY")
 if _only:
     REHEARSAL = [n for n in _only.split(",") if n]
+elif REPLICAS >= 100:
+    # "10x only" must be a code gate, not a comment (round-9 review):
+    # the codebook probe's membership check is |batch| x cell-size by
+    # semantics, and with k pinned by the shared-oracle contract a
+    # 100x ladder would run ~1e10 dot products that measure the
+    # fixture's fixed k, not the operator.  Name it in REHEARSE_ONLY
+    # to force it deliberately.
+    REHEARSAL = [n for n in REHEARSAL if n != "semdedup_codebook_novelty"]
 
 
 def _sweep_stale_tiles() -> None:

@@ -16,15 +16,10 @@ import re
 
 from awsbatch_mapreduce_spark.plans import QUERIES
 from awsbatch_mapreduce_spark.plans.wave9 import _NO_PEER_BP, _SEMDEDUP_EPS_BP
-from tests.conftest import SF_DIR
-
-SF_SMALL = SF_DIR.replace("sf0.01", "sf0.001")
+from tests.conftest import SF_BOTH, SF_DIR
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    ).split("\n\n")[0]
+from tests.conftest import plan_of as _plan  # noqa: E402
 
 
 # Each semdedup builder pays a 5-iteration Lloyd fit (inertia collects
@@ -57,7 +52,7 @@ def test_sampled_curve_tracks_full_curve_within_tolerance(spark):
     sampled cells carry their exact pair structure and the retention
     estimate is unbiased over the cell draw.  Pin the fixture-measured
     deviation at BOTH SFs."""
-    for sf in (SF_SMALL, SF_DIR):
+    for sf in SF_BOTH:
         full = {
             r["eps_bp"]: r["retention_ppm"]
             for r in _rows(spark, "semdedup_eps_retention_curve", sf)
@@ -76,7 +71,7 @@ def test_sampled_curve_is_a_real_sample(spark):
     consistent, and the curve must actually move across the grid."""
     from awsbatch_mapreduce_spark.sources.tables import load_table
 
-    for sf in (SF_SMALL, SF_DIR):
+    for sf in SF_BOTH:
         rows = _rows(spark, "semdedup_eps_curve_sampled", sf)
         corpus = load_table(spark, sf, "embeddings").count()
         n_total = rows[0]["n_total"]
@@ -112,7 +107,7 @@ def test_codebook_novelty_flag_consistency(spark):
 def test_codebook_novelty_non_vacuous_at_both_sfs(spark):
     """The eps=0.30 threshold must split the new batch non-trivially at
     BOTH SFs (all-novel or none-novel would pass the oracle vacuously)."""
-    for sf in (SF_SMALL, SF_DIR):
+    for sf in SF_BOTH:
         rows = _rows(spark, "semdedup_codebook_novelty", sf)
         n_novel = sum(r["is_novel"] for r in rows)
         assert 0 < n_novel < len(rows), (sf, n_novel, len(rows))

@@ -19,15 +19,10 @@ from pyspark.sql import functions as F
 
 from awsbatch_mapreduce_spark.plans import QUERIES
 from awsbatch_mapreduce_spark.plans.wave9 import _NO_PEER_BP, _SEMDEDUP_EPS_BP
-from tests.conftest import SF_DIR
-
-SF_SMALL = SF_DIR.replace("sf0.01", "sf0.001")
+from tests.conftest import SF_BOTH, SF_DIR
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    ).split("\n\n")[0]
+from tests.conftest import plan_of as _plan  # noqa: E402
 
 
 # --- semdedup_cluster_prune ----------------------------------------------
@@ -37,7 +32,7 @@ def test_semdedup_non_vacuous_at_both_sfs(spark):
     """The eps=0.30 threshold sits at ~p99 of the fixture's intra-cell
     cosine tail, so the prune must drop a non-trivial, non-total subset
     at BOTH SFs (a vacuous constant would pass the oracle trivially)."""
-    for sf in (SF_SMALL, SF_DIR):
+    for sf in SF_BOTH:
         rows = QUERIES["semdedup_cluster_prune"].builder(spark, sf).collect()
         n_drop = sum(r["dropped"] for r in rows)
         assert 0 < n_drop < len(rows), (sf, n_drop, len(rows))
@@ -129,7 +124,7 @@ def test_eps_curve_non_vacuous_at_both_sfs(spark):
     """The grid must straddle the fixture's cosine tail at both SFs:
     the loosest eps drops some-but-not-all, and the curve actually
     moves across the grid (no constant output)."""
-    for sf in (SF_SMALL, SF_DIR):
+    for sf in SF_BOTH:
         rows = {
             r["eps_bp"]: r["n_dropped"]
             for r in QUERIES["semdedup_eps_retention_curve"]
