@@ -38,3 +38,20 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     ).split("\n\n")[0]
+
+
+# Cross-module cache of collected query rows per (name, sf): the
+# semdedup builders each pay a 5-iteration Lloyd fit, and the wave-9/10
+# invariant modules consume the same frames repeatedly (round-9: the
+# SF_BOTH fix made the sf0.01 legs real, which re-exposed the cost).
+# Idempotency tests bypass this cache on purpose.
+_QUERY_ROWS: dict = {}
+
+
+def query_rows(spark, name: str, sf: str) -> list:
+    from awsbatch_mapreduce_spark.plans import QUERIES
+
+    key = (name, sf)
+    if key not in _QUERY_ROWS:
+        _QUERY_ROWS[key] = QUERIES[name].builder(spark, sf).collect()
+    return _QUERY_ROWS[key]

@@ -22,19 +22,7 @@ from tests.conftest import SF_BOTH, SF_DIR
 from tests.conftest import plan_of as _plan  # noqa: E402
 
 
-# Each semdedup builder pays a 5-iteration Lloyd fit (inertia collects
-# at build time), so repeated builds dominate this module's wall time.
-# Memoize collected rows per (query, sf) — the same consolidation that
-# kept the r8 suite under the wall-time line (SCALING.md "Harness
-# deltas").  The idempotency test deliberately bypasses the cache.
-_ROWS: dict[tuple[str, str], list] = {}
-
-
-def _rows(spark, name: str, sf: str) -> list:
-    key = (name, sf)
-    if key not in _ROWS:
-        _ROWS[key] = QUERIES[name].builder(spark, sf).collect()
-    return _ROWS[key]
+from tests.conftest import query_rows as _rows  # noqa: E402
 
 
 # --- semdedup_eps_curve_sampled ------------------------------------------

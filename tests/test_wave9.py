@@ -23,6 +23,7 @@ from tests.conftest import SF_BOTH, SF_DIR
 
 
 from tests.conftest import plan_of as _plan  # noqa: E402
+from tests.conftest import query_rows as _rows  # noqa: E402
 
 
 # --- semdedup_cluster_prune ----------------------------------------------
@@ -33,7 +34,7 @@ def test_semdedup_non_vacuous_at_both_sfs(spark):
     cosine tail, so the prune must drop a non-trivial, non-total subset
     at BOTH SFs (a vacuous constant would pass the oracle trivially)."""
     for sf in SF_BOTH:
-        rows = QUERIES["semdedup_cluster_prune"].builder(spark, sf).collect()
+        rows = _rows(spark, "semdedup_cluster_prune", sf)
         n_drop = sum(r["dropped"] for r in rows)
         assert 0 < n_drop < len(rows), (sf, n_drop, len(rows))
 
@@ -41,7 +42,7 @@ def test_semdedup_non_vacuous_at_both_sfs(spark):
 def test_semdedup_flag_consistency(spark):
     """dropped <=> a lower-id duplicate exists <=> max_cos_bp above
     threshold; kept rows carry the sentinel and zero count."""
-    rows = QUERIES["semdedup_cluster_prune"].builder(spark, SF_DIR).collect()
+    rows = _rows(spark, "semdedup_cluster_prune", SF_DIR)
     for r in rows:
         if r["dropped"]:
             assert r["n_dup_lower"] >= 1
@@ -54,24 +55,18 @@ def test_semdedup_flag_consistency(spark):
 def test_semdedup_cells_match_kmeans_embeddings(spark):
     """The cluster step IS kmeans_embeddings' (shared kmeans_fit +
     shared init): per-cell membership counts must agree exactly."""
-    sem = (
-        QUERIES["semdedup_cluster_prune"]
-        .builder(spark, SF_DIR)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    km = QUERIES["kmeans_embeddings"].builder(spark, SF_DIR).collect()
-    assert {r["cell"]: r["n"] for r in sem} == {
-        r["cell"]: r["n_members"] for r in km
-    }
+    sem: dict[int, int] = {}
+    for r in _rows(spark, "semdedup_cluster_prune", SF_DIR):
+        sem[r["cell"]] = sem.get(r["cell"], 0) + 1
+    km = _rows(spark, "kmeans_embeddings", SF_DIR)
+    assert sem == {r["cell"]: r["n_members"] for r in km}
 
 
 def test_semdedup_lowest_id_per_cell_never_dropped(spark):
     """Greedy-by-id keep rule: the minimum vec_id of every cell has no
     lower-id peer, so it can never be dropped — at least one survivor
     per cell is structural, not data-dependent."""
-    rows = QUERIES["semdedup_cluster_prune"].builder(spark, SF_DIR).collect()
+    rows = _rows(spark, "semdedup_cluster_prune", SF_DIR)
     lowest = {}
     for r in rows:
         if r["cell"] not in lowest or r["vec_id"] < lowest[r["cell"]]["vec_id"]:
@@ -101,9 +96,7 @@ def test_eps_curve_monotone_and_consistent_with_prune(spark):
     refactor bug."""
     rows = {
         r["eps_bp"]: r
-        for r in QUERIES["semdedup_eps_retention_curve"]
-        .builder(spark, SF_DIR)
-        .collect()
+        for r in _rows(spark, "semdedup_eps_retention_curve", SF_DIR)
     }
     grid = sorted(rows)
     assert grid == [2000, 2500, 3000, 3500, 4000]
@@ -114,8 +107,7 @@ def test_eps_curve_monotone_and_consistent_with_prune(spark):
         assert 0 <= r["n_dropped"] <= n_total
         assert r["retention_ppm"] == (n_total - r["n_dropped"]) * 1_000_000 // n_total
     prune_dropped = sum(
-        r["dropped"]
-        for r in QUERIES["semdedup_cluster_prune"].builder(spark, SF_DIR).collect()
+        r["dropped"] for r in _rows(spark, "semdedup_cluster_prune", SF_DIR)
     )
     assert rows[_SEMDEDUP_EPS_BP]["n_dropped"] == prune_dropped
 
@@ -127,9 +119,7 @@ def test_eps_curve_non_vacuous_at_both_sfs(spark):
     for sf in SF_BOTH:
         rows = {
             r["eps_bp"]: r["n_dropped"]
-            for r in QUERIES["semdedup_eps_retention_curve"]
-            .builder(spark, sf)
-            .collect()
+            for r in _rows(spark, "semdedup_eps_retention_curve", sf)
         }
         assert 0 < rows[2000] and len(set(rows.values())) > 1
 
