@@ -1003,3 +1003,56 @@ def test_count_action_prunes_probe_joins(spark):
         "count() no longer prunes the probe — rehearsal doctrine "
         "unaffected, but update SCALING.md's account\n" + cnt[:1500]
     )
+
+
+def test_scan_audit_matches_committed(spark):
+    """Registry-wide column-pruning pin (round 9): SCAN_AUDIT.json maps
+    every query to the ReadSchema widths of its parquet scans; a lost
+    projection pushdown ANYWHERE in the registry widens a scan and
+    fails this pin with a one-line diff to review.  Regenerate with
+    `python scripts/gen_scan_audit.py` after a deliberate plan change.
+    Like the broadcast budget, this is an enumeration, not a judgment
+    — full-width scans that are correct (profilers, snapshots) are
+    simply recorded."""
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    from gen_scan_audit import extract_scans
+
+    with open(os.path.join(root, "SCAN_AUDIT.json")) as fh:
+        committed = json.load(fh)["queries"]
+    assert set(committed) == set(QUERIES), (
+        "SCAN_AUDIT.json query set is stale — run scripts/gen_scan_audit.py"
+    )
+    bad = {}
+    for name in QUERIES:
+        got = extract_scans(_registry_plan(spark, name))
+        if got != committed[name]:
+            bad[name] = {"plan": got, "committed": committed[name]}
+    assert not bad, f"scan widths drifted (review + regenerate): {bad}"
+
+
+def test_no_full_width_fact_scans(spark):
+    """The absolute floor under the audit: no registered query may read
+    the FULL width of the two wide fact tables (lineitem 16 cols,
+    orders 9) — every consumer needs a proper subset today, so a
+    16/9-wide scan can only mean a lost projection.  (Documents/events
+    profilers legitimately read full width; facts have no such
+    consumer.)"""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCAN_AUDIT.json")) as fh:
+        committed = json.load(fh)["queries"]
+    offenders = [
+        (name, table, widths)
+        for name, scans in committed.items()
+        for table, widths in scans.items()
+        if (table == "lineitem" and max(widths) >= 16)
+        or (table == "orders" and max(widths) >= 9)
+    ]
+    assert not offenders, offenders
