@@ -13,6 +13,12 @@ committed file, and ``tests/test_scale_plans.py`` pins the file
 against the live plans (same regenerate-on-change contract as
 QUERIES.md).
 
+The audit also records each query's shuffle count (``n_shuffles`` =
+detail-block ``Exchange`` nodes in the static plan, broadcast
+exchanges excluded): an accidental extra shuffle — lost bucketing, a
+stray repartition, a join flipped off its co-located path — is the
+other silent scale regression the broadcast budget cannot see.
+
 Run ``python scripts/gen_scan_audit.py`` to rewrite SCAN_AUDIT.json.
 """
 
@@ -77,14 +83,24 @@ def extract_scans(plan: str) -> dict[str, list[int]]:
     return {k: sorted(v) for k, v in sorted(scans.items())}
 
 
+def n_shuffles(plan: str) -> int:
+    """Shuffle-Exchange detail blocks in the static plan (broadcast
+    exchanges deliberately excluded — those have their own budget)."""
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+
+
 def render(plans: dict[str, str]) -> dict:
     return {
-        "_doc": "Registry-wide parquet-scan column widths "
-        "(gen_scan_audit.py); one entry per query, mapping each "
-        "scanned source to the sorted list of ReadSchema widths of "
-        "its scans.  Regenerate after any plan-affecting change.",
+        "_doc": "Registry-wide plan audit (gen_scan_audit.py): per "
+        "query, each scanned parquet source -> sorted ReadSchema "
+        "widths of its scans, plus the static plan's shuffle-Exchange "
+        "count.  Regenerate after any plan-affecting change.",
         "queries": {
-            name: extract_scans(plan) for name, plan in sorted(plans.items())
+            name: {
+                "scans": extract_scans(plan),
+                "n_shuffles": n_shuffles(plan),
+            }
+            for name, plan in sorted(plans.items())
         },
     }
 

@@ -1020,7 +1020,7 @@ def test_scan_audit_matches_committed(spark):
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(root, "scripts"))
-    from gen_scan_audit import extract_scans
+    from gen_scan_audit import extract_scans, n_shuffles
 
     with open(os.path.join(root, "SCAN_AUDIT.json")) as fh:
         committed = json.load(fh)["queries"]
@@ -1029,10 +1029,11 @@ def test_scan_audit_matches_committed(spark):
     )
     bad = {}
     for name in QUERIES:
-        got = extract_scans(_registry_plan(spark, name))
+        plan = _registry_plan(spark, name)
+        got = {"scans": extract_scans(plan), "n_shuffles": n_shuffles(plan)}
         if got != committed[name]:
             bad[name] = {"plan": got, "committed": committed[name]}
-    assert not bad, f"scan widths drifted (review + regenerate): {bad}"
+    assert not bad, f"scan widths / shuffle counts drifted (review + regenerate): {bad}"
 
 
 def test_no_full_width_fact_scans(spark):
@@ -1050,8 +1051,8 @@ def test_no_full_width_fact_scans(spark):
         committed = json.load(fh)["queries"]
     offenders = [
         (name, table, widths)
-        for name, scans in committed.items()
-        for table, widths in scans.items()
+        for name, entry in committed.items()
+        for table, widths in entry["scans"].items()
         if (table == "lineitem" and max(widths) >= 16)
         or (table == "orders" and max(widths) >= 9)
     ]
