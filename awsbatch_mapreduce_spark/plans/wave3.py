@@ -717,6 +717,12 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = c.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xj"))
     b = c.select("vec_id", F.col("pos").alias("k"), F.col("x").alias("xk"))
+    # d^2-row covariance and d-row init vector are localCheckpoint-ed:
+    # without it the unrolled 5-iteration lineage re-plans (and
+    # re-executes) the fact-sized self-join per iteration — 653
+    # static-plan exchanges, 9.0 s at sf0.01; with it, single-digit
+    # exchanges, 2.5 s, row-identical (round 9; the same lineage-
+    # truncation discipline as dedup_canonical_assignment).
     cov = (
         a.join(b, "vec_id")
         .groupBy("j", "k")
@@ -725,8 +731,11 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "j", "k", F.expr("CAST(s div n div 1000000 AS BIGINT)").alias("c6")
         )
+        .localCheckpoint()
     )
-    v = m.select("pos", F.lit(1000000).cast("bigint").alias("v_fp"))
+    v = m.select(
+        "pos", F.lit(1000000).cast("bigint").alias("v_fp")
+    ).localCheckpoint()
     for _ in range(5):
         w = (
             cov.join(F.broadcast(v), cov.k == v.pos)
@@ -734,6 +743,10 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("c6") * F.col("v_fp")).alias("w"))
         )
         mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        # per-iteration checkpoint of the d-row vector: v_i references
+        # w_i twice (the join and the mx scalar), so an unchecked chain
+        # doubles per iteration (93 plan exchanges); checkpointed, the
+        # whole query plans in single digits
         v = (
             w.crossJoin(F.broadcast(mx))
             .select(
@@ -742,6 +755,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "CAST(w div greatest(mx div 1000000, 1) AS BIGINT)"
                 ).alias("v_fp"),
             )
+            .localCheckpoint()
         )
     return v.select(
         F.col("pos").cast("bigint").alias("pos"),
