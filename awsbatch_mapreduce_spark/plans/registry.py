@@ -112,17 +112,17 @@ PRIORITY_REGRADE: tuple[str, ...] = (
 )
 
 
-def _driver_proven(root: str | None = None) -> frozenset[str]:
-    """Names with a fully-green row in ANY ``CORRECTNESS_r*.json`` the
-    driver has written so far (repo root).  Reading the record files
-    directly makes the rotation self-maintaining: each round's newly
-    proven queries automatically drop to the back of the next round's
-    grading window without anyone editing a frozen set — and since
-    round 9, ``tests/test_queries_md.py`` regenerates QUERIES.md from
-    this same union, so the board self-heals too (the old mtime-capped
-    variant of this function existed only for the now-removed drift
-    pin).  Falls back to the round-1 snapshot if no record files are
-    readable.
+def _green_round_map(root: str | None = None) -> dict[str, int] | None:
+    """Name -> LATEST driver round (parsed from the record filename)
+    with a fully-green row, across every ``CORRECTNESS_r*.json`` the
+    driver has written so far (repo root).  Returns ``None`` when no
+    record file is readable (caller falls back to the round-1
+    snapshot).  Reading the record files directly makes the rotation
+    self-maintaining: each round's newly proven queries automatically
+    drop to the back of the next round's grading window without anyone
+    editing a frozen set — and since round 9,
+    ``tests/test_queries_md.py`` regenerates QUERIES.md from this same
+    union, so the board self-heals too.
 
     ``root`` overrides the record directory (tests inject a tmp dir
     with synthetic record files to pin the rotation's behavior for
@@ -130,10 +130,11 @@ def _driver_proven(root: str | None = None) -> frozenset[str]:
     import glob
     import json
     import os
+    import re
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    proven: set[str] = set()
+    last_green: dict[str, int] = {}
     found = False
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
@@ -142,6 +143,8 @@ def _driver_proven(root: str | None = None) -> frozenset[str]:
         except (OSError, ValueError):
             continue
         found = True
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         for name, row in rows.items():
             # rows_match must be affirmatively True (a malformed/empty
             # row dict must NOT count as proven — it would silently drop
@@ -154,22 +157,47 @@ def _driver_proven(root: str | None = None) -> frozenset[str]:
                 and row.get("hash_match") is not False
                 and row.get("err") is None
             ):
-                proven.add(name)
-    return frozenset(proven) if found else DRIVER_GREEN_R01
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green if found else None
+
+
+def _driver_proven(root: str | None = None) -> frozenset[str]:
+    """Names with a fully-green row in ANY ``CORRECTNESS_r*.json`` so
+    far.  Falls back to the round-1 snapshot if no record files are
+    readable (see ``_green_round_map``)."""
+    last_green = _green_round_map(root)
+    return frozenset(last_green) if last_green is not None else DRIVER_GREEN_R01
 
 
 def grading_order(
-    queries: dict[str, QuerySpec], proven: frozenset[str] | None = None
+    queries: dict[str, QuerySpec],
+    proven: frozenset[str] | None = None,
+    last_green: dict[str, int] | None = None,
 ) -> list[str]:
     """Registry names ordered for the driver's capped grading window:
     fix-verification first, then never-driver-proven — earlier waves
     before later ones (new queries must not displace older ungraded
     ones from the window), oracle-backed before rows-only within a
     wave (the oracle hash is the strong signal) — then the
-    already-proven set last.  ``proven`` overrides the record-file
-    scan (for tests)."""
+    already-proven set, STALEST driver grade first (VERDICT r9 #1:
+    keyed on the last round each query was driver-green, so every
+    query gets re-proven every ~4-5 rounds instead of the earliest
+    registrations regrading forever).  ``proven`` / ``last_green``
+    override the record-file scan (for tests); when ``proven`` is
+    injected without ``last_green``, the proven class falls back to
+    registration order."""
     if proven is None:
-        proven = _driver_proven()
+        green = _green_round_map()
+        if green is None:
+            proven = DRIVER_GREEN_R01
+            if last_green is None:
+                last_green = {n: 1 for n in DRIVER_GREEN_R01}
+        else:
+            proven = frozenset(green)
+            if last_green is None:
+                last_green = green
+    if last_green is None:
+        last_green = {}
 
     def prio(name: str) -> tuple[int, ...]:
         spec = queries[name]
@@ -177,7 +205,7 @@ def grading_order(
             return (0, PRIORITY_REGRADE.index(name))
         if name not in proven:
             return (1, spec.wave, spec.oracle is None)
-        return (2,)
+        return (2, last_green.get(name, 0))
 
     # sorted() is stable: within a priority class, registration order holds.
     return sorted(queries, key=prio)

@@ -172,14 +172,66 @@ def test_no_records_falls_back_to_r01_snapshot(tmp_path):
     assert _driver_proven(root=str(tmp_path)) == DRIVER_GREEN_R01
 
 
-def test_proven_class_keeps_registration_order():
-    """VERDICT r4 #7: with the full live proven set, the already-proven
-    class at the back of the order must be exactly the registry's
-    registration order (sorted() stability) — regrades of green queries
-    happen in a predictable, reviewable sequence."""
+def test_proven_class_rotates_by_stalest_driver_grade():
+    """VERDICT r9 #1: with the full live proven set, the already-proven
+    class must be keyed on the LAST round each query was driver-green
+    (stalest first), registration order as the tiebreak — so the capped
+    window regrades the queries whose driver proof has aged the most,
+    and every query gets re-proven every ~4-5 rounds."""
+    from awsbatch_mapreduce_spark.plans.registry import _green_round_map
+
+    last_green = _green_round_map()
+    assert last_green is not None, "live repo must have record files"
     order = grading_order(QUERIES)
     proven_tail = [n for n in order if n in PROVEN]
-    assert proven_tail == [n for n in QUERIES if n in PROVEN]
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+    keys = [(last_green.get(n, 0), reg_pos[n]) for n in proven_tail]
+    assert keys == sorted(keys), "proven class not in stalest-first order"
+    # The live repo has multiple distinct staleness rounds — the key
+    # must actually discriminate (not be vacuously constant).
+    assert len({k[0] for k in keys}) > 1
+
+
+def test_stalest_first_rotation_with_synthetic_records(tmp_path):
+    """Pin the r10 rotation semantics against synthetic record files:
+    a query last proven in r01 must sort before one last proven in r05,
+    regardless of registration order; ties break by registration."""
+    from awsbatch_mapreduce_spark.plans.registry import _green_round_map
+
+    names = list(QUERIES)
+    green = lambda ns: {  # noqa: E731
+        n: {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        }
+        for n in ns
+    }
+    # r01 proves everything; r05 re-proves the FIRST 100 registrations,
+    # so the stalest grades are exactly the last 116 registered names.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(green(names)))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps(green(names[:100]))
+    )
+    last_green = _green_round_map(root=str(tmp_path))
+    assert last_green is not None
+    assert last_green[names[0]] == 5 and last_green[names[-1]] == 1
+    order = grading_order(
+        QUERIES, proven=frozenset(last_green), last_green=last_green
+    )
+    # stalest (r01-only) class leads, in registration order; the
+    # re-proven r05 class trails, also in registration order.
+    assert order == names[100:] + names[:100]
+
+
+def test_injected_proven_without_rounds_keeps_registration_order():
+    """Tests that inject ``proven`` alone (no round map) must still get
+    the stable registration-order tail — the documented fallback."""
+    proven = frozenset(list(QUERIES)[::2])
+    order = grading_order(QUERIES, proven=proven)
+    tail = [n for n in order if n in proven]
+    assert tail == [n for n in QUERIES if n in proven]
 
 
 def test_wave6_addition_sorts_after_all_unproven_lower_waves():
