@@ -142,9 +142,15 @@ def _green_round_map(root: str | None = None) -> dict[str, int] | None:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
-        found = True
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        if m is None:
+            # A glob match without a parseable round (CORRECTNESS_rX.json)
+            # must not poison the map: rnd=0 would mark its names
+            # maximally stale AND flip `found`, suppressing the
+            # DRIVER_GREEN_R01 fallback (ADVICE r10).
+            continue
+        found = True
+        rnd = int(m.group(1))
         for name, row in rows.items():
             # rows_match must be affirmatively True (a malformed/empty
             # row dict must NOT count as proven — it would silently drop

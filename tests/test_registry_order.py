@@ -187,9 +187,16 @@ def test_proven_class_rotates_by_stalest_driver_grade():
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
     keys = [(last_green.get(n, 0), reg_pos[n]) for n in proven_tail]
     assert keys == sorted(keys), "proven class not in stalest-first order"
-    # The live repo has multiple distinct staleness rounds — the key
-    # must actually discriminate (not be vacuously constant).
-    assert len({k[0] for k in keys}) > 1
+    # Discrimination (multiple distinct staleness rounds) is a property
+    # of the repository's data state, not of the code — if the records
+    # were ever consolidated into one round the ordering above is still
+    # correct; skip rather than fail on a degenerate live set and rely
+    # on the synthetic-records test for the discrimination property
+    # (ADVICE r10).
+    if len({k[0] for k in keys}) <= 1:
+        import pytest
+
+        pytest.skip("live record set degenerate: one distinct green round")
 
 
 def test_stalest_first_rotation_with_synthetic_records(tmp_path):
