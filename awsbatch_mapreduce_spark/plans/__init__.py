@@ -44,5 +44,6 @@ from awsbatch_mapreduce_spark.plans import wave7  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave8  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave9  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave10  # noqa: F401
+from awsbatch_mapreduce_spark.plans import wave11  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "grading_order", "query"]

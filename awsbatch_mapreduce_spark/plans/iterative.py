@@ -183,33 +183,33 @@ def _kmeans_cte(n_iter: int = 5, source: str = "embeddings") -> str:
     a parenthesized subquery (wave 10 clusters the seen HALF for the
     persisted-codebook probe)."""
     steps = [
-        f"""WITH q AS (
+        f"""WITH q AS MATERIALIZED (
       SELECT vec_id, CAST(label AS INT) AS label,
              generate_subscripts(embedding, 1) AS pos,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
                   AS BIGINT) AS vq
       FROM {source}),
-    c0 AS (
+    c0 AS MATERIALIZED (
       SELECT label AS cell, pos,
              CAST(SUM(vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
       FROM q GROUP BY 1, 2)"""
     ]
     for i in range(1, n_iter + 1):
         steps.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
       SELECT q.vec_id, c.cell,
              SUM(CAST(FLOOR((q.vq / 1000000.0 - c.c) * (q.vq / 1000000.0 - c.c)
                             * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
       FROM q JOIN c{i - 1} c ON c.pos = q.pos
       GROUP BY 1, 2),
-    a{i} AS (
+    a{i} AS MATERIALIZED (
       SELECT vec_id, FIRST(cell ORDER BY dfp, cell) AS cell,
              FIRST(dfp ORDER BY dfp, cell) AS dfp
       FROM d{i} GROUP BY vec_id)"""
         )
         if i < n_iter:
             steps.append(
-                f"""c{i} AS (
+                f"""c{i} AS MATERIALIZED (
       SELECT a.cell, q.pos,
              CAST(SUM(q.vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
       FROM a{i} a JOIN q ON q.vec_id = a.vec_id

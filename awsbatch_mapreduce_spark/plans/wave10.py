@@ -127,37 +127,37 @@ _CODEBOOK_NOVELTY_ORACLE = (
         ),
     )
     + f""",
-    c5 AS (
+    c5 AS MATERIALIZED (
       SELECT a.cell, q.pos,
              CAST(SUM(q.vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
       FROM a5 a JOIN q ON q.vec_id = a.vec_id
       GROUP BY 1, 2),
-    qn AS (
+    qn AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
                   AS BIGINT) AS vq
       FROM embeddings
       WHERE vec_id > (SELECT (MIN(vec_id) + MAX(vec_id)) // 2
                       FROM embeddings)),
-    dn AS (
+    dn AS MATERIALIZED (
       SELECT qn.vec_id, c.cell,
              SUM(CAST(FLOOR((qn.vq / 1000000.0 - c.c) * (qn.vq / 1000000.0 - c.c)
                             * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
       FROM qn JOIN c5 c ON c.pos = qn.pos
       GROUP BY 1, 2),
-    an AS (
+    an AS MATERIALIZED (
       SELECT vec_id, FIRST(cell ORDER BY dfp, cell) AS cell
       FROM dn GROUP BY vec_id),
     nrm_s AS (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
     nrm_n AS (SELECT vec_id, SUM(vq * vq) AS nn FROM qn GROUP BY 1),
-    pr AS (
+    pr AS MATERIALIZED (
       SELECT n.vec_id AS id_new, s.vec_id AS id_seen,
              SUM(qn.vq * qs.vq) AS dot
       FROM an n JOIN a5 s ON s.cell = n.cell
       JOIN qn ON qn.vec_id = n.vec_id
       JOIN q qs ON qs.vec_id = s.vec_id AND qs.pos = qn.pos
       GROUP BY 1, 2),
-    sim AS (
+    sim AS MATERIALIZED (
       SELECT id_new,
              CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 10000.0 + 0.5)
                   AS BIGINT) AS cos_bp
@@ -165,7 +165,7 @@ _CODEBOOK_NOVELTY_ORACLE = (
       JOIN nrm_n na ON na.vec_id = id_new
       JOIN nrm_s nb ON nb.vec_id = id_seen
       WHERE na.nn > 0 AND nb.nn > 0),
-    agg AS (
+    agg AS MATERIALIZED (
       SELECT id_new AS vec_id, COUNT(*) AS n_seen_dups,
              MAX(cos_bp) AS max_cos_bp
       FROM sim WHERE cos_bp >= {_SEMDEDUP_EPS_BP} GROUP BY 1)

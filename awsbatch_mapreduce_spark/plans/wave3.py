@@ -644,19 +644,19 @@ def _pca_oracle(n_iter: int = 5) -> str:
     executes, so cross-engine equality is exact by construction.
     Both engines truncate integer division toward zero (verified)."""
     steps = [
-        """WITH q AS (
+        """WITH q AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
                   AS BIGINT) AS vq
       FROM embeddings),
     nn AS (SELECT COUNT(*) AS n FROM embeddings),
-    m AS (
+    m AS MATERIALIZED (
       SELECT pos, CAST(CAST(SUM(vq) AS BIGINT) // nn.n AS BIGINT) AS m_fp
       FROM q, nn GROUP BY pos, nn.n),
-    c AS (
+    c AS MATERIALIZED (
       SELECT q.vec_id, q.pos, q.vq - m.m_fp AS x
       FROM q JOIN m USING (pos)),
-    cov AS (
+    cov AS MATERIALIZED (
       SELECT a.pos AS j, b.pos AS k,
              CAST(CAST(SUM(a.x * b.x) AS BIGINT) // nn.n // 1000000
                   AS BIGINT) AS c6
@@ -666,12 +666,12 @@ def _pca_oracle(n_iter: int = 5) -> str:
     ]
     for i in range(1, n_iter + 1):
         steps.append(
-            f"""w{i} AS (
+            f"""w{i} AS MATERIALIZED (
       SELECT cov.j AS pos,
              CAST(CAST(SUM(cov.c6 * v.v_fp) AS BIGINT) AS BIGINT) AS w
       FROM cov JOIN v{i - 1} v ON v.pos = cov.k
       GROUP BY cov.j),
-    v{i} AS (
+    v{i} AS MATERIALIZED (
       SELECT pos,
              CAST(w // GREATEST(mx // 1000000, 1) AS BIGINT) AS v_fp
       FROM w{i}, (SELECT MAX(ABS(w)) AS mx FROM w{i}))"""

@@ -92,7 +92,7 @@ def _semdedup_sim_cte(cell_rate: int | None = None) -> str:
     base = "a5" if cell_rate is None else "a5s"
     sampled = (
         f""",
-    a5s AS (
+    a5s AS MATERIALIZED (
       SELECT * FROM a5
       WHERE ('0x' || substr(md5(CAST(cell AS VARCHAR)), 1, 8))::UBIGINT
             % 100 < {cell_rate})"""
@@ -103,15 +103,15 @@ def _semdedup_sim_cte(cell_rate: int | None = None) -> str:
         _kmeans_cte(5)
         + sampled
         + f""",
-    nrm AS (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
-    sz AS (SELECT cell, CAST(CEIL(COUNT(*) / {_CELL_CAP}.0) AS BIGINT) AS nsub
+    nrm AS MATERIALIZED (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
+    sz AS MATERIALIZED (SELECT cell, CAST(CEIL(COUNT(*) / {_CELL_CAP}.0) AS BIGINT) AS nsub
            FROM {base} GROUP BY 1),
-    sb AS (
+    sb AS MATERIALIZED (
       SELECT a.vec_id, a.cell,
              CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::UBIGINT
                   % s.nsub AS BIGINT) AS sub
       FROM {base} a JOIN sz s ON s.cell = a.cell),
-    pr AS (
+    pr AS MATERIALIZED (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              SUM(qa.vq * qb.vq) AS dot
       FROM sb a JOIN sb b
@@ -119,7 +119,7 @@ def _semdedup_sim_cte(cell_rate: int | None = None) -> str:
       JOIN q qa ON qa.vec_id = a.vec_id
       JOIN q qb ON qb.vec_id = b.vec_id AND qb.pos = qa.pos
       GROUP BY 1, 2),
-    sim AS (
+    sim AS MATERIALIZED (
       SELECT id_a, id_b,
              CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 10000.0 + 0.5)
                   AS BIGINT) AS cos_bp
@@ -135,7 +135,7 @@ _SEMDEDUP_SIM_CTE = _semdedup_sim_cte()
 _SEMDEDUP_ORACLE = (
     _SEMDEDUP_SIM_CTE
     + f""",
-    dup AS (
+    dup AS MATERIALIZED (
       SELECT id_b AS vec_id, COUNT(*) AS n_dup_lower, MAX(cos_bp) AS max_cos_bp
       FROM sim WHERE cos_bp >= {_SEMDEDUP_EPS_BP} GROUP BY 1)
     SELECT CAST(a.vec_id AS BIGINT) AS vec_id,

@@ -97,6 +97,10 @@ EXTENDED = [
     # vs batch, the same read incremental_lsh_novelty offers for LSH)
     "semdedup_eps_curve_sampled",
     "semdedup_codebook_novelty",
+    # round 11 (wave 11): the capacity-bounded codebook next to its
+    # fixed-k twin — the premium/discount of the hard per-cell cap is
+    # the number to read
+    "semdedup_codebook_capacity",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound
@@ -218,7 +222,10 @@ def main() -> None:
     # Per-query drift vs the declared reference points (VERDICT r7 #4):
     # BASELINE_QUERIES.json is the machine-readable home of the prose
     # re-baselines that started accumulating in BASELINE.md.  drift > 2.0
-    # is the per-query gate the judge reads.
+    # is the per-query gate the judge reads — since round 11 it covers
+    # the top-10 EXTENDED queries too (VERDICT r10 #2: the prefix filter
+    # was the largest un-gated number in the repo), and the flagged list
+    # is emitted explicitly so an empty list is a checked claim.
     here = os.path.dirname(os.path.abspath(__file__))
     drift: dict[str, float] = {}
     try:
@@ -226,11 +233,12 @@ def main() -> None:
             reference = json.load(fh)["queries"]
         drift = {
             name: round(t / reference[name]["reference_sec"], 2)
-            for name, t in timings.items()
+            for name, t in {**timings, **extended}.items()
             if name in reference
         }
     except (OSError, KeyError, ValueError):
         pass  # table absent/malformed: full payload simply omits drift
+    drift_flagged = sorted(n for n, d in drift.items() if d > 2.0)
 
     full = {
         "metric": "headline_queries_total_sec",
@@ -252,6 +260,7 @@ def main() -> None:
         },
         "normalized_total": round(total / calibration, 2),
         "drift_vs_reference": drift,
+        "drift_flagged": drift_flagged,
     }
     # Full payload goes to a sidecar file + an EARLY stdout line: the
     # driver captures only the final ~2 KB of stdout and BENCH_r07.json

@@ -112,19 +112,91 @@ def compare(
     )
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def history_flags(runs: dict[str, dict], run_id: str) -> list[dict]:
+    """Self-adjudicating flag rule (VERDICT r9 #5 / r10 #4): a query is
+    flagged only when its ``run_id`` normalized time exceeds
+    ``_FLAG_RATIO`` x the MEDIAN of its full prior run history (err-free
+    rows), with the same raw-seconds floor against the history's median
+    sec.  This encodes the adjudication a human previously did by
+    reading the ledger: a one-rep blip against a flat history
+    (``mixture_temperature_weights`` run005: 1.68 vs median 0.895, under
+    2x) never flags, and a genuine spike (``ann_lsh_topk`` run004: 6.01
+    vs median 2.85) flags once and then SELF-CLEARS on the next idle run
+    (run005: 2.48 vs median 3.10) instead of demanding a hand-written
+    verdict.  Err transitions stay pairwise vs the latest prior record
+    (a raise records a tiny sec — the timing rule must never see it)."""
+    ids = list(runs)
+    pos = ids.index(run_id)
+    prior_ids = ids[:pos]
+    cur = runs[run_id]["queries"]
+    flagged = []
+    seen_before: set[str] = set()
+    for name, c in cur.items():
+        hist = [
+            runs[rid]["queries"][name]
+            for rid in prior_ids
+            if name in runs[rid]["queries"]
+        ]
+        if hist:
+            seen_before.add(name)
+        prev = hist[-1] if hist else None
+        if prev is not None and "err" in c and "err" not in prev:
+            flagged.append(
+                {"query": name, "newly_erroring": c["err"], "prev_sec": prev["sec"]}
+            )
+            continue
+        if prev is not None and "err" in prev:
+            if "err" not in c:
+                flagged.append({"query": name, "recovered_from_err": prev["err"]})
+            continue  # err->err: still broken, flagged when it broke
+        clean = [h for h in hist if "err" not in h]
+        if not clean or "err" in c:
+            continue  # new query (no reference) — err-new handled above
+        med_norm = _median([h["norm"] for h in clean])
+        med_sec = _median([h["sec"] for h in clean])
+        if (
+            med_norm > 0
+            and c["norm"] > _FLAG_RATIO * med_norm
+            and c["sec"] - med_sec > _FLAG_ABS_SEC
+        ):
+            flagged.append(
+                {
+                    "query": name,
+                    "history_median_norm": round(med_norm, 2),
+                    "norm": c["norm"],
+                    "ratio": round(c["norm"] / med_norm, 2),
+                    "history_median_sec": round(med_sec, 3),
+                    "sec": c["sec"],
+                    "n_history": len(clean),
+                }
+            )
+    all_prior = set()
+    for rid in prior_ids:
+        all_prior.update(runs[rid]["queries"])
+    for name in sorted(all_prior - set(cur)):
+        flagged.append({"query": name, "missing_from_latest_run": True})
+    return sorted(flagged, key=lambda f: -f.get("ratio", float("inf")))
+
+
 def _compare_latest(runs: dict[str, dict]) -> None:
     ids = list(runs)
     if len(ids) < 2:
         print(json.dumps({"compare": "first run, no reference", "flagged": []}))
         return
-    prev_id, cur_id = ids[-2], ids[-1]
-    flagged = compare(runs[prev_id]["queries"], runs[cur_id]["queries"])
+    cur_id = ids[-1]
+    flagged = history_flags(runs, cur_id)
     print(
         json.dumps(
             {
-                "compare": f"{cur_id} vs {prev_id}",
-                "flag_rule": f">{_FLAG_RATIO}x normalized AND"
-                f" >{_FLAG_ABS_SEC}s raw delta",
+                "compare": f"{cur_id} vs history median over {len(ids) - 1} runs",
+                "flag_rule": f">{_FLAG_RATIO}x history-median normalized AND"
+                f" >{_FLAG_ABS_SEC}s raw delta vs history-median sec",
                 "n_flagged": len(flagged),
                 "flagged": flagged,
             }

@@ -136,6 +136,12 @@ REHEARSAL = [
     # SCALING.md round 9 quantifies the 100x cost this trades away.)
     "semdedup_eps_curve_sampled",
     "semdedup_codebook_novelty",
+    # round 11 (wave 11): the capacity-bounded codebook — unlike its
+    # fixed-k twin it STAYS in the ladder at 100x: the hard per-cell
+    # cap bounds the membership term and the growing fine-assign term
+    # is cell_size/cap (capx smaller), which is the whole claim the
+    # ladder exists to measure (VERDICT r10 #1)
+    "semdedup_codebook_capacity",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any

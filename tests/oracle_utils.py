@@ -26,6 +26,22 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Memo of oracle result frames per (connection, SQL text): the parity
+# test and the integral-float sweep both execute every registered
+# oracle on the same module-scoped connection — without the memo the
+# unrolled Lloyd/pca CTE chains ran twice per suite (VERDICT r10 #6).
+# Consumers never mutate the returned frame (compare_frames copies in
+# _normalize; the sweep only reads dtypes/values).
+_ORACLE_MEMO: dict = {}
+
+
+def oracle_frame(con, sql: str) -> pd.DataFrame:
+    key = (id(con), sql)
+    if key not in _ORACLE_MEMO:
+        _ORACLE_MEMO[key] = con.execute(sql).fetchdf()
+    return _ORACLE_MEMO[key]
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, canonicalize dtypes, sort rows."""
     df = df[sorted(df.columns)].copy()
@@ -125,7 +141,7 @@ def check_query(
         problems.append(f"{name} returned 0 rows at {sf_dir}")
     if oracle is None:
         return problems
-    oracle_pdf = con.execute(oracle).fetchdf()
+    oracle_pdf = oracle_frame(con, oracle)
     if math.isnan(len(spark_pdf)):  # pragma: no cover - defensive
         return problems + ["spark produced no frame"]
     return problems + compare_frames(spark_pdf, oracle_pdf)

@@ -7,7 +7,7 @@ import pytest
 
 from awsbatch_mapreduce_spark.plans import QUERIES
 from tests.conftest import SF_DIR_ORACLE
-from tests.oracle_utils import check_query, duckdb_con
+from tests.oracle_utils import check_query, duckdb_con, oracle_frame
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +69,7 @@ def test_oracles_have_no_uncast_integer_aggregates(con):
         oracle = QUERIES[name].oracle
         if oracle is None:
             continue
-        pdf = con.execute(oracle).fetchdf()
+        pdf = oracle_frame(con, oracle)
         for c in pdf.columns:
             s = pdf[c]
             if s.dtype.kind != "f" or len(s) == 0:

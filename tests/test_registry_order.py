@@ -267,3 +267,35 @@ def test_wave6_addition_sorts_after_all_unproven_lower_waves():
         assert all(order.index(n) < pos for n in unproven_lower)
         # but it still precedes the entire proven class
         assert all(order.index(n) > pos for n in order if n in proven)
+
+
+def test_realized_driver_window_matches_frozen_prediction():
+    """VERDICT r10 #5: the first live validation of the stalest-first
+    rotation under driver conditions.  ``scripts/predict_window.py``
+    froze the predicted round-11 window (1 wave-11 newcomer + the 46
+    r3-stale + 3 r4-stale grades) BEFORE the driver run — the
+    prediction cannot be recomputed afterwards because the record it
+    predicts changes the union it is computed from.  Once the driver
+    has written CORRECTNESS_r11.json, its key set must equal the
+    frozen prediction's prefix of the same length (the driver's cap is
+    assumed 50, as in every record r1-r10, but a different realized cap
+    only shortens/extends the prefix, not the order)."""
+    import json
+    import os
+
+    import pytest
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pred_path = os.path.join(root, "PREDICTED_WINDOW_r11.json")
+    rec_path = os.path.join(root, "CORRECTNESS_r11.json")
+    assert os.path.exists(pred_path), "frozen prediction missing"
+    if not os.path.exists(rec_path):
+        pytest.skip("driver has not written CORRECTNESS_r11.json yet")
+    with open(pred_path) as f:
+        predicted = json.load(f)["window"]
+    with open(rec_path) as f:
+        realized = list(json.load(f))
+    assert set(realized) == set(predicted[: len(realized)]), {
+        "unpredicted": sorted(set(realized) - set(predicted[: len(realized)])),
+        "missing": sorted(set(predicted[: len(realized)]) - set(realized)),
+    }

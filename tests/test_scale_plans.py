@@ -742,6 +742,12 @@ _REGISTRY_BROADCAST_BUDGET = {
     # data-scaled and pinned — and the bucketed members scan feeds the
     # SMJ with no exchange (tests/test_wave10.py)
     "semdedup_codebook_novelty": 2,
+    # wave 11 (round 11): the bounded k0-row COARSE codebook at its 2
+    # consumption sites (probe frame feeding hits + the output base);
+    # the GROWING fine codebook and members sides are pinned sort-merge
+    # and read their bucket specs with no exchange
+    # (tests/test_wave11.py)
+    "semdedup_codebook_capacity": 2,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites
