@@ -120,10 +120,20 @@ def assign_to_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
     """One Lloyd ASSIGN step: quantized corpus (vec_id, vq) against a
     broadcast codebook (cell, centroid) -> (vec_id, vq, cell, d_fp) by
     integer-quantized argmin with the (d_fp, cell) tie-break.  Shared
-    by ``kmeans_fit``'s iteration loop and the wave-10 persisted-
-    codebook probe so the assignment arithmetic has exactly one home
-    (the oracle twins: the ``d{i}``/``a{i}`` CTEs and wave 10's ``an``)."""
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d_fp"), F.asc("cell"))
+    by ``kmeans_fit``'s iteration loop and the wave-10/11 persisted-
+    codebook probes so the assignment arithmetic has exactly one home
+    (the oracle twins: the ``d{i}``/``a{i}`` CTEs and wave 10's ``an``).
+
+    The argmin is a struct-min AGGREGATE, not a row_number window
+    (round-11 ladder finding): min(struct(d_fp, cell)) is the same
+    (d_fp, cell)-lexicographic first row, but the groupBy's partial
+    aggregation collapses the n x k candidate blow-up MAP-SIDE — only
+    one row per vec_id (carrying its constant vq) ever crosses the
+    exchange, where the window plan shuffled every candidate row with
+    its 64-int vq array attached (measured: the wave-11 fine-assign at
+    the 100x rehearsal stalled on a ~30 GB candidate exchange; the
+    aggregate form shuffles ~1/k of that)."""
+    best = F.min(F.struct(F.col("d_fp"), F.col("cell"))).alias("b")
     return (
         q.crossJoin(F.broadcast(centroids))
         .select(
@@ -132,9 +142,14 @@ def assign_to_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
             "cell",
             _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .groupBy("vec_id")
+        .agg(F.first("vq").alias("vq"), best)
+        .select(
+            "vec_id",
+            "vq",
+            F.col("b.cell").alias("cell"),
+            F.col("b.d_fp").alias("d_fp"),
+        )
     )
 
 

@@ -310,7 +310,13 @@ def semdedup_codebook_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse_new = assign_to_cells(new, spark.table(coarse_tbl)).select(
         "vec_id", "vq", F.col("cell").cast("int").alias("cell")
     )
-    w_fine = Window.partitionBy("vec_id").orderBy(F.asc("d_fp"), F.asc("sub"))
+    # fine argmin as a struct-min AGGREGATE (the assign_to_cells
+    # discipline, found at this query's own 100x ladder): the
+    # |batch| x subs-per-cell candidate rows collapse map-side in the
+    # same stage as the sort-merge join that produced them — a
+    # row_number window here exchanged every candidate WITH its 64-int
+    # vq array (~30 GB at 100x, straggler-stalled), twice (the probe
+    # frame has two consumers)
     assigned_new = (
         coarse_new.join(never_broadcast(spark.table(fine_tbl)), "cell")
         .select(
@@ -320,12 +326,16 @@ def semdedup_codebook_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sub",
             _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
         )
-        .withColumn("rk", F.row_number().over(w_fine))
-        .filter(F.col("rk") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.first("vq").alias("vq"),
+            F.first("cell").alias("cell"),  # coarse cell: constant per vec
+            F.min(F.struct(F.col("d_fp"), F.col("sub"))).alias("b"),
+        )
         .select(
             "vec_id",
             "cell",
-            "sub",
+            F.col("b.sub").alias("sub"),
             "vq",
             F.aggregate(
                 "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
