@@ -26,14 +26,24 @@ def con():
 _ALLOWED_EMPTY = {"anti_join_customers_without_orders"}
 
 
+# Built-DataFrame cache shared with the schema-safety sweep below: the
+# eager builders (Lloyd fits + persisted-index writes) cost seconds per
+# invocation, and the schema test needs only the frame the parity test
+# already built (VERDICT r10 #6, suite wall time).  Idempotency tests
+# bypass this on purpose (they exist to re-run builders).
+_BUILT: dict = {}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, con, name):
     spec = QUERIES[name]
+    df = spec.builder(spark, SF_DIR_ORACLE)
+    _BUILT[name] = df
     problems = check_query(
         spark,
         con,
         name,
-        spec.builder,
+        lambda s, d: df,
         spec.oracle,
         SF_DIR_ORACLE,
         allow_empty=name in _ALLOWED_EMPTY,
@@ -121,7 +131,9 @@ def test_output_schema_is_comparator_safe(spark, name):
 
     if QUERIES[name].oracle is None:
         return
-    df = QUERIES[name].builder(spark, SF_DIR_ORACLE)
+    df = _BUILT.get(name)
+    if df is None:  # standalone module run / -k selection
+        df = QUERIES[name].builder(spark, SF_DIR_ORACLE)
     offenders = [
         (f.name, f.dataType.simpleString())
         for f in df.schema.fields
