@@ -188,15 +188,21 @@ def kmeans_fit(
     return assigned_prev, inertia_trace
 
 
-def _kmeans_cte(n_iter: int = 5, source: str = "embeddings") -> str:
+def _kmeans_cte(
+    n_iter: int = 5, source: str = "embeddings", cell_expr: str = "label"
+) -> str:
     """The unrolled Lloyd CTE chain WITHOUT a final SELECT: ``WITH q AS
     (...), c0 AS (...), d1/a1/c1, ..., a{n_iter}`` — ``a{n_iter}`` is
     the final (vec_id, cell, dfp) assignment and ``q`` the quantized
     (vec_id, pos, vq) components.  Shared by the kmeans oracle and the
-    wave-9/10 SemDeDup oracles so the cluster step can never drift
+    wave-9/10/11 SemDeDup oracles so the cluster step can never drift
     between them.  ``source`` is the corpus relation — a table name or
-    a parenthesized subquery (wave 10 clusters the seen HALF for the
-    persisted-codebook probe)."""
+    a parenthesized subquery (wave 10+ cluster the seen HALF for the
+    persisted-codebook probes).  ``cell_expr`` is the init-cell
+    expression over ``q``'s columns — ``label`` (default, one centroid
+    per label) or a mod-hash like ``CAST(vec_id % (<k-subquery>) AS
+    INT)`` (wave 11's adaptive codebook, where k is computed FROM the
+    corpus at fit time — 'the Lloyd CTE already parameterizes k')."""
     steps = [
         f"""WITH q AS MATERIALIZED (
       SELECT vec_id, CAST(label AS INT) AS label,
@@ -205,7 +211,7 @@ def _kmeans_cte(n_iter: int = 5, source: str = "embeddings") -> str:
                   AS BIGINT) AS vq
       FROM {source}),
     c0 AS MATERIALIZED (
-      SELECT label AS cell, pos,
+      SELECT {cell_expr} AS cell, pos,
              CAST(SUM(vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
       FROM q GROUP BY 1, 2)"""
     ]

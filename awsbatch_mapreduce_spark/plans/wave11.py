@@ -96,9 +96,12 @@ _SEEN_SRC = (
     " (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 FROM embeddings))"
 )
 
-_CODEBOOK_CAPACITY_ORACLE = (
-    _kmeans_cte(5, source=_SEEN_SRC)
-    + f""",
+# Everything downstream of the Lloyd chain — capacity split, fine
+# codebook, two-level probe assignment, exact membership cosine — is
+# IDENTICAL between the label-coarse (capacity) and grown-coarse
+# (adaptive) variants, so it has exactly one textual home.
+_FINE_TAIL = (
+    f""",
     c5 AS MATERIALIZED (
       SELECT a.cell, q.pos,
              CAST(SUM(q.vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
@@ -176,6 +179,29 @@ _CODEBOOK_CAPACITY_ORACLE = (
 """
 )
 
+_CODEBOOK_CAPACITY_ORACLE = _kmeans_cte(5, source=_SEEN_SRC) + _FINE_TAIL
+
+# Adaptive coarse width: k0 = ceil(sqrt(ceil(n/cap))) at fit time, so
+# BOTH levels grow with the corpus and per-probe work is
+# ~2*sqrt(n/cap)*d + cap*d (sub-quadratic total), vs the label-coarse
+# variant's k0-fixed n/(k0*cap) residual term.  The init is a
+# deterministic mod-hash of vec_id (one mean per residue class) —
+# expressible identically in both engines; ids are positive by fixture
+# contract so % == pmod.
+_K0_SQL = (
+    f"(SELECT CAST(CEIL(SQRT(CEIL(COUNT(*) / {_CAP}.0))) AS BIGINT)"
+    f" FROM {_SEEN_SRC} s0)"
+)
+
+_CODEBOOK_ADAPTIVE_ORACLE = (
+    _kmeans_cte(
+        5,
+        source=_SEEN_SRC,
+        cell_expr=f"CAST(vec_id % {_K0_SQL} AS INT)",
+    )
+    + _FINE_TAIL
+)
+
 
 def _sub_centroids(members: DataFrame) -> DataFrame:
     """(cell, sub, vq) member rows -> per-(cell, sub) mean vectors: the
@@ -198,38 +224,12 @@ def _sub_centroids(members: DataFrame) -> DataFrame:
     )
 
 
-@query("semdedup_codebook_capacity", oracle=_CODEBOOK_CAPACITY_ORACLE, wave=11)
-def semdedup_codebook_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental semantic novelty against a CAPACITY-BOUNDED persisted
-    codebook (module docstring).  Build (amortized, once per corpus
-    generation): the shared label-init Lloyd fit over the seen half,
-    then each coarse cell's members ranked by (final distance, vec_id)
-    and chunked into sub-cells of <= {cap}; persisted as three tables —
-    the k0-row coarse codebook, the fine codebook (one exact-mean
-    centroid per sub-cell; sum(ceil(cell/cap)) rows = fit-time
-    k = ceil-grade n/cap), and the quantized members bucketed on
-    (cell, sub).  Probe (per batch): coarse-assign via the broadcast
-    coarse codebook, fine-assign via a SORT-MERGE join against the
-    persisted fine codebook (it grows with the corpus — pinned
-    ``never_broadcast``, unlike the bounded coarse book), then exact
-    intra-sub-cell cosine against <= {cap} persisted members.  Output:
-    one row per new vector — (coarse cell, fine sub, count of seen
-    duplicates at cosine >= {eps} bp, max duplicate cosine, novelty
-    flag).
-
-    Zero seen-side recompute (test-pinned): the probe plan's seen side
-    is parquet scans of the three persisted tables — no Lloyd
-    iteration, no posexplode, no centroid arithmetic.  Members-per-
-    fine-cell <= {cap} is guaranteed by construction and pinned as a
-    data test; the membership join reads the bucketed members table
-    with no exchange on the (large, growing) seen side.
-
-    Determinism: the chunk rank orders by (integer fixed-point
-    distance, vec_id) — both exact — and every centroid/cosine step is
-    the wave-9/10 integer-quantized arithmetic, so the persisted path
-    is oracle-exact against the unrolled seen-half Lloyd CTE plus the
-    fine-split CTEs.
-    """
+def _build_probe(spark, sf_dir, kind, init_fn) -> DataFrame:
+    """Shared build+probe of a capacity-split two-level codebook:
+    ``kind`` prefixes the three persisted tables (``cap``/``ada``),
+    ``init_fn(seen) -> (cell, centroid)`` is the coarse Lloyd init —
+    the ONLY degree of freedom between the capacity and adaptive
+    variants, mirroring the oracles' shared ``_FINE_TAIL``."""
     from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -237,24 +237,22 @@ def semdedup_codebook_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = (b.lo + b.hi) // 2  # oracle: (MIN + MAX) // 2, ids positive
 
     tag = _scratch_tag(sf_dir)
-    base = _scratch_dir("awsbatch_semdedup_cap_idx", sf_dir)
-    coarse_tbl = f"semdedup_cap_coarse_{tag}"
-    fine_tbl = f"semdedup_cap_fine_{tag}"
-    mem_tbl = f"semdedup_cap_members_{tag}"
+    base = _scratch_dir(f"awsbatch_semdedup_{kind}_idx", sf_dir)
+    coarse_tbl = f"semdedup_{kind}_coarse_{tag}"
+    fine_tbl = f"semdedup_{kind}_fine_{tag}"
+    mem_tbl = f"semdedup_{kind}_members_{tag}"
+    prefixes = tuple(
+        f"semdedup_{kind}_{part}_" for part in ("coarse", "fine", "members")
+    )
     for t in spark.catalog.listTables():
-        if (
-            t.name.startswith(
-                ("semdedup_cap_coarse_", "semdedup_cap_fine_", "semdedup_cap_members_")
-            )
-            and not t.name.endswith(tag)
-        ):
+        if t.name.startswith(prefixes) and not t.name.endswith(tag):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     for t in (coarse_tbl, fine_tbl, mem_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
     seen = emb.filter(F.col("vec_id") <= F.lit(mid))
     assigned, _ = kmeans_fit(
-        seen.select("vec_id", "embedding"), label_centroid_init(seen), n_iter=5
+        seen.select("vec_id", "embedding"), init_fn(seen), n_iter=5
     )
     # BUILD: coarse codebook (k0 rows) + the capacity split.  The chunk
     # rank is over the final Lloyd assignment's own (d_fp, vec_id) —
@@ -389,6 +387,109 @@ def semdedup_codebook_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("semdedup_codebook_capacity", oracle=_CODEBOOK_CAPACITY_ORACLE, wave=11)
+def semdedup_codebook_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic novelty against a CAPACITY-BOUNDED persisted
+    codebook (module docstring).  Build (amortized, once per corpus
+    generation): the shared label-init Lloyd fit over the seen half,
+    then each coarse cell's members ranked by (final distance, vec_id)
+    and chunked into sub-cells of <= {cap}; persisted as three tables —
+    the k0-row coarse codebook, the fine codebook (one exact-mean
+    centroid per sub-cell; sum(ceil(cell/cap)) rows = fit-time
+    k = ceil-grade n/cap), and the quantized members bucketed on
+    (cell, sub).  Probe (per batch): coarse-assign via the broadcast
+    coarse codebook, fine-assign via a SORT-MERGE join against the
+    persisted fine codebook (it grows with the corpus — pinned
+    ``never_broadcast``, unlike the bounded coarse book), then exact
+    intra-sub-cell cosine against <= {cap} persisted members.  Output:
+    one row per new vector — (coarse cell, fine sub, count of seen
+    duplicates at cosine >= {eps} bp, max duplicate cosine, novelty
+    flag).
+
+    Zero seen-side recompute (test-pinned): the probe plan's seen side
+    is parquet scans of the three persisted tables — no Lloyd
+    iteration, no posexplode, no centroid arithmetic.  Members-per-
+    fine-cell <= {cap} is guaranteed by construction and pinned as a
+    data test; the membership join reads the bucketed members table
+    with no exchange on the (large, growing) seen side.
+
+    Determinism: the chunk rank orders by (integer fixed-point
+    distance, vec_id) — both exact — and every centroid/cosine step is
+    the wave-9/10 integer-quantized arithmetic, so the persisted path
+    is oracle-exact against the unrolled seen-half Lloyd CTE plus the
+    fine-split CTEs.
+    """
+    return _build_probe(spark, sf_dir, "cap", label_centroid_init)
+
+
 semdedup_codebook_capacity.__doc__ = semdedup_codebook_capacity.__doc__.format(
+    cap=_CAP, eps=_SEMDEDUP_EPS_BP
+)
+
+
+def _mod_centroid_init(seen: DataFrame) -> DataFrame:
+    """Adaptive coarse init: k0 = ceil(sqrt(ceil(n/cap))) residue-class
+    means over vec_id % k0 — the deterministic, oracle-twinned init that
+    lets the COARSE width grow with the corpus at fit time.  Same
+    exact-int-sum + single-division arithmetic as
+    ``label_centroid_init``; k0 is a driver-side scalar (like the
+    kmeans loop counter), computed from one count."""
+    import math
+
+    n = seen.count()
+    k0 = math.ceil(math.sqrt(math.ceil(n / _CAP)))
+    return (
+        seen.select(
+            (F.col("vec_id") % F.lit(k0)).cast("int").alias("cell"),
+            F.posexplode(_quantize(F.col("embedding"))).alias("pos", "v"),
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum("v").cast("double") / (F.lit(_VSCALE) * F.count(F.lit(1)))
+            ).alias("cv")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+
+
+@query("semdedup_codebook_adaptive", oracle=_CODEBOOK_ADAPTIVE_ORACLE, wave=11)
+def semdedup_codebook_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refit policy the capacity variant documents, IMPLEMENTED:
+    both levels of the persisted codebook grow with the corpus.  Coarse
+    k0 = ceil(sqrt(ceil(n/cap))) at fit time (mod-hash init, Lloyd
+    refined — 'the Lloyd CTE already parameterizes k'); fine level =
+    the same <= {cap} rank-chunk split as ``semdedup_codebook_capacity``
+    (shared ``_build_probe`` / shared ``_FINE_TAIL`` oracle text).
+
+    Why this is the asymptotic end state: per probe vector the work is
+    k0 coarse distances + ~n/(k0*cap) fine distances + <= cap
+    membership cosines; with k0 ~ sqrt(n/cap) the two growing terms
+    balance at ~2*sqrt(n/cap)*d — total probe cost O(n^1.5), vs the
+    label-coarse variant's O(n^2/(k0*cap)) residual (its measured 1.55
+    second-decade ladder slope) and the fixed-k probe's O(n^2/k).  The
+    fit pays n*k0 per Lloyd iteration — also sqrt-bounded — and the
+    membership bound stays <= {cap} BY CONSTRUCTION exactly as in the
+    capacity variant.  At 100 TB this is the fit-time policy a
+    production pipeline re-runs per corpus generation; the persisted
+    probe layout (coarse book broadcast, fine book + members
+    sort-merge, members bucketed on (cell, sub)) is IDENTICAL.
+
+    Output schema matches the capacity variant (vec_id, cell, sub,
+    n_seen_dups at cosine >= {eps} bp, max_cos_bp, is_novel); cell ids
+    are residue classes, so the two variants' rows are not
+    row-comparable — each is oracle-exact against its own unrolled
+    chain.
+    """
+    return _build_probe(spark, sf_dir, "ada", _mod_centroid_init)
+
+
+semdedup_codebook_adaptive.__doc__ = semdedup_codebook_adaptive.__doc__.format(
     cap=_CAP, eps=_SEMDEDUP_EPS_BP
 )

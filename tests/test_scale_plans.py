@@ -748,6 +748,10 @@ _REGISTRY_BROADCAST_BUDGET = {
     # and read their bucket specs with no exchange
     # (tests/test_wave11.py)
     "semdedup_codebook_capacity": 2,
+    # same shared probe plan (`wave11._build_probe`) with the grown
+    # k0 = ceil(sqrt(n/cap)) coarse book — still bounded (sqrt-grade),
+    # still exactly 2 sites; fine/members sides identical pins
+    "semdedup_codebook_adaptive": 2,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites

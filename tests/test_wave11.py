@@ -25,13 +25,13 @@ from tests.conftest import plan_of as _plan
 from tests.conftest import query_rows as _rows
 
 
-def _members_table(spark) -> str:
+def _members_table(spark, kind: str = "cap") -> str:
     tbls = [
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith("semdedup_cap_members_")
+        if t.name.startswith(f"semdedup_{kind}_members_")
     ]
-    assert tbls, "capacity members table missing after builder ran"
+    assert tbls, f"{kind} members table missing after builder ran"
     return tbls[0]
 
 
@@ -143,6 +143,81 @@ def test_capacity_members_table_bucketed_on_fine_cell(spark):
     _rows(spark, "semdedup_codebook_capacity", SF_DIR)
     ddl = spark.sql(
         f"DESCRIBE TABLE EXTENDED {_members_table(spark)}"
+    ).collect()
+    txt = "\n".join(f"{r.col_name} {r.data_type}" for r in ddl)
+    assert "Num Buckets 8" in txt and "[`cell`, `sub`]" in txt, txt
+
+
+def test_adaptive_coarse_width_is_fit_time_formula(spark):
+    """The adaptive variant's defining property: the COARSE book is no
+    longer a fixed label count — it has exactly k0 =
+    ceil(sqrt(ceil(n_seen/cap))) rows, recomputed from the corpus at
+    fit time (deterministic mod-init keeps every residue class
+    populated through Lloyd at the fixture, so the pin is exact)."""
+    _rows(spark, "semdedup_codebook_adaptive", SF_DIR)
+    mem = spark.table(_members_table(spark, "ada"))
+    n_seen = mem.count()
+    k0 = math.ceil(math.sqrt(math.ceil(n_seen / _CAP)))
+    coarse = spark.table(
+        _members_table(spark, "ada").replace("_members_", "_coarse_")
+    )
+    assert coarse.count() == k0, (coarse.count(), k0)
+    assert mem.select("cell").distinct().count() == k0
+
+
+def test_adaptive_members_per_fine_cell_hard_capped(spark):
+    """Same rank-chunk guarantee as the capacity twin: no fine cell of
+    the adaptive index exceeds the cap."""
+    _rows(spark, "semdedup_codebook_adaptive", SF_DIR)
+    mem = spark.table(_members_table(spark, "ada"))
+    per_cell = mem.groupBy("cell", "sub").count().agg(F.max("count")).first()[0]
+    assert per_cell <= _CAP, f"fine cell over cap: {per_cell} > {_CAP}"
+    fine_cells = mem.select("cell", "sub").distinct().count()
+    assert fine_cells >= math.ceil(mem.count() / _CAP)
+
+
+def test_adaptive_flag_consistency_and_non_vacuous(spark):
+    for sf in SF_BOTH:
+        rows = _rows(spark, "semdedup_codebook_adaptive", sf)
+        n_novel = sum(r["is_novel"] for r in rows)
+        assert 0 < n_novel < len(rows), (sf, n_novel, len(rows))
+    for r in _rows(spark, "semdedup_codebook_adaptive", SF_DIR):
+        if r["is_novel"]:
+            assert r["n_seen_dups"] == 0
+            assert r["max_cos_bp"] == _NO_PEER_BP
+        else:
+            assert r["n_seen_dups"] >= 1
+            assert r["max_cos_bp"] >= _SEMDEDUP_EPS_BP
+
+
+def test_adaptive_probe_zero_seen_side_recompute(spark):
+    """The shared `_build_probe` layout holds for the adaptive index:
+    seen side = parquet scans of the three ada tables, exactly the 2
+    bounded coarse-book broadcasts, growing sides exchange-free."""
+    df = QUERIES["semdedup_codebook_adaptive"].builder(spark, SF_DIR)
+    tree = _plan(df)
+    for t in ("semdedup_ada_coarse_", "semdedup_ada_fine_", "semdedup_ada_members_"):
+        assert re.search(rf"Scan parquet spark_catalog\.default\.{t}", tree), t
+    assert "posexplode" not in tree and "Generate" not in tree
+    got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
+    assert got == 2, tree[:2000]
+    lines = tree.splitlines()
+    for t in ("semdedup_ada_fine_", "semdedup_ada_members_"):
+        i = next(
+            i
+            for i, l in enumerate(lines)
+            if f"Scan parquet spark_catalog.default.{t}" in l
+        )
+        assert "Exchange" not in "\n".join(lines[max(0, i - 3) : i]), (
+            f"{t} side of a probe join must not exchange:\n"
+            + "\n".join(lines[max(0, i - 4) : i + 1])
+        )
+
+
+def test_adaptive_members_table_bucketed_on_fine_cell(spark):
+    _rows(spark, "semdedup_codebook_adaptive", SF_DIR)
+    ddl = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {_members_table(spark, 'ada')}"
     ).collect()
     txt = "\n".join(f"{r.col_name} {r.data_type}" for r in ddl)
     assert "Num Buckets 8" in txt and "[`cell`, `sub`]" in txt, txt
