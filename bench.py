@@ -99,8 +99,12 @@ EXTENDED = [
     "semdedup_codebook_novelty",
     # round 11 (wave 11): the capacity-bounded codebook next to its
     # fixed-k twin — the premium/discount of the hard per-cell cap is
-    # the number to read
+    # the number to read — and the adaptive variant whose coarse width
+    # is recomputed from the corpus at fit time (same probe layout;
+    # the fixture-scale delta vs the capacity twin prices the mod-init
+    # Lloyd fit against the label init)
     "semdedup_codebook_capacity",
+    "semdedup_codebook_adaptive",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound

@@ -142,6 +142,12 @@ REHEARSAL = [
     # is cell_size/cap (capx smaller), which is the whole claim the
     # ladder exists to measure (VERDICT r10 #1)
     "semdedup_codebook_capacity",
+    # round 11 (wave 11): the adaptive variant — coarse k0 =
+    # ceil(sqrt(ceil(n/cap))) recomputed at fit time, so BOTH growing
+    # probe terms (coarse distances, fine-assign fan) are
+    # sqrt(n/cap)-bounded; the ladder should read a lower second-decade
+    # exponent than the label-coarse capacity twin's fixed-k0 residual
+    "semdedup_codebook_adaptive",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any
