@@ -99,8 +99,13 @@ _SEEN_SRC = (
 # Everything downstream of the Lloyd chain — capacity split, fine
 # codebook, two-level probe assignment, exact membership cosine — is
 # IDENTICAL between the label-coarse (capacity) and grown-coarse
-# (adaptive) variants, so it has exactly one textual home.
-_FINE_TAIL = (
+# (adaptive) variants, so it has exactly one textual home.  Split in
+# two (round 13): the BUILD section (final coarse centroids + the
+# rank-chunk capacity split + fine codebook) is also the prefix of
+# wave 12's append-batch oracle, whose probe boundary and grown-index
+# CTEs differ — ``_FINE_TAIL`` is the concatenation, byte-identical to
+# the r11-proven text.
+_SPLIT_CTES = (
     f""",
     c5 AS MATERIALIZED (
       SELECT a.cell, q.pos,
@@ -118,7 +123,11 @@ _FINE_TAIL = (
       SELECT m.cell, m.sub, q.pos,
              CAST(SUM(q.vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
       FROM mfin m JOIN q ON q.vec_id = m.vec_id
-      GROUP BY 1, 2, 3),
+      GROUP BY 1, 2, 3)"""
+)
+
+_PROBE_CTES = (
+    f""",
     qn AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
@@ -179,6 +188,8 @@ _FINE_TAIL = (
 """
 )
 
+_FINE_TAIL = _SPLIT_CTES + _PROBE_CTES
+
 _CODEBOOK_CAPACITY_ORACLE = _kmeans_cte(5, source=_SEEN_SRC) + _FINE_TAIL
 
 # Adaptive coarse width: k0 = ceil(sqrt(ceil(n/cap))) at fit time, so
@@ -224,17 +235,11 @@ def _sub_centroids(members: DataFrame) -> DataFrame:
     )
 
 
-def _build_probe(spark, sf_dir, kind, init_fn) -> DataFrame:
-    """Shared build+probe of a capacity-split two-level codebook:
-    ``kind`` prefixes the three persisted tables (``cap``/``ada``),
-    ``init_fn(seen) -> (cell, centroid)`` is the coarse Lloyd init —
-    the ONLY degree of freedom between the capacity and adaptive
-    variants, mirroring the oracles' shared ``_FINE_TAIL``."""
+def _index_tables(spark, sf_dir, kind) -> tuple[str, str, str, str]:
+    """Scratch base + the three per-(kind, fixture) table names, with
+    the stale-generation sweep of prior tags (one mutable generation
+    per fixture, as every persisted-index query in the repo keeps)."""
     from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
-    mid = (b.lo + b.hi) // 2  # oracle: (MIN + MAX) // 2, ids positive
 
     tag = _scratch_tag(sf_dir)
     base = _scratch_dir(f"awsbatch_semdedup_{kind}_idx", sf_dir)
@@ -249,8 +254,39 @@ def _build_probe(spark, sf_dir, kind, init_fn) -> DataFrame:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     for t in (coarse_tbl, fine_tbl, mem_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return base, coarse_tbl, fine_tbl, mem_tbl
 
+
+def _build_probe(spark, sf_dir, kind, init_fn) -> DataFrame:
+    """Shared build+probe of a capacity-split two-level codebook:
+    ``kind`` prefixes the three persisted tables (``cap``/``ada``),
+    ``init_fn(seen) -> (cell, centroid)`` is the coarse Lloyd init —
+    the ONLY degree of freedom between the capacity and adaptive
+    variants, mirroring the oracles' shared ``_FINE_TAIL``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
+    mid = (b.lo + b.hi) // 2  # oracle: (MIN + MAX) // 2, ids positive
+
+    base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(spark, sf_dir, kind)
     seen = emb.filter(F.col("vec_id") <= F.lit(mid))
+    _persist_two_level(
+        spark, seen, init_fn, base, coarse_tbl, fine_tbl, mem_tbl
+    )
+
+    new = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    return _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+
+
+def _persist_two_level(
+    spark, seen, init_fn, base, coarse_tbl, fine_tbl, mem_tbl
+) -> None:
+    """BUILD phase (amortized, once per corpus generation): Lloyd fit
+    of ``seen`` with ``init_fn``'s coarse init, rank-chunk capacity
+    split, and the three persisted tables — k0-row coarse codebook,
+    fine codebook bucketed on cell, quantized members bucketed on
+    (cell, sub)."""
     assigned, _ = kmeans_fit(
         seen.select("vec_id", "embedding"), init_fn(seen), n_iter=5
     )
@@ -299,12 +335,12 @@ def _build_probe(spark, sf_dir, kind, init_fn) -> DataFrame:
     )
     assigned.unpersist()
 
-    # PROBE: coarse assign (broadcast k0-row codebook — bounded), fine
-    # assign (sort-merge vs the GROWING fine codebook), exact cosine
-    # against <= cap members of the assigned fine cell only.
-    new = emb.filter(F.col("vec_id") > F.lit(mid)).select(
-        "vec_id", _quantize(F.col("embedding")).alias("vq")
-    )
+
+def _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl) -> DataFrame:
+    """PROBE phase (per batch): coarse assign (broadcast k0-row
+    codebook — bounded), fine assign (sort-merge vs the GROWING fine
+    codebook), exact cosine against <= cap members of the assigned
+    fine cell only.  ``new`` is the (vec_id, vq) quantized batch."""
     coarse_new = assign_to_cells(new, spark.table(coarse_tbl)).select(
         "vec_id", "vq", F.col("cell").cast("int").alias("cell")
     )

@@ -105,6 +105,11 @@ EXTENDED = [
     # Lloyd fit against the label init)
     "semdedup_codebook_capacity",
     "semdedup_codebook_adaptive",
+    # round 13 (wave 12): the daily-append lifecycle on the adaptive
+    # layout — read next to semdedup_codebook_adaptive (same build +
+    # probe cost plus the batch admission) and semdedup_codebook_novelty
+    # (the fixed-k append path it supersedes)
+    "semdedup_codebook_adaptive_append",
 ]
 
 # dedup_prefix_filter runs ~80 s at sf0.1 and its cost is output-bound

@@ -148,6 +148,12 @@ REHEARSAL = [
     # sqrt(n/cap)-bounded; the ladder should read a lower second-decade
     # exponent than the label-coarse capacity twin's fixed-k0 residual
     "semdedup_codebook_adaptive",
+    # round 13 (wave 12): the daily-append lifecycle on the adaptive
+    # layout — its scale shape is the adaptive probe's plus an
+    # O(|batch|) admission term (batch-sized rank window, bucketed
+    # appends), so the ladder exponent should track the adaptive
+    # variant's
+    "semdedup_codebook_adaptive_append",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any
