@@ -752,6 +752,12 @@ _REGISTRY_BROADCAST_BUDGET = {
     # k0 = ceil(sqrt(n/cap)) coarse book — still bounded (sqrt-grade),
     # still exactly 2 sites; fine/members sides identical pins
     "semdedup_codebook_adaptive": 2,
+    # wave 12 (round 13): the returned frame is the shared wave-11
+    # probe against the GROWN app tables — same 2 bounded coarse-book
+    # sites (the append step's k0-row sub-offset broadcast executes
+    # eagerly inside the builder, before this plan; test_wave12 pins
+    # the probe plan's exchange-free fine/members sides)
+    "semdedup_codebook_adaptive_append": 2,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites
