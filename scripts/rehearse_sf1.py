@@ -205,16 +205,26 @@ _BOILER = " ".join(f"boiler{i}" for i in range(60))
 
 
 def build_tiled(spark, dest: str | None = None, skew: float | None = None,
-                clique: float | None = None) -> None:
+                clique: float | None = None) -> bool:
     """Build one tiled generation at ``dest`` (default: TILED).  With
     ``skew``/``clique`` > 0 the hot-key transforms apply (module
-    docstring); the uniform build is the skew=0 special case."""
+    docstring); the uniform build is the skew=0 special case.
+
+    Returns True iff this call actually BUILT the tiling (vs found it
+    on disk).  Round-13 finding (SCALING.md): a 100x point measured in
+    the same session that built the tiling read 4.4-5.7x inflated on
+    identical plans — post-build page-cache/GC state is a measurement
+    artifact, so rows measured in a build session are tagged
+    ``built_in_session`` and the honest protocol is build, exit,
+    re-run to measure (the ``_SUCCESS_TILED`` marker makes the second
+    invocation's build a no-op).  ``REHEARSE_BUILD_ONLY=1`` does the
+    first half explicitly."""
     dest = TILED if dest is None else dest
     skew = SKEW if skew is None else skew
     clique = CLIQUE if clique is None else clique
     _sweep_stale_tiles()
     if os.path.exists(os.path.join(dest, "_SUCCESS_TILED")):
-        return
+        return False
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     # ADVICE r6: the k*offset tiling silently produces OVERLAPPING key
     # spaces (breaking the disjoint-replica invariant every exponent
@@ -357,6 +367,7 @@ def build_tiled(spark, dest: str | None = None, skew: float | None = None,
         )
     with open(os.path.join(dest, "_SUCCESS_TILED"), "w") as f:
         f.write("ok")
+    return True
 
 
 def _rest(spark, path: str):
@@ -624,17 +635,35 @@ def main() -> None:
     spark = get_spark(app_name="awsbatch-sf1-rehearsal", extra_conf=extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
     if SKEW > 0:
-        build_tiled(spark, TILED_UNIFORM, skew=0, clique=0)
-        build_tiled(spark, TILED, skew=SKEW, clique=CLIQUE)
+        built = build_tiled(spark, TILED_UNIFORM, skew=0, clique=0)
+        built = build_tiled(spark, TILED, skew=SKEW, clique=CLIQUE) or built
         tiled_label = f"sf{REPLICAS / 10:g}"
         points = (
             (f"{tiled_label}-uniform", TILED_UNIFORM),
             (f"{tiled_label}-skew", TILED),
         )
     else:
-        build_tiled(spark)
+        built = build_tiled(spark)
         tiled_label = f"sf{REPLICAS / 10:g}"
         points = (("sf0.1", SF01), (tiled_label, TILED))
+    if os.environ.get("REHEARSE_BUILD_ONLY"):
+        print(json.dumps({"built": built, "tiled": TILED}), flush=True)
+        spark.stop()
+        return
+    if built:
+        # round-13 hygiene (SCALING.md): measurements in the session
+        # that wrote the tiling read up to 5.7x inflated — tag them so
+        # no reader mistakes them for clean points
+        print(
+            json.dumps(
+                {
+                    "warning": "tiling built in this session; rows below"
+                    " are tagged built_in_session — re-run for clean"
+                    " measurements"
+                }
+            ),
+            flush=True,
+        )
 
     results: dict[str, dict[str, dict]] = {}
     for name in REHEARSAL:
@@ -667,6 +696,8 @@ def main() -> None:
                     round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 else None
                 ),
             }
+            if built:
+                rec["built_in_session"] = True
             if rss is not None and rss.peak_mb:
                 rec["py_worker_peak_rss_mb"] = rss.peak_mb
             if err is not None:
