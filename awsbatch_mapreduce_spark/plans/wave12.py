@@ -257,16 +257,37 @@ def semdedup_codebook_adaptive_append(
         spark, seen, _mod_centroid_init, base, coarse_tbl, fine_tbl, mem_tbl
     )
 
-    # APPEND: coarse-assign the batch (broadcast codebook; d_fp is the
-    # chunk-rank key, exactly as the build ranked), offset each cell's
-    # new chunks past its existing max sub.  The rank window is over
-    # the DAY'S BATCH only (one row per appended vector — no candidate
-    # blow-up crosses it; the corpus-sized build rank is the amortized
-    # fit cost, not this path's).  The sub-offset frame is one row per
-    # coarse cell (k0-bounded, like the coarse book) -> broadcast.
+    # APPEND: the shared admission step (also the per-micro-batch body
+    # of the streaming admission operator, streaming/codebook.py).
     batch = emb.filter(
         (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
     ).select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+    _admit_batch(spark, batch, coarse_tbl, fine_tbl, mem_tbl)
+
+    # PROBE today's batch against the grown index — the shared wave-11
+    # two-level probe, reading the appended generations transparently.
+    probe = emb.filter(F.col("vec_id") > F.lit(q3)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    return _probe_batch(spark, probe, coarse_tbl, fine_tbl, mem_tbl)
+
+
+def _admit_batch(spark, batch, coarse_tbl, fine_tbl, mem_tbl) -> None:
+    """Admit one quantized batch (vec_id, vq) into the persisted
+    two-level index WITHOUT a refit: coarse-assign via the broadcast
+    codebook (d_fp is the chunk-rank key, exactly as the build
+    ranked), rank-chunk within each coarse cell into NEW sub-cells of
+    <= cap offset past the cell's existing max sub, and bucket-APPEND
+    the new chunks' exact-mean centroids to the fine book and the
+    member rows to the members table.  Existing rows untouched; the
+    <= cap bound holds for the grown table by construction.
+
+    The rank window is over the BATCH only (one row per admitted
+    vector — no candidate blow-up crosses it; the corpus-sized build
+    rank is the amortized fit cost, not this path's).  The sub-offset
+    frame is one row per coarse cell (k0-bounded, like the coarse
+    book) -> broadcast.
+    """
     assigned_batch = assign_to_cells(batch, spark.table(coarse_tbl))
     w_chunk = Window.partitionBy("cell").orderBy(F.asc("d_fp"), F.asc("vec_id"))
     sub_offset = (
@@ -312,13 +333,6 @@ def semdedup_codebook_adaptive_append(
         .mode("append")
         .saveAsTable(mem_tbl)
     )
-
-    # PROBE today's batch against the grown index — the shared wave-11
-    # two-level probe, reading the appended generations transparently.
-    probe = emb.filter(F.col("vec_id") > F.lit(q3)).select(
-        "vec_id", _quantize(F.col("embedding")).alias("vq")
-    )
-    return _probe_batch(spark, probe, coarse_tbl, fine_tbl, mem_tbl)
 
 
 semdedup_codebook_adaptive_append.__doc__ = (

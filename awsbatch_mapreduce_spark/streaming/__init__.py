@@ -1,3 +1,7 @@
+from awsbatch_mapreduce_spark.streaming.codebook import (
+    foreach_batch_codebook_admit_probe,
+    foreach_batch_codebook_probe,
+)
 from awsbatch_mapreduce_spark.streaming.dedup import dedup_events_stream
 from awsbatch_mapreduce_spark.streaming.enrich import enrich_events_with_customer
 from awsbatch_mapreduce_spark.streaming.join import click_purchase_interval_join
@@ -20,6 +24,8 @@ __all__ = [
     "click_purchase_interval_join",
     "dedup_events_stream",
     "enrich_events_with_customer",
+    "foreach_batch_codebook_admit_probe",
+    "foreach_batch_codebook_probe",
     "foreach_batch_upsert",
     "latest_per_key",
     "read_events_stream",
