@@ -163,6 +163,55 @@ def test_admit_probe_matches_registered_queries(spark, emb_chunks, tmp_path):
     assert got0.count() > 0 and got1.count() > 0
 
 
+def test_double_admission_offsets_compose(spark, tmp_path):
+    """Two sequential admissions (the multi-day path): the SECOND
+    batch's sub offsets must clear the subs the FIRST admission added,
+    not just the build's — per coarse cell the three generations'
+    sub ranges are pairwise disjoint and the <= cap bound holds on the
+    twice-grown members table."""
+    from awsbatch_mapreduce_spark.plans.wave11 import _CAP
+    from awsbatch_mapreduce_spark.plans.wave12 import _admit_batch
+
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "strm3")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    q7 = (q3 + hi) // 2
+    def _q(lo_ex, hi_in):
+        return emb.filter(
+            (F.col("vec_id") > F.lit(lo_ex)) & (F.col("vec_id") <= F.lit(hi_in))
+        ).select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+
+    _admit_batch(spark, _q(mid, q3), coarse, fine, mem)
+    _admit_batch(spark, _q(q3, q7), coarse, fine, mem)
+    m = spark.table(mem)
+    per_cell = m.groupBy("cell", "sub").count().agg(F.max("count")).first()[0]
+    assert per_cell <= _CAP, f"cap broken after double admission: {per_cell}"
+    gens = (
+        m.withColumn(
+            "gen",
+            F.when(F.col("seen_id") <= F.lit(mid), 0)
+            .when(F.col("seen_id") <= F.lit(q3), 1)
+            .otherwise(2),
+        )
+        .groupBy("cell", "gen")
+        .agg(F.min("sub").alias("lo"), F.max("sub").alias("hi"))
+    )
+    rows = gens.collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["gen"]] = (r["lo"], r["hi"])
+    saw_three = 0
+    for cell, g in by_cell.items():
+        spans = [g[k] for k in sorted(g)]
+        for a, b in zip(spans, spans[1:]):
+            assert a[1] < b[0], (cell, g)  # strictly increasing ranges
+        if len(g) == 3:
+            saw_three += 1
+    assert saw_three > 0, "no cell received both admissions on the fixture"
+    # fine book grew consistently with the grown members
+    fine_rows = spark.table(fine).select("cell", "sub").distinct().count()
+    assert fine_rows == m.select("cell", "sub").distinct().count()
+
+
 def test_admit_replay_skipped_by_watermark(spark, emb_chunks, tmp_path):
     """Admission mutates the index, so a replayed batch id must be a
     no-op: the members table must not grow on the second call."""
