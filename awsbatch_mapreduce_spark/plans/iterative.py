@@ -154,11 +154,19 @@ def assign_to_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def kmeans_fit(
-    corpus: DataFrame, k_init: DataFrame, n_iter: int = 5
+    corpus: DataFrame,
+    k_init: DataFrame,
+    n_iter: int = 5,
+    quantized: bool = False,
 ) -> tuple[DataFrame, list[float]]:
     """Run ``n_iter`` Lloyd iterations; return (final assignment,
     per-iteration inertia trace).  ``corpus`` needs (vec_id,
     embedding); ``k_init`` needs (cell, centroid: array<double>).
+    With ``quantized=True`` the corpus is already (vec_id, vq) in the
+    1e-6 fixed-point domain and the quantization step is skipped —
+    the wave-13 refit path, which re-fits FROM the persisted members
+    table (whose ``vq`` rows are ``_quantize(embedding)`` by
+    construction, so both paths iterate on identical integers).
 
     Driver holds only the loop counter and inertia scalars; data never
     leaves the cluster.  Each iteration persists its assignment and
@@ -168,8 +176,10 @@ def kmeans_fit(
     (1e-12 fixed-point squared distance) so downstream inertia sums
     are exact integers.
     """
-    q = corpus.select(
-        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    q = (
+        corpus.select("vec_id", "vq")
+        if quantized
+        else corpus.select("vec_id", _quantize(F.col("embedding")).alias("vq"))
     )
     centroids = k_init
     assigned_prev = None

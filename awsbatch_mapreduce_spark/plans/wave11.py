@@ -54,7 +54,7 @@ fixed-k hit — ``tests/test_wave11.py`` pins the subset property and
 the recall floor.
 
 Reference parity note: the reference repo (161-line pandas/datashader
-pipeline, `local.py` / `Map.ps1`) has no dedup surface; this extends
+pipeline, `local.py` / `Reduce.ps1`) has no dedup surface; this extends
 the LLM-pipeline operator family the build brief makes first-class.
 """
 
@@ -126,15 +126,32 @@ _SPLIT_CTES = (
       GROUP BY 1, 2, 3)"""
 )
 
-_PROBE_CTES = (
-    f""",
+# The probe boundary as it appears (byte-for-byte) in the r11-proven
+# oracle text: probe batch = everything past the seen half's midpoint.
+# ``_probe_ctes`` parameterizes ONLY this subquery so wave 13's refit
+# oracle (probe boundary = the grown corpus's 3/4 point) reuses the
+# identical probe program instead of a divergent copy.
+_MID_BOUNDARY = (
+    "(SELECT (MIN(vec_id) + MAX(vec_id)) // 2\n"
+    "                      FROM embeddings)"
+)
+
+
+def _probe_ctes(boundary_sql: str) -> str:
+    """The two-level probe CTE program over a fitted index (requires
+    the ``q``/``c5``/``mfin``/``fc`` CTEs of ``_kmeans_cte`` +
+    ``_SPLIT_CTES`` upstream): probe batch = embeddings with
+    ``vec_id > boundary_sql``, coarse argmin, fine argmin, exact
+    membership cosine, novelty verdict.  ``_PROBE_CTES`` (the r11
+    driver-proven text) is ``_probe_ctes(_MID_BOUNDARY)`` byte-for-
+    byte — pinned in ``tests/test_wave13.py``."""
+    return f""",
     qn AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
                   AS BIGINT) AS vq
       FROM embeddings
-      WHERE vec_id > (SELECT (MIN(vec_id) + MAX(vec_id)) // 2
-                      FROM embeddings)),
+      WHERE vec_id > {boundary_sql}),
     dn AS MATERIALIZED (
       SELECT qn.vec_id, c.cell,
              SUM(CAST(FLOOR((qn.vq / 1000000.0 - c.c) * (qn.vq / 1000000.0 - c.c)
@@ -186,7 +203,9 @@ _PROBE_CTES = (
              AS is_novel
     FROM afine n LEFT JOIN agg a ON a.vec_id = n.vec_id
 """
-)
+
+
+_PROBE_CTES = _probe_ctes(_MID_BOUNDARY)
 
 _FINE_TAIL = _SPLIT_CTES + _PROBE_CTES
 
@@ -280,15 +299,19 @@ def _build_probe(spark, sf_dir, kind, init_fn) -> DataFrame:
 
 
 def _persist_two_level(
-    spark, seen, init_fn, base, coarse_tbl, fine_tbl, mem_tbl
+    spark, seen, init_fn, base, coarse_tbl, fine_tbl, mem_tbl,
+    quantized: bool = False,
 ) -> None:
     """BUILD phase (amortized, once per corpus generation): Lloyd fit
     of ``seen`` with ``init_fn``'s coarse init, rank-chunk capacity
     split, and the three persisted tables — k0-row coarse codebook,
     fine codebook bucketed on cell, quantized members bucketed on
-    (cell, sub)."""
+    (cell, sub).  ``quantized=True``: ``seen`` is (vec_id, vq) already
+    in the fixed-point domain (wave-13 refit from the members table)
+    and ``init_fn`` must accept that shape."""
+    cols = ("vec_id", "vq") if quantized else ("vec_id", "embedding")
     assigned, _ = kmeans_fit(
-        seen.select("vec_id", "embedding"), init_fn(seen), n_iter=5
+        seen.select(*cols), init_fn(seen), n_iter=5, quantized=quantized
     )
     # BUILD: coarse codebook (k0 rows) + the capacity split.  The chunk
     # rank is over the final Lloyd assignment's own (d_fp, vec_id) —
@@ -463,21 +486,24 @@ semdedup_codebook_capacity.__doc__ = semdedup_codebook_capacity.__doc__.format(
 )
 
 
-def _mod_centroid_init(seen: DataFrame) -> DataFrame:
+def _mod_centroid_init(seen: DataFrame, quantized: bool = False) -> DataFrame:
     """Adaptive coarse init: k0 = ceil(sqrt(ceil(n/cap))) residue-class
     means over vec_id % k0 — the deterministic, oracle-twinned init that
     lets the COARSE width grow with the corpus at fit time.  Same
     exact-int-sum + single-division arithmetic as
     ``label_centroid_init``; k0 is a driver-side scalar (like the
-    kmeans loop counter), computed from one count."""
+    kmeans loop counter), computed from one count.  ``quantized=True``
+    takes a (vec_id, vq) corpus already in the fixed-point domain (the
+    wave-13 refit, which re-fits from the persisted members table)."""
     import math
 
     n = seen.count()
     k0 = math.ceil(math.sqrt(math.ceil(n / _CAP)))
+    vq = F.col("vq") if quantized else _quantize(F.col("embedding"))
     return (
         seen.select(
             (F.col("vec_id") % F.lit(k0)).cast("int").alias("cell"),
-            F.posexplode(_quantize(F.col("embedding"))).alias("pos", "v"),
+            F.posexplode(vq).alias("pos", "v"),
         )
         .groupBy("cell", "pos")
         .agg(

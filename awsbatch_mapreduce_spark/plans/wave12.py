@@ -44,7 +44,7 @@ over the grown unions.  Fully SQL-expressible, so the driver's
 value-hash gate covers the whole lifecycle.
 
 Reference parity note: the reference repo (161-line pandas/datashader
-pipeline, `local.py` / `Map.ps1`) has no dedup surface; this extends
+pipeline, `local.py` / `Reduce.ps1`) has no dedup surface; this extends
 the LLM-pipeline operator family the build brief makes first-class.
 """
 
@@ -318,6 +318,15 @@ def _admit_batch(spark, batch, coarse_tbl, fine_tbl, mem_tbl) -> None:
         # the already-grown table (wrong offsets, doubled work)
         .localCheckpoint()
     )
+    _append_fine(app_members, fine_tbl)
+    _append_members(app_members, mem_tbl)
+
+
+def _append_fine(app_members: DataFrame, fine_tbl: str) -> None:
+    """Fine-book half of an admission: the new chunks' exact-mean
+    centroids, bucket-appended.  Split out from ``_admit_batch`` so the
+    streaming crash-window tests can inject a failure BETWEEN the two
+    appends (the window the round-14 intent/repair protocol covers)."""
     (
         _sub_centroids(
             app_members.select("cell", "sub", F.col("vq_s").alias("vq"))
@@ -327,6 +336,12 @@ def _admit_batch(spark, batch, coarse_tbl, fine_tbl, mem_tbl) -> None:
         .mode("append")
         .saveAsTable(fine_tbl)
     )
+
+
+def _append_members(app_members: DataFrame, mem_tbl: str) -> None:
+    """Members half of an admission (one Spark job -> one atomic commit
+    at the FileOutputCommitter level: a batch's member rows are either
+    all visible or none, which the repair protocol relies on)."""
     (
         app_members.write.bucketBy(8, "cell", "sub")
         .sortBy("cell", "sub")

@@ -9,7 +9,8 @@ minima).
 Protocol = bench.py's, exactly: same session config, ERROR log level,
 the host-speed calibration probe first (min-of-5 after warm-up), then
 the observed prefix-filter plan with a noop-format write, single-shot
-(no warm-up — bench.py's _SINGLE_SHOT discipline), repeated
+(no warm-up — bench.py's heavy-query discipline, which since round 14
+times the prefix filter min-of-3 via _NO_WARMUP_REPS), repeated
 ``N_SHOTS`` times so the idle spread is on record too.  Prints one
 JSON line; the SCALING.md adjudication note quotes it.
 """
