@@ -25,13 +25,35 @@ operators the driver already proves:
   self-dedup is a different operator), then admitted through
   ``wave12._admit_batch`` (rank-chunked into NEW <= cap sub-cells,
   fine book + members bucket-APPENDED — the cap bound survives every
-  admission by construction).  Admission mutates the index, so replay
-  safety needs more than an idempotent sink: a driver-side batch-id
-  WATERMARK file next to the output skips any batch id at or below
-  the last admitted one (the standard exactly-once-state-over-
-  at-least-once-delivery pattern; a real deployment replaces the
-  marker file with the transactional commit of a table format, and
-  the admission append with its MERGE).
+  admission by construction).  Admission mutates the index across TWO
+  table-append job commits, so replay safety needs more than an
+  idempotent sink.  The round-13 watermark file alone left a crash
+  window between the appends and the watermark write (ADVICE r13): a
+  replay of that window would probe an index already containing the
+  batch and re-admit it.  Round 14 closes the window with an
+  INTENT/WATERMARK pair around the admission:
+
+      probe -> write probe partition -> write INTENT(batch_id)
+            -> append fine -> append members
+            -> write WATERMARK(batch_id) -> clear INTENT
+
+  Both markers are atomic renames.  On entry, ``batch_id <=
+  watermark`` is a committed replay (no-op), and a live INTENT for the
+  incoming batch id means a previous attempt crashed INSIDE the
+  admission window — the handler then repairs before proceeding:
+  if the batch's rows are already in the members table the admission
+  had fully committed (the members append is the protocol's commit
+  point — one job, one atomic FileOutputCommitter commit), so the
+  watermark fast-forwards and the batch is skipped; otherwise at most
+  the FINE append landed, and the orphaned fine rows (fine cells with
+  no member rows — build and admission keep the two tables 1:1 by
+  construction) are dropped, restoring the pre-admission state before
+  the normal probe + admit re-runs.  Every crash position therefore
+  replays to the clean-run state (test-pinned per window in
+  ``tests/test_streaming_codebook.py``).  A real deployment replaces
+  the marker files with a table format's transactional commit and the
+  two appends with one MERGE; the protocol here is what plain-parquet
+  tables can guarantee, stated exactly.
 
 Scale shape per micro-batch: probe cost is the measured wave-11 probe
 (coarse k0-row broadcast, growing sides sort-merge off their bucket
@@ -90,31 +112,108 @@ def foreach_batch_codebook_probe(
     return probe
 
 
+def _read_marker(path: str) -> int:
+    try:
+        with open(path) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _write_marker(path: str, batch_id: int) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, path)
+
+
+def _batch_already_admitted(spark, new: DataFrame, mem_tbl: str) -> bool:
+    """True iff the batch's rows are in the members table — the
+    admission commit point (the members append is one atomic job
+    commit, so a batch's member rows are all-or-nothing)."""
+    ids = new.select(F.col("vec_id").alias("seen_id"))
+    return (
+        spark.table(mem_tbl)
+        .join(F.broadcast(ids), "seen_id", "semi")
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def _drop_orphan_fine(spark, fine_tbl: str, mem_tbl: str) -> None:
+    """Repair a crash between the fine and members appends: drop fine
+    rows whose (cell, sub) has no member rows.  Build and admission
+    keep fine<->members 1:1 per (cell, sub) by construction, so an
+    orphaned fine cell can only be the fine half of an uncommitted
+    admission.  Rewrites the fine book (same bucket spec) only when an
+    orphan actually exists — the zero-orphan probe is one semi-join
+    over the k0-bounded book, and the rewrite runs only on the rare
+    crash-replay path."""
+    fine = spark.table(fine_tbl)
+    keys = spark.table(mem_tbl).select("cell", "sub").distinct()
+    kept = fine.join(keys, ["cell", "sub"], "semi").localCheckpoint()
+    if kept.count() == fine.count():
+        return
+    (
+        kept.write.bucketBy(8, "cell")
+        .sortBy("cell", "sub")
+        .mode("overwrite")
+        .saveAsTable(fine_tbl)
+    )
+
+
 def foreach_batch_codebook_admit_probe(
     coarse_tbl: str, fine_tbl: str, mem_tbl: str, out_dir: str
 ) -> Callable[[DataFrame, int], None]:
     """Probe-then-admit streaming lifecycle: the micro-batch is probed
     against the index as of all PREVIOUSLY admitted batches, then
-    admitted as new <= cap sub-cells.  A batch-id watermark file makes
-    the index mutation replay-safe (module docstring)."""
+    admitted as new <= cap sub-cells.  The intent/watermark marker
+    pair + the repair path make the two-append index mutation
+    replay-safe for a crash at ANY point (module docstring)."""
     watermark_path = os.path.join(out_dir, "_ADMITTED_WATERMARK")
-
-    def _watermark() -> int:
-        try:
-            with open(watermark_path) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
-            return -1
+    intent_path = os.path.join(out_dir, "_ADMIT_INTENT")
 
     def admit_probe(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _watermark():
-            return  # replayed batch: index already contains it
+        wm = _read_marker(watermark_path)
+        if batch_id <= wm:
+            return  # committed replay: index already contains it
+        intent = _read_marker(intent_path)
+        if -1 < intent <= wm:
+            # stale intent of a batch whose watermark DID land (crash
+            # between the watermark write and the intent clear)
+            os.remove(intent_path)
+            intent = -1
+        if intent != -1 and intent != batch_id:
+            # an uncommitted admission of a DIFFERENT batch is pending;
+            # the checkpoint contract redelivers that batch first, so
+            # this means the checkpoint and the index dir disagree —
+            # refuse rather than risk double-admission
+            raise RuntimeError(
+                f"admission intent for batch {intent} is pending but the"
+                f" stream delivered batch {batch_id}; the checkpoint does"
+                f" not match the index state under {out_dir!r} — repair"
+                " manually (restore the matching checkpoint, or drop the"
+                " orphaned fine rows and the intent marker)"
+            )
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         new = batch_df.select(
             "vec_id", _quantize(F.col("embedding")).alias("vq")
         )
+        if intent == batch_id:
+            # a previous attempt crashed inside the admission window
+            if _batch_already_admitted(spark, new, mem_tbl):
+                # both appends committed; only the watermark is missing
+                # (the probe partition committed before the intent did)
+                _write_marker(watermark_path, batch_id)
+                os.remove(intent_path)
+                return
+            # at most the fine append landed: restore pre-admission
+            # state, then fall through to the normal path
+            _drop_orphan_fine(spark, fine_tbl, mem_tbl)
         # probe FIRST (against previously admitted only), then admit;
         # the quantized frame has two consumers and admission must see
         # the pre-admission sub offsets -> localCheckpoint inside
@@ -123,11 +222,9 @@ def foreach_batch_codebook_admit_probe(
         # micro-batch)
         res = _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
         _write_probe_partition(res, out_dir, batch_id)
+        _write_marker(intent_path, batch_id)  # admission window opens
         _admit_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
-        os.makedirs(out_dir, exist_ok=True)
-        tmp = f"{watermark_path}.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, watermark_path)
+        _write_marker(watermark_path, batch_id)  # admission committed
+        os.remove(intent_path)
 
     return admit_probe

@@ -14,8 +14,11 @@ fit-time policy wave 11 measured).
 
 Usage: ``python scripts/codebook_stream_throughput.py``
 Env: CODEBOOK_RATES="1000,5000" (vectors/sec), CODEBOOK_SECS=45 per
-point.  Prints one JSON line per rate + a summary; paste into
-SCALING.md's streaming section.
+point, CODEBOOK_TRIGGER_SECS=5 (micro-batch trigger interval — the
+round-14 VALVE knob: a longer trigger coalesces more vectors per
+micro-batch, amortizing the fixed per-batch probe floor that caps
+sustained throughput; see SCALING.md's sizing rule).  Prints one JSON
+line per rate + a summary; paste into SCALING.md's streaming section.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ RATES = [
     int(r) for r in os.environ.get("CODEBOOK_RATES", "1000,5000").split(",")
 ]
 SECS = int(os.environ.get("CODEBOOK_SECS", "45"))
+TRIGGER_SECS = int(os.environ.get("CODEBOOK_TRIGGER_SECS", "5"))
 # synthetic ids start far above any fixture vec_id so admitted rows
 # never collide with the seen half's
 _ID_OFFSET = 1_000_000_000
@@ -108,13 +112,16 @@ def main() -> None:
         q = (
             _synthetic_embeddings(spark, rate, dim)
             .writeStream.foreachBatch(fn)
-            .trigger(processingTime="5 seconds")
+            .trigger(processingTime=f"{TRIGGER_SECS} seconds")
             .option("checkpointLocation", ckpt)
             .start()
         )
         time.sleep(SECS)
+        # recentProgress yields StreamingQueryProgress objects (.json)
+        # on current PySpark, plain dicts on some older versions — the
+        # dict branch must not be passed to json.loads (ADVICE r13)
         progress = [
-            json.loads(p.json if hasattr(p, "json") else p)
+            p if isinstance(p, dict) else json.loads(p.json)
             for p in q.recentProgress
         ]
         exc = q.exception()
@@ -142,7 +149,14 @@ def main() -> None:
             rec = {
                 "pipeline": "codebook_admit_probe",
                 "rate_vec_per_sec": rate,
+                "trigger_secs": TRIGGER_SECS,
                 "n_batches": len(steady),
+                # (rows, ms) per steady batch: the pairs the sizing
+                # rule is fitted from (duration = floor + c * rows)
+                "batches_rows_ms": [
+                    [int(p["numInputRows"]), int(p["batchDuration"])]
+                    for p in steady
+                ],
                 "processed_vec_per_sec_median": round(
                     sorted(proc)[len(proc) // 2]
                 ),

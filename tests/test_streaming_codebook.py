@@ -17,6 +17,7 @@ by micro-batch:
 
 from __future__ import annotations
 
+import os
 import time as _time
 
 import pyarrow.parquet as pq
@@ -33,6 +34,8 @@ from awsbatch_mapreduce_spark.plans.wave11 import (
 )
 from awsbatch_mapreduce_spark.sources.tables import load_table
 from awsbatch_mapreduce_spark.streaming.codebook import (
+    _read_marker,
+    _write_marker,
     foreach_batch_codebook_admit_probe,
     foreach_batch_codebook_probe,
 )
@@ -78,8 +81,14 @@ def emb_chunks(spark, tmp_path_factory):
     )
     chunk2 = table.filter(pc.greater(vid, q3))
     pq.write_table(chunk1, str(out / "chunk-0.parquet"))
-    _time.sleep(1.1)
     pq.write_table(chunk2, str(out / "chunk-1.parquet"))
+    # the file source orders by modification time: pin DISTINCT mtimes
+    # explicitly instead of sleeping between writes — coarse-mtime
+    # filesystems or clock skew could otherwise swap the batches and
+    # flake the compositional pin (ADVICE r13)
+    now = _time.time()
+    os.utime(out / "chunk-0.parquet", (now - 10, now - 10))
+    os.utime(out / "chunk-1.parquet", (now, now))
     return str(out)
 
 
@@ -227,3 +236,115 @@ def test_admit_replay_skipped_by_watermark(spark, emb_chunks, tmp_path):
     fn(batch1, 0)  # redelivered micro-batch
     assert spark.table(mem).count() == n_once
     assert _rows(spark.read.parquet(out), drop=()) == results_once
+
+
+def _two_batches(emb, mid, q3):
+    batch0 = emb.filter(
+        (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
+    ).select("vec_id", "embedding")
+    batch1 = emb.filter(F.col("vec_id") > F.lit(q3)).select(
+        "vec_id", "embedding"
+    )
+    return batch0, batch1
+
+
+def test_admit_crash_between_appends_repairs_on_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window 1 (ADVICE r13): the fine append committed, the
+    members append did not, the intent marker is open.  The replay must
+    drop the orphaned fine rows and complete — landing the index AND
+    the probe output byte-identical to a never-crashed twin."""
+    import awsbatch_mapreduce_spark.plans.wave12 as w12
+
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "strm4")
+    out = str(tmp_path / "admit_out")
+    fn = foreach_batch_codebook_admit_probe(coarse, fine, mem, out)
+    batch0, batch1 = _two_batches(emb, mid, q3)
+    fn(batch0, 0)
+    fine_after_0 = spark.table(fine).count()
+
+    real_append_members = w12._append_members
+
+    def boom(app_members, mem_tbl):
+        raise RuntimeError("injected crash between the appends")
+
+    monkeypatch.setattr(w12, "_append_members", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fn(batch1, 1)
+    monkeypatch.setattr(w12, "_append_members", real_append_members)
+    # the crashed attempt left orphaned fine rows and an open intent
+    assert spark.table(fine).count() > fine_after_0
+    assert _read_marker(os.path.join(out, "_ADMIT_INTENT")) == 1
+
+    fn(batch1, 1)  # replay: detect intent -> repair -> re-run
+    assert not os.path.exists(os.path.join(out, "_ADMIT_INTENT"))
+    assert _read_marker(os.path.join(out, "_ADMITTED_WATERMARK")) == 1
+
+    # never-crashed twin on a separate index generation
+    _, _, _, coarse_t, fine_t, mem_t = _build_index(spark, "strm5")
+    out_t = str(tmp_path / "twin_out")
+    fn_t = foreach_batch_codebook_admit_probe(coarse_t, fine_t, mem_t, out_t)
+    fn_t(batch0, 0)
+    fn_t(batch1, 1)
+
+    def tbl_rows(t):
+        return sorted(map(tuple, spark.table(t).collect()))
+
+    assert tbl_rows(mem) == tbl_rows(mem_t)
+    assert tbl_rows(fine) == tbl_rows(fine_t)
+    assert _rows(spark.read.parquet(out)) == _rows(spark.read.parquet(out_t))
+
+
+def test_admit_crash_after_commit_fast_forwards_watermark(spark, tmp_path):
+    """Crash window 2: both appends committed but the watermark write
+    never happened (intent still open).  The replay must recognize the
+    batch as admitted (its rows are in the members table), fast-forward
+    the watermark, and must NOT re-probe or re-admit."""
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "strm6")
+    out = str(tmp_path / "admit_out")
+    fn = foreach_batch_codebook_admit_probe(coarse, fine, mem, out)
+    batch0, batch1 = _two_batches(emb, mid, q3)
+    fn(batch0, 0)
+    fn(batch1, 1)
+    n_mem = spark.table(mem).count()
+    n_fine = spark.table(fine).count()
+    results = _rows(spark.read.parquet(out), drop=())
+    # reconstruct the crash position exactly: watermark rolled back,
+    # intent for batch 1 open
+    _write_marker(os.path.join(out, "_ADMITTED_WATERMARK"), 0)
+    _write_marker(os.path.join(out, "_ADMIT_INTENT"), 1)
+    fn(batch1, 1)  # replay of the committed-but-unwatermarked batch
+    assert spark.table(mem).count() == n_mem, "batch re-admitted"
+    assert spark.table(fine).count() == n_fine
+    assert _read_marker(os.path.join(out, "_ADMITTED_WATERMARK")) == 1
+    assert not os.path.exists(os.path.join(out, "_ADMIT_INTENT"))
+    assert _rows(spark.read.parquet(out), drop=()) == results
+
+
+def test_admit_stale_intent_cleared_and_foreign_intent_refused(
+    spark, tmp_path
+):
+    """Crash window 3: watermark written, intent never cleared — a
+    LATER batch must clear the stale marker and proceed normally.  And
+    an intent for an unwatermarked batch OTHER than the delivered one
+    (checkpoint/index mismatch) must refuse loudly rather than risk a
+    double admission."""
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "strm7")
+    out = str(tmp_path / "admit_out")
+    fn = foreach_batch_codebook_admit_probe(coarse, fine, mem, out)
+    batch0, batch1 = _two_batches(emb, mid, q3)
+    fn(batch0, 0)
+    # stale intent: batch 0's watermark landed but its intent survived
+    _write_marker(os.path.join(out, "_ADMIT_INTENT"), 0)
+    n_mem = spark.table(mem).count()
+    fn(batch1, 1)
+    assert not os.path.exists(os.path.join(out, "_ADMIT_INTENT"))
+    assert spark.table(mem).count() > n_mem  # batch 1 admitted normally
+    # foreign pending intent: refuse
+    _write_marker(os.path.join(out, "_ADMIT_INTENT"), 7)
+    more = batch0.withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(10_000_000)).cast("bigint")
+    )
+    with pytest.raises(RuntimeError, match="does not match the index"):
+        fn(more, 2)
