@@ -154,6 +154,13 @@ REHEARSAL = [
     # appends), so the ladder exponent should track the adaptive
     # variant's
     "semdedup_codebook_adaptive_append",
+    # round 14 (wave 13): the refit lifecycle — two adaptive fits
+    # (build over n/2, refit over 3n/4) + three admissions + probe, so
+    # the ladder exponent should track the adaptive variant's (the fit
+    # is the dominant term and is the same O(n * sqrt(n/cap)) shape);
+    # the absolute number is the price of resetting the append path's
+    # refit-starved growth (SCALING.md round-14 sizing rule)
+    "semdedup_codebook_refit",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any
