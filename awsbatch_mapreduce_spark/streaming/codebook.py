@@ -112,6 +112,54 @@ def foreach_batch_codebook_probe(
     return probe
 
 
+# Admission sizing rule (round 14, SCALING.md): per-micro-batch cost
+# on the measured local[32] host fits batch_sec ~ FLOOR + rows/MARGINAL
+# with <7% residuals across 30k-570k-row batches; the fixed floor is
+# per-batch planning/scheduling (~30 small jobs per admission) and does
+# not shrink with batch size, so the TRIGGER INTERVAL is the valve: a
+# 5 s trigger can never reach steady state (floor > trigger), while the
+# rule's 30 s ceiling (20.0k vec/s predicted) measured 19.8k vec/s.
+# Marginal cost inflates with refit-starved index growth (2.5x at 46x
+# growth) — wave 13's refit_from_members is the reset.
+_BATCH_FLOOR_SEC = 6.0
+_MARGINAL_VEC_PER_SEC = 25_000
+
+
+def admission_max_rate(
+    trigger_secs: float,
+    floor_sec: float = _BATCH_FLOOR_SEC,
+    marginal_vec_per_sec: float = _MARGINAL_VEC_PER_SEC,
+) -> float:
+    """Max sustainable ingestion rate (vec/s) for a trigger interval
+    under the measured per-batch cost model: each trigger of T seconds
+    must process rate*T vectors in <= T, so
+    ``rate <= (T - floor)/T * marginal``.  Returns 0.0 when the floor
+    alone exceeds the trigger (no steady state exists).  Host-specific
+    constants default to the round-14 local[32] fit; re-fit them from
+    ``scripts/codebook_stream_throughput.py``'s batches_rows_ms pairs
+    for a different host or index size."""
+    if trigger_secs <= floor_sec:
+        return 0.0
+    return (trigger_secs - floor_sec) / trigger_secs * marginal_vec_per_sec
+
+
+def min_trigger_secs(
+    rate_vec_per_sec: float,
+    floor_sec: float = _BATCH_FLOOR_SEC,
+    marginal_vec_per_sec: float = _MARGINAL_VEC_PER_SEC,
+) -> float:
+    """Inverse of ``admission_max_rate``: the smallest trigger interval
+    that sustains ``rate_vec_per_sec``.  Raises ValueError at or past
+    the marginal-throughput asymptote (no trigger can help there —
+    that regime needs a faster host, a smaller index, or a refit)."""
+    if rate_vec_per_sec >= marginal_vec_per_sec:
+        raise ValueError(
+            f"rate {rate_vec_per_sec} >= marginal throughput"
+            f" {marginal_vec_per_sec} vec/s: unreachable at any trigger"
+        )
+    return floor_sec / (1.0 - rate_vec_per_sec / marginal_vec_per_sec)
+
+
 def _read_marker(path: str) -> int:
     try:
         with open(path) as fh:
@@ -156,9 +204,19 @@ def _drop_orphan_fine(spark, fine_tbl: str, mem_tbl: str) -> None:
     kept = fine.join(keys, ["cell", "sub"], "semi").localCheckpoint()
     if kept.count() == fine.count():
         return
+    # rewrite into the table's OWN location (the index's external base
+    # dir): a bare overwrite would recreate the table as managed in the
+    # warehouse, both losing the index layout and colliding with any
+    # stale warehouse dir of the same name
+    location = (
+        spark.sql(f"DESC EXTENDED {fine_tbl}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
     (
         kept.write.bucketBy(8, "cell")
         .sortBy("cell", "sub")
+        .option("path", location)
         .mode("overwrite")
         .saveAsTable(fine_tbl)
     )

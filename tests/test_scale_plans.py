@@ -758,6 +758,13 @@ _REGISTRY_BROADCAST_BUDGET = {
     # eagerly inside the builder, before this plan; test_wave12 pins
     # the probe plan's exchange-free fine/members sides)
     "semdedup_codebook_adaptive_append": 2,
+    # wave 13 (round 14): the refit lifecycle returns the same shared
+    # wave-11 probe plan, now against the REFITTED generation — the
+    # identical 2 bounded coarse-book sites (audited lineage matches
+    # the adaptive/append twins exactly: one direct embeddings-scan
+    # subtree Catalyst may re-plan at scale, one k0'-row book); the
+    # refit's own Lloyd fit executes eagerly inside the builder
+    "semdedup_codebook_refit": 2,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites

@@ -348,3 +348,76 @@ def test_admit_stale_intent_cleared_and_foreign_intent_refused(
     )
     with pytest.raises(RuntimeError, match="does not match the index"):
         fn(more, 2)
+
+
+def test_admission_sizing_rule_round_trips_and_matches_measurements():
+    """The executable form of the SCALING.md round-14 sizing rule:
+    measured keep-up/falls-behind points must land on the right side
+    of the rule, and min_trigger_secs inverts admission_max_rate."""
+    from awsbatch_mapreduce_spark.streaming.codebook import (
+        admission_max_rate,
+        min_trigger_secs,
+    )
+
+    assert admission_max_rate(5) == 0.0  # floor > trigger: no steady state
+    # measured: 5000 vec/s fell behind at 5 s, kept up at 20 s; 10000
+    # kept up at 30 s (19.8k vec/s processed vs 20.0k predicted ceiling)
+    assert admission_max_rate(20) > 5000
+    assert admission_max_rate(30) > 10000
+    assert abs(admission_max_rate(30) - 20_000) < 1500
+    for rate in (1000, 5000, 10000, 20000):
+        t = min_trigger_secs(rate)
+        assert admission_max_rate(t) == pytest.approx(rate)
+    with pytest.raises(ValueError, match="unreachable"):
+        min_trigger_secs(30_000)
+
+
+def test_streaming_admissions_then_refit_cutover(spark, tmp_path):
+    """The complete production index loop across both surfaces:
+    continuous ingestion (two streamed probe-then-admit batches grow
+    the persisted index) followed by the weekly reset (wave 13's
+    refit_from_members rebuilds a fresh generation from the grown
+    members table) — and a probe of the refitted generation is
+    frame-identical to a from-scratch fit over everything admitted.
+    Pins that the streaming-grown members table is a valid refit
+    source exactly like the batch-grown one."""
+    from awsbatch_mapreduce_spark.plans.wave13 import refit_from_members
+
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "strm8")
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    q7 = (q3 + hi) // 2
+    out = str(tmp_path / "admit_out")
+    fn = foreach_batch_codebook_admit_probe(coarse, fine, mem, out)
+    fn(
+        emb.filter(
+            (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
+        ).select("vec_id", "embedding"),
+        0,
+    )
+    fn(
+        emb.filter(
+            (F.col("vec_id") > F.lit(q3)) & (F.col("vec_id") <= F.lit(q7))
+        ).select("vec_id", "embedding"),
+        1,
+    )
+    # weekly reset: refit a fresh generation from the streaming-grown
+    # members table alone
+    base_r, coarse_r, fine_r, mem_r = _index_tables(spark, SF_DIR, "strm8r")
+    refit_from_members(spark, mem, base_r, coarse_r, fine_r, mem_r)
+    # from-scratch twin over the same admitted corpus
+    base_s, coarse_s, fine_s, mem_s = _index_tables(spark, SF_DIR, "strm8s")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(q7)),
+        _mod_centroid_init,
+        base_s,
+        coarse_s,
+        fine_s,
+        mem_s,
+    )
+    probe = emb.filter(F.col("vec_id") > F.lit(q7)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    got = _rows(_probe_batch(spark, probe, coarse_r, fine_r, mem_r), drop=())
+    want = _rows(_probe_batch(spark, probe, coarse_s, fine_s, mem_s), drop=())
+    assert got == want and len(got) > 0
