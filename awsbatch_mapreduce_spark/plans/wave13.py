@@ -67,15 +67,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from awsbatch_mapreduce_spark.plans.iterative import _kmeans_cte, _quantize
+from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+from awsbatch_mapreduce_spark.plans.iterative import (
+    _kmeans_cte,
+    _quantize,
+    _sq_dist_fp,
+    assign_to_cells,
+)
 from awsbatch_mapreduce_spark.plans.registry import query
+from awsbatch_mapreduce_spark.plans.wave9 import _NO_PEER_BP, _SEMDEDUP_EPS_BP
 from awsbatch_mapreduce_spark.plans.wave11 import (
     _CAP,
     _index_tables,
+    _K0_SQL,
+    _MID_BOUNDARY,
     _mod_centroid_init,
     _persist_two_level,
     _probe_batch,
     _probe_ctes,
+    _SEEN_SRC,
     _SPLIT_CTES,
 )
 from awsbatch_mapreduce_spark.plans.wave12 import _admit_batch, _Q3_SQL
@@ -193,3 +203,634 @@ def semdedup_codebook_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _quantize(F.col("embedding")).alias("vq")
     )
     return _probe_batch(spark, probe, coarse_r, fine_r, mem_r)
+
+
+# ---------------------------------------------------------------------------
+# MULTI-PROBE (nprobe=2): the production recall knob of every IVF-shaped
+# index (FAISS `nprobe`), applied to the adaptive two-level codebook.
+# The single-probe novelty check misses duplicates that straddle a
+# coarse-cell boundary (the wave-11 module docstring's measured recall
+# cost); probing the TWO nearest coarse cells checks the union of two
+# fine cells' members instead of one, trading a bounded 2x probe
+# constant (2*k0 coarse distances evaluate anyway; + a second fine
+# argmin + <= cap extra membership cosines) for the boundary recall.
+# The asymptotic shape is unchanged: O(nprobe * sqrt(n/cap) * d) per
+# vector with nprobe fixed at 2.
+# ---------------------------------------------------------------------------
+
+_NPROBE = 2
+
+# The nprobe=2 probe program over the shared fitted-index CTEs
+# (q/c5/mfin/fc from _kmeans_cte + _SPLIT_CTES): identical text to
+# wave11._probe_ctes except the coarse argmin (`an`) becomes a top-2
+# rank and the fine argmin / membership check run per (vec_id, rank),
+# aggregating duplicates over the UNION of the probed fine cells.  The
+# reported (cell, sub) is the PRIMARY (rank-1) assignment — identical
+# to the single-probe output — so the two variants' rows differ only
+# in the dup columns, which is what makes the superset property
+# directly testable.
+_MULTIPROBE_CTES = f""",
+    qn AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS vq
+      FROM embeddings
+      WHERE vec_id > {_MID_BOUNDARY}),
+    dn AS MATERIALIZED (
+      SELECT qn.vec_id, c.cell,
+             SUM(CAST(FLOOR((qn.vq / 1000000.0 - c.c) * (qn.vq / 1000000.0 - c.c)
+                            * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
+      FROM qn JOIN c5 c ON c.pos = qn.pos
+      GROUP BY 1, 2),
+    an AS MATERIALIZED (
+      SELECT vec_id, cell, rnk FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dfp, cell)
+                 AS rnk
+        FROM dn) t
+      WHERE rnk <= {_NPROBE}),
+    dfine AS MATERIALIZED (
+      SELECT qn.vec_id, an.rnk, f.cell, f.sub,
+             SUM(CAST(FLOOR((qn.vq / 1000000.0 - f.c) * (qn.vq / 1000000.0 - f.c)
+                            * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
+      FROM qn JOIN an ON an.vec_id = qn.vec_id
+      JOIN fc f ON f.cell = an.cell AND f.pos = qn.pos
+      GROUP BY 1, 2, 3, 4),
+    afine AS MATERIALIZED (
+      SELECT vec_id, rnk,
+             FIRST(cell ORDER BY dfp, sub) AS cell,
+             FIRST(sub ORDER BY dfp, sub) AS sub
+      FROM dfine GROUP BY vec_id, rnk),
+    nrm_s AS (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
+    nrm_n AS (SELECT vec_id, SUM(vq * vq) AS nn FROM qn GROUP BY 1),
+    pr AS MATERIALIZED (
+      SELECT a.vec_id AS id_new, s.vec_id AS id_seen,
+             SUM(qn.vq * qs.vq) AS dot
+      FROM afine a
+      JOIN mfin s ON s.cell = a.cell AND s.sub = a.sub
+      JOIN qn ON qn.vec_id = a.vec_id
+      JOIN q qs ON qs.vec_id = s.vec_id AND qs.pos = qn.pos
+      GROUP BY 1, 2),
+    sim AS MATERIALIZED (
+      SELECT id_new,
+             CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 10000.0 + 0.5)
+                  AS BIGINT) AS cos_bp
+      FROM pr
+      JOIN nrm_n na ON na.vec_id = id_new
+      JOIN nrm_s nb ON nb.vec_id = id_seen
+      WHERE na.nn > 0 AND nb.nn > 0),
+    agg AS MATERIALIZED (
+      SELECT id_new AS vec_id, COUNT(*) AS n_seen_dups,
+             MAX(cos_bp) AS max_cos_bp
+      FROM sim WHERE cos_bp >= {_SEMDEDUP_EPS_BP} GROUP BY 1)
+    SELECT CAST(n.vec_id AS BIGINT) AS vec_id,
+           CAST(n.cell AS INT) AS cell,
+           CAST(n.sub AS INT) AS sub,
+           CAST(COALESCE(a.n_seen_dups, 0) AS BIGINT) AS n_seen_dups,
+           CAST(COALESCE(a.max_cos_bp, {_NO_PEER_BP}) AS BIGINT) AS max_cos_bp,
+           CAST(CASE WHEN a.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_novel
+    FROM (SELECT vec_id, cell, sub FROM afine WHERE rnk = 1) n
+    LEFT JOIN agg a ON a.vec_id = n.vec_id
+"""
+
+# Same adaptive fit as `semdedup_codebook_adaptive` (identical Lloyd
+# chain + capacity-split text), probed with nprobe=2.
+_MULTIPROBE_ORACLE = (
+    _kmeans_cte(
+        5,
+        source=_SEEN_SRC,
+        cell_expr=f"CAST(vec_id % {_K0_SQL} AS INT)",
+    )
+    + _SPLIT_CTES
+    + _MULTIPROBE_CTES
+)
+
+
+def _multiprobe_batch(
+    spark: SparkSession, new, coarse_tbl: str, fine_tbl: str, mem_tbl: str
+) -> DataFrame:
+    """nprobe=2 PROBE over a fitted two-level index: coarse-assign each
+    batch vector to its nearest AND second-nearest coarse cells, fine-
+    argmin within each, exact membership cosine against the union of
+    the (up to) two fine cells' <= cap members, report dup stats over
+    the union with the PRIMARY (rank-1) cell/sub.
+
+    Scale shape matches ``wave11._probe_batch``: the second-nearest
+    cell is a SECOND struct-min aggregate over a re-evaluation of the
+    bounded k0 coarse distances (2x the broadcast-side compute, ZERO
+    extra exchange, one row per vector crossing each aggregate) — not
+    a row_number window over the |batch| x k0 candidate blow-up, the
+    exchange the argmin-as-aggregate discipline exists to avoid.  The
+    growing fine book and members sides stay `never_broadcast`-pinned
+    sort-merge joins reading their bucket specs."""
+    coarse = spark.table(coarse_tbl)
+    a1 = assign_to_cells(new, coarse)
+    # rank-2 coarse cell: argmin over every OTHER cell.  Ties match the
+    # oracle's ROW_NUMBER(ORDER BY dfp, cell): rank-1 takes the lower
+    # cell id, so the lexicographic min over the remainder IS rank 2.
+    second = (
+        a1.select("vec_id", "vq", F.col("cell").alias("cell1"))
+        .crossJoin(F.broadcast(coarse))
+        .filter(F.col("cell") != F.col("cell1"))
+        .select(
+            "vec_id",
+            "vq",
+            F.col("cell").cast("int").alias("cell"),
+            _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("vq").alias("vq"),
+            F.min(F.struct(F.col("d_fp"), F.col("cell"))).alias("b"),
+        )
+        .select("vec_id", "vq", F.col("b.cell").alias("cell"))
+    )
+    probes = (
+        a1.select(
+            "vec_id",
+            "vq",
+            F.col("cell").cast("int").alias("cell"),
+            F.lit(1).alias("rnk"),
+        )
+    ).unionByName(
+        second.select("vec_id", "vq", "cell", F.lit(2).alias("rnk"))
+    )
+    # fine argmin per (vec_id, rank) — the same struct-min aggregate as
+    # the single-probe plan, keyed one level wider
+    assigned = (
+        probes.join(never_broadcast(spark.table(fine_tbl)), "cell")
+        .select(
+            "vec_id",
+            "rnk",
+            "vq",
+            "cell",
+            "sub",
+            _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
+        )
+        .groupBy("vec_id", "rnk")
+        .agg(
+            F.first("vq").alias("vq"),
+            F.first("cell").alias("cell"),  # constant per (vec, rank)
+            F.min(F.struct(F.col("d_fp"), F.col("sub"))).alias("b"),
+        )
+        .select(
+            "vec_id",
+            "rnk",
+            "cell",
+            F.col("b.sub").alias("sub"),
+            "vq",
+            F.aggregate(
+                "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+            ).alias("nn_n"),
+        )
+    )
+    members = spark.table(mem_tbl)
+    dot = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vq_s"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    # membership cosines over the UNION of the probed fine cells: a
+    # seen vector lives in exactly one (cell, sub), and the two probed
+    # cells differ by construction, so no pair is counted twice
+    hits = (
+        assigned.join(never_broadcast(members), ["cell", "sub"])
+        .filter((F.col("nn_n") > 0) & (F.col("nn_s") > 0))
+        .select(
+            "vec_id",
+            F.floor(
+                dot / (F.sqrt("nn_n") * F.sqrt("nn_s")) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_bp"),
+        )
+        .filter(F.col("cos_bp") >= F.lit(_SEMDEDUP_EPS_BP))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seen_dups"),
+            F.max("cos_bp").alias("max_cos_bp"),
+        )
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        assigned.filter(F.col("rnk") == 1)
+        .select("vec_id", "cell", "sub")
+        .join(never_broadcast(hits), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "cell",
+            "sub",
+            F.coalesce("n_seen_dups", F.lit(0))
+            .cast("bigint")
+            .alias("n_seen_dups"),
+            F.coalesce("max_cos_bp", F.lit(_NO_PEER_BP))
+            .cast("bigint")
+            .alias("max_cos_bp"),
+            F.when(F.col("hit").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_novel"),
+        )
+    )
+
+
+@query("semdedup_codebook_multiprobe", oracle=_MULTIPROBE_ORACLE, wave=13)
+def semdedup_codebook_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic novelty against the adaptive two-level codebook probed
+    at nprobe={nprobe} — the boundary-recall knob (section comment).
+    Build: the identical adaptive fit as `semdedup_codebook_adaptive`
+    (k0 = ceil(sqrt(ceil(n/cap))) mod-init Lloyd, <= {cap} rank-chunk
+    split, three persisted tables).  Probe: each new vector is checked
+    against the members of its TWO nearest coarse cells' assigned fine
+    cells — duplicates straddling the rank-1 cell boundary, invisible
+    to the single-probe variant by construction, are found at a fixed
+    2x probe constant.
+
+    Output schema matches the single-probe variants: (vec_id, PRIMARY
+    cell, PRIMARY sub, n_seen_dups at cosine >= {eps} bp over the
+    probed union, max_cos_bp, is_novel).  Superset property (pinned in
+    tests/test_wave13.py): every rank-1 hit survives, so n_seen_dups
+    >= the single-probe count and is_novel <= its flag, row for row.
+
+    Reference parity: the reference repo (161-line pandas/datashader
+    pipeline, `local.py` / `Reduce.ps1`) has no dedup surface; this
+    extends the LLM-pipeline operator family the build brief makes
+    first-class, mirroring FAISS's nprobe on the same persisted layout.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).first()
+    mid = (b.lo + b.hi) // 2  # oracle: (MIN + MAX) // 2, ids positive
+
+    base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(spark, sf_dir, "mp2")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base,
+        coarse_tbl,
+        fine_tbl,
+        mem_tbl,
+    )
+    new = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    return _multiprobe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+
+
+semdedup_codebook_multiprobe.__doc__ = (
+    semdedup_codebook_multiprobe.__doc__.format(
+        nprobe=_NPROBE, cap=_CAP, eps=_SEMDEDUP_EPS_BP
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# RECALL EVAL: the QA harness for the codebook probes — the semantic
+# twin of `ann_recall_eval` / `minhash_lsh_eval`.  Per probed vector of
+# a BOUNDED panel, brute-force integer-cosine truth (same fixed-point
+# arithmetic as the probes, so truth and probe can never disagree on a
+# cosine value — only on which pairs the index made visible) is
+# compared against the nprobe=1 and nprobe=2 probe programs over ONE
+# shared fit.  At 100 TB this runs on a sampled panel on a schedule
+# (one brute-force pass per panel vector), exactly like the ANN evals —
+# it is how an operator re-tunes nprobe/cap from measurements.
+# ---------------------------------------------------------------------------
+
+# Panel width: vec_id in (mid, mid + _PANEL] — bounded by construction
+# (a literal id range), so broadcasting it into the truth cross join is
+# the registered scalar-batch pattern, never data x data.
+_PANEL = 64
+
+_RECALL_EVAL_CTES = f""",
+    qn AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS vq
+      FROM embeddings
+      WHERE vec_id > {_MID_BOUNDARY}
+        AND vec_id <= {_PANEL} + {_MID_BOUNDARY}),
+    dn AS MATERIALIZED (
+      SELECT qn.vec_id, c.cell,
+             SUM(CAST(FLOOR((qn.vq / 1000000.0 - c.c) * (qn.vq / 1000000.0 - c.c)
+                            * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
+      FROM qn JOIN c5 c ON c.pos = qn.pos
+      GROUP BY 1, 2),
+    an1 AS MATERIALIZED (
+      SELECT vec_id, FIRST(cell ORDER BY dfp, cell) AS cell
+      FROM dn GROUP BY vec_id),
+    an2 AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dfp, cell)
+                 AS rnk
+        FROM dn) t
+      WHERE rnk <= {_NPROBE}),
+    dfine AS MATERIALIZED (
+      SELECT qn.vec_id, f.cell, f.sub,
+             SUM(CAST(FLOOR((qn.vq / 1000000.0 - f.c) * (qn.vq / 1000000.0 - f.c)
+                            * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
+      FROM qn JOIN an2 a ON a.vec_id = qn.vec_id
+      JOIN fc f ON f.cell = a.cell AND f.pos = qn.pos
+      GROUP BY 1, 2, 3),
+    afine AS MATERIALIZED (
+      SELECT vec_id, cell, FIRST(sub ORDER BY dfp, sub) AS sub
+      FROM dfine GROUP BY vec_id, cell),
+    nrm_s AS (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
+    nrm_n AS (SELECT vec_id, SUM(vq * vq) AS nn FROM qn GROUP BY 1),
+    prx AS MATERIALIZED (
+      SELECT a.vec_id AS id_new, a.cell, s.vec_id AS id_seen,
+             SUM(qn.vq * qs.vq) AS dot
+      FROM afine a
+      JOIN mfin s ON s.cell = a.cell AND s.sub = a.sub
+      JOIN qn ON qn.vec_id = a.vec_id
+      JOIN q qs ON qs.vec_id = s.vec_id AND qs.pos = qn.pos
+      GROUP BY 1, 2, 3),
+    simx AS MATERIALIZED (
+      SELECT id_new, cell,
+             CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 10000.0 + 0.5)
+                  AS BIGINT) AS cos_bp
+      FROM prx
+      JOIN nrm_n na ON na.vec_id = id_new
+      JOIN nrm_s nb ON nb.vec_id = id_seen
+      WHERE na.nn > 0 AND nb.nn > 0),
+    hitsx AS MATERIALIZED (
+      SELECT id_new, cell, COUNT(*) AS n
+      FROM simx WHERE cos_bp >= {_SEMDEDUP_EPS_BP} GROUP BY 1, 2),
+    h2 AS (SELECT id_new, SUM(n) AS n FROM hitsx GROUP BY 1),
+    h1 AS (
+      SELECT hx.id_new, hx.n
+      FROM hitsx hx JOIN an1 a1
+        ON a1.vec_id = hx.id_new AND a1.cell = hx.cell),
+    tdot AS MATERIALIZED (
+      SELECT qn.vec_id AS id_new, q.vec_id AS id_seen,
+             SUM(qn.vq * q.vq) AS dot
+      FROM qn JOIN q ON q.pos = qn.pos
+      GROUP BY 1, 2),
+    tsim AS MATERIALIZED (
+      SELECT id_new,
+             CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 10000.0 + 0.5)
+                  AS BIGINT) AS cos_bp
+      FROM tdot
+      JOIN nrm_n na ON na.vec_id = id_new
+      JOIN nrm_s nb ON nb.vec_id = id_seen
+      WHERE na.nn > 0 AND nb.nn > 0),
+    truth AS MATERIALIZED (
+      SELECT id_new AS vec_id, COUNT(*) AS c
+      FROM tsim WHERE cos_bp >= {_SEMDEDUP_EPS_BP} GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS tv, COALESCE(SUM(c), 0) AS tp FROM truth),
+    v1 AS (SELECT COUNT(*) AS dv, COALESCE(SUM(n), 0) AS dp FROM h1),
+    v2 AS (SELECT COUNT(*) AS dv, COALESCE(SUM(n), 0) AS dp FROM h2)
+    SELECT CAST(variant AS VARCHAR) AS variant,
+           CAST(tv AS BIGINT) AS n_truth_vecs,
+           CAST(tp AS BIGINT) AS n_truth_pairs,
+           CAST(dv AS BIGINT) AS n_detected_vecs,
+           CAST(dp AS BIGINT) AS n_detected_pairs,
+           CAST(dv * 10000 // tv AS BIGINT) AS vec_recall_bp,
+           CAST(dp * 10000 // tp AS BIGINT) AS pair_recall_bp
+    FROM (
+      SELECT 'nprobe1' AS variant, v1.dv, v1.dp, tt.tv, tt.tp FROM v1, tt
+      UNION ALL
+      SELECT 'nprobe2' AS variant, v2.dv, v2.dp, tt.tv, tt.tp FROM v2, tt)
+"""
+
+_RECALL_EVAL_ORACLE = (
+    _kmeans_cte(
+        5,
+        source=_SEEN_SRC,
+        cell_expr=f"CAST(vec_id % {_K0_SQL} AS INT)",
+    )
+    + _SPLIT_CTES
+    + _RECALL_EVAL_CTES
+)
+
+
+def _probe_stats(res: DataFrame, variant: str) -> DataFrame:
+    """(vec_id, ..., n_seen_dups, is_novel) probe rows -> one stats row
+    (variant, n_detected_vecs, n_detected_pairs)."""
+    return res.agg(
+        F.sum(F.lit(1) - F.col("is_novel")).cast("bigint").alias("dv"),
+        F.sum("n_seen_dups").cast("bigint").alias("dp"),
+    ).select(F.lit(variant).alias("variant"), "dv", "dp")
+
+
+@query("semdedup_codebook_recall_eval", oracle=_RECALL_EVAL_ORACLE, wave=13)
+def semdedup_codebook_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-recall of the codebook probes vs brute-force truth
+    over a bounded {panel}-vector panel (section comment) — ONE adaptive
+    fit, probed at nprobe=1 and nprobe={nprobe}, scored against the
+    exact integer-cosine pair set.  Output: one row per variant with
+    (n_truth_vecs, n_truth_pairs, n_detected_vecs, n_detected_pairs,
+    vec_recall_bp, pair_recall_bp) — the numbers an operator reads
+    before choosing nprobe (measured r14 on the full new half: 0.35 ->
+    0.54 vec-recall at the fixture's deliberately tight cap=16).
+
+    Scale shape: the probes are the already-pinned two-level plans; the
+    truth join crosses the BOUNDED panel (broadcast, a literal id
+    range) against the seen half — one brute-force scan per panel
+    vector, the sampled-schedule QA cost every recall eval in the repo
+    pays (`ann_recall_eval`, `minhash_lsh_eval`), never data x data.
+    Zero false positives by construction (the membership check is an
+    exact cosine), so recall is the only number that can move.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).first()
+    mid = (b.lo + b.hi) // 2  # oracle: (MIN + MAX) // 2, ids positive
+
+    base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(spark, sf_dir, "rce")
+    seen = emb.filter(F.col("vec_id") <= F.lit(mid))
+    _persist_two_level(
+        spark, seen, _mod_centroid_init, base, coarse_tbl, fine_tbl, mem_tbl
+    )
+    panel = emb.filter(
+        (F.col("vec_id") > F.lit(mid))
+        & (F.col("vec_id") <= F.lit(mid + _PANEL))
+    ).select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+
+    # brute-force truth: bounded panel broadcast against the seen half
+    seen_q = seen.select(
+        F.col("vec_id").alias("sid"),
+        _quantize(F.col("embedding")).alias("vqs"),
+    ).withColumn(
+        "nns",
+        F.aggregate("vqs", F.lit(0).cast("bigint"), lambda a, v: a + v * v),
+    )
+    pnl = panel.withColumn(
+        "nnn",
+        F.aggregate("vq", F.lit(0).cast("bigint"), lambda a, v: a + v * v),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vqs"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    truth_tot = (
+        seen_q.crossJoin(F.broadcast(pnl))
+        .filter((F.col("nnn") > 0) & (F.col("nns") > 0))
+        .select(
+            F.floor(
+                dot / (F.sqrt("nnn") * F.sqrt("nns")) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_bp"),
+            "vec_id",
+        )
+        .filter(F.col("cos_bp") >= F.lit(_SEMDEDUP_EPS_BP))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tv"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+
+    stats = _probe_stats(
+        _probe_batch(spark, panel, coarse_tbl, fine_tbl, mem_tbl), "nprobe1"
+    ).unionByName(
+        _probe_stats(
+            _multiprobe_batch(spark, panel, coarse_tbl, fine_tbl, mem_tbl),
+            "nprobe2",
+        )
+    )
+    return stats.crossJoin(F.broadcast(truth_tot)).select(
+        "variant",
+        F.col("tv").alias("n_truth_vecs"),
+        F.col("tp").alias("n_truth_pairs"),
+        F.col("dv").alias("n_detected_vecs"),
+        F.col("dp").alias("n_detected_pairs"),
+        F.expr("CAST(dv * 10000 div tv AS BIGINT)").alias("vec_recall_bp"),
+        F.expr("CAST(dp * 10000 div tp AS BIGINT)").alias("pair_recall_bp"),
+    )
+
+
+semdedup_codebook_recall_eval.__doc__ = (
+    semdedup_codebook_recall_eval.__doc__.format(panel=_PANEL, nprobe=_NPROBE)
+)
+
+
+# ---------------------------------------------------------------------------
+# GENERATION CUTOVER + VACUUM: the operational tail of the refit.
+# `refit_from_members` writes a NEW generation (distinct kind tag) and
+# leaves the source generation untouched — that immutability is what
+# makes the refit crash-safe, but it also means every refit doubles the
+# index footprint until something (a) atomically repoints readers at
+# the new generation and (b) reclaims the superseded one.  At 100 TB
+# the members table IS the corpus-scale artifact, so an unreclaimed
+# generation is a corpus-sized storage leak per weekly refit.  The
+# pointer uses the same atomic-rename marker discipline as the
+# streaming admission's intent/watermark pair (`streaming/codebook.py`):
+# readers resolve the pointer at probe start, so a probe sees the old
+# generation or the new one, never a mix, and a crash between refit
+# and cutover leaves the pointer on the still-intact old generation.
+# Reference parity: the reference swaps its whole output prefix per run
+# (`Implementation.cs:45-47` re-uploads jobData.json) rather than
+# patching in place — the pointer is that swap applied to the index.
+# ---------------------------------------------------------------------------
+
+
+def _generation_names(sf_dir: str, kind: str) -> tuple[str, str, str]:
+    """The three table names of a generation — the pure-name half of
+    ``wave11._index_tables`` (which also sweeps and drops: wrong for a
+    reader that must not mutate)."""
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_tag
+
+    tag = _scratch_tag(sf_dir)
+    return tuple(
+        f"semdedup_{kind}_{part}_{tag}"
+        for part in ("coarse", "fine", "members")
+    )
+
+
+def read_generation_pointer(pointer_path: str) -> str | None:
+    """The kind tag of the current index generation, or None if no
+    cutover has happened yet."""
+    try:
+        with open(pointer_path) as fh:
+            kind = fh.read().strip()
+            return kind or None
+    except OSError:
+        return None
+
+
+def cutover_generation(spark, sf_dir: str, pointer_path: str, kind: str) -> str | None:
+    """Atomically repoint readers at generation ``kind``: verify all
+    three tables of the target generation exist (a half-written
+    generation must never become current), then rename-swap the pointer
+    file.  Returns the previous kind (None on first cutover).  The old
+    generation's tables are left intact — reclaim is a separate,
+    explicitly-ordered step (``vacuum_generation``), so a crash between
+    cutover and vacuum costs storage, never correctness."""
+    import os as _os
+
+    missing = [
+        t
+        for t in _generation_names(sf_dir, kind)
+        if not spark.catalog.tableExists(t)
+    ]
+    if missing:
+        raise RuntimeError(
+            f"cutover to generation {kind!r} refused: tables {missing}"
+            " do not exist (refit incomplete or not run)"
+        )
+    prev = read_generation_pointer(pointer_path)
+    _os.makedirs(_os.path.dirname(pointer_path) or ".", exist_ok=True)
+    tmp = f"{pointer_path}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(kind)
+    _os.replace(tmp, pointer_path)
+    return prev
+
+
+def vacuum_generation(spark, sf_dir: str, pointer_path: str, kind: str) -> int:
+    """Reclaim a superseded generation: drop its three tables and
+    delete their external data dir.  REFUSES to vacuum the generation
+    the pointer currently names — the only state this function may
+    destroy is one no reader can resolve anymore.  Returns the number
+    of tables dropped (0 if the generation was already gone, making
+    vacuum idempotent for a crash-replay of the reclaim step)."""
+    import shutil
+
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir
+
+    current = read_generation_pointer(pointer_path)
+    if kind == current:
+        raise RuntimeError(
+            f"vacuum of generation {kind!r} refused: it is the CURRENT"
+            f" generation under {pointer_path!r} — cut over first"
+        )
+    dropped = 0
+    for t in _generation_names(sf_dir, kind):
+        if spark.catalog.tableExists(t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            dropped += 1
+    shutil.rmtree(
+        _scratch_dir(f"awsbatch_semdedup_{kind}_idx", sf_dir),
+        ignore_errors=True,
+    )
+    return dropped
+
+
+def probe_current_generation(spark, sf_dir: str, pointer_path: str, new) -> DataFrame:
+    """Probe a quantized (vec_id, vq) batch against whatever generation
+    the pointer names — the reader-side half of the cutover contract.
+    The pointer is resolved ONCE, at plan-build time, so one probe
+    never mixes generations even if a cutover lands mid-execution (the
+    old generation's tables are immutable until vacuumed)."""
+    kind = read_generation_pointer(pointer_path)
+    if kind is None:
+        raise RuntimeError(
+            f"no current generation under {pointer_path!r}: run a fit"
+            " and cut over before probing"
+        )
+    coarse_tbl, fine_tbl, mem_tbl = _generation_names(sf_dir, kind)
+    return _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)

@@ -112,6 +112,42 @@ def foreach_batch_codebook_probe(
     return probe
 
 
+def foreach_batch_codebook_probe_current(
+    sf_dir: str, pointer_path: str, out_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """Probe-only streaming novelty against WHATEVER index generation
+    the pointer names — the zero-downtime reader side of the wave-13
+    refit/cutover loop.  The pointer is re-resolved at each micro-batch
+    boundary, so a `cutover_generation` landing mid-stream takes effect
+    on the NEXT batch with no stream restart, and each individual batch
+    probes exactly one generation (`probe_current_generation` resolves
+    once at plan-build time; the superseded generation stays immutable
+    until vacuumed, so a batch in flight during the cutover still reads
+    a complete index).  Same idempotent batch-id-partitioned sink as
+    the static-index probe; a replayed batch re-resolves the pointer,
+    so after a cutover its rewritten partition reflects the CURRENT
+    generation — the at-least-once contract is "probed against the
+    admitted corpus", which both generations of one refit satisfy (the
+    refit is probe-equivalent by the wave-13 oracle proof)."""
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        from awsbatch_mapreduce_spark.plans.wave13 import (
+            probe_current_generation,
+        )
+
+        if batch_df.isEmpty():
+            return
+        new = batch_df.select(
+            "vec_id", _quantize(F.col("embedding")).alias("vq")
+        )
+        res = probe_current_generation(
+            batch_df.sparkSession, sf_dir, pointer_path, new
+        )
+        _write_probe_partition(res, out_dir, batch_id)
+
+    return probe
+
+
 # Admission sizing rule (round 14, SCALING.md): per-micro-batch cost
 # on the measured local[32] host fits batch_sec ~ FLOOR + rows/MARGINAL
 # with <7% residuals across 30k-570k-row batches; the fixed floor is

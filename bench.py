@@ -115,6 +115,15 @@ EXTENDED = [
     # fit) and _adaptive_append (the no-refit admission it resets):
     # the delta over _adaptive prices the appends + the second fit
     "semdedup_codebook_refit",
+    # round 14 (wave 13): nprobe=2 on the adaptive layout — identical
+    # fit, doubled probe constant; the delta vs _adaptive is the price
+    # of the boundary-recall gain (0.35 -> 0.54 measured vec-recall)
+    "semdedup_codebook_multiprobe",
+    # round 14 (wave 13): the codebook QA harness (one fit + both
+    # probes + bounded-panel brute-force truth) — read next to
+    # _adaptive: the delta is the eval overhead an operator pays per
+    # scheduled recall check
+    "semdedup_codebook_recall_eval",
 ]
 
 # Heavy-query rep discipline (VERDICT r13 #3): the longest extended

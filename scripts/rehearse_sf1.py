@@ -161,6 +161,13 @@ REHEARSAL = [
     # the absolute number is the price of resetting the append path's
     # refit-starved growth (SCALING.md round-14 sizing rule)
     "semdedup_codebook_refit",
+    # round 14 (wave 13): nprobe=2 on the adaptive layout — same fit,
+    # probe constant 2x (second coarse argmin + second fine argmin +
+    # <= cap extra membership cosines); the ladder exponent should
+    # track the adaptive variant's and the absolute delta prices the
+    # boundary-recall gain (measured 0.35 -> 0.54 vec-recall at
+    # sf0.001)
+    "semdedup_codebook_multiprobe",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any

@@ -765,6 +765,19 @@ _REGISTRY_BROADCAST_BUDGET = {
     # subtree Catalyst may re-plan at scale, one k0'-row book); the
     # refit's own Lloyd fit executes eagerly inside the builder
     "semdedup_codebook_refit": 2,
+    # wave 13 (round 14): nprobe=2 doubles the single-probe plan's two
+    # bounded sites exactly — one direct probe-scan subtree + one
+    # k0-row coarse-book site PER PROBED RANK (audited lineages
+    # [emb, emb, -, -]); fine/members stay pinned sort-merge
+    # (tests/test_wave13.py pins the full plan shape)
+    "semdedup_codebook_multiprobe": 4,
+    # wave 13 (round 14): the QA harness composes the single-probe
+    # plan (2) + the nprobe=2 plan (4) over one shared fit, plus the
+    # BOUNDED 64-vector panel at its truth-join site and the 1-row
+    # truth-total scalar frame — every site is a literal-range panel,
+    # a k0-row book, or a scalar; the seen side of the truth join is
+    # the un-broadcast scan
+    "semdedup_codebook_recall_eval": 8,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites

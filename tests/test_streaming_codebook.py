@@ -421,3 +421,63 @@ def test_streaming_admissions_then_refit_cutover(spark, tmp_path):
     got = _rows(_probe_batch(spark, probe, coarse_r, fine_r, mem_r), drop=())
     want = _rows(_probe_batch(spark, probe, coarse_s, fine_s, mem_s), drop=())
     assert got == want and len(got) > 0
+
+
+def test_stream_probe_pointer_cutover_mid_stream(spark, tmp_path):
+    """The zero-downtime reader loop: a pointer-resolving streaming
+    probe picks up a `cutover_generation` at the NEXT micro-batch with
+    no stream restart — batch 0 probes generation A, the cutover lands,
+    batch 1 probes generation B; each batch's rows are byte-equal to a
+    direct probe of the generation that was current when it ran.  A
+    replayed batch re-resolves the pointer, so its rewritten partition
+    reflects the current generation (the documented at-least-once
+    contract)."""
+    from awsbatch_mapreduce_spark.plans.wave13 import cutover_generation
+    from awsbatch_mapreduce_spark.streaming.codebook import (
+        foreach_batch_codebook_probe_current,
+    )
+
+    emb, mid, q3, coarse_a, fine_a, mem_a = _build_index(spark, "pca")
+    # generation B: an independent fit over the grown corpus (<= q3)
+    base_b, coarse_b, fine_b, mem_b = _index_tables(spark, SF_DIR, "pcb")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(q3)),
+        _mod_centroid_init,
+        base_b,
+        coarse_b,
+        fine_b,
+        mem_b,
+    )
+    pointer = str(tmp_path / "CURRENT_GENERATION")
+    out = str(tmp_path / "probe_out")
+    fn = foreach_batch_codebook_probe_current(SF_DIR, pointer, out)
+
+    cutover_generation(spark, SF_DIR, pointer, "pca")
+    batch0 = emb.filter(
+        (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
+    ).select("vec_id", "embedding")
+    fn(batch0, 0)
+    q0 = batch0.select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+    want0 = _probe_batch(spark, q0, coarse_a, fine_a, mem_a)
+    got = spark.read.parquet(out)
+    assert _rows(got.filter(F.col("batch_id") == 0)) == _rows(want0)
+
+    # refit cutover lands mid-stream; the next batch reads generation B
+    assert cutover_generation(spark, SF_DIR, pointer, "pcb") == "pca"
+    batch1 = emb.filter(F.col("vec_id") > F.lit(q3)).select(
+        "vec_id", "embedding"
+    )
+    fn(batch1, 1)
+    q1 = batch1.select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+    want1 = _probe_batch(spark, q1, coarse_b, fine_b, mem_b)
+    got = spark.read.parquet(out)
+    assert _rows(got.filter(F.col("batch_id") == 1)) == _rows(want1)
+    assert want0.count() > 0 and want1.count() > 0
+
+    # replay of batch 0 AFTER the cutover: its partition is rewritten
+    # against the now-current generation B
+    fn(batch0, 0)
+    got = spark.read.parquet(out)
+    want0_b = _probe_batch(spark, q0, coarse_b, fine_b, mem_b)
+    assert _rows(got.filter(F.col("batch_id") == 0)) == _rows(want0_b)
