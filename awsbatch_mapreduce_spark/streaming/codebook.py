@@ -196,6 +196,38 @@ def min_trigger_secs(
     return floor_sec / (1.0 - rate_vec_per_sec / marginal_vec_per_sec)
 
 
+def refit_due(
+    n_now: int, n_fit: int, tolerated_inflation: float = 2.0
+) -> bool:
+    """The refit CADENCE rule (round 14, measured by
+    ``scripts/codebook_refit_reset.py``): the sizing rule's marginal
+    constant holds for a RECENTLY-REFIT index; under continued
+    admission the probe's fine-argmin degree is subs-per-coarse-cell
+    ~ n/(k0*cap), and with k0 frozen at its fit-time value
+    sqrt(n_fit/cap) the degree — and with it the per-vector marginal
+    cost — scales like n_now/n_fit.  (Measured: ~21x marginal at 67x
+    refit-starved growth, back to ~1x after the refit.)  So the refit
+    is due when the corpus has grown past the tolerated inflation
+    factor since the current generation was fitted:
+
+        refit_due  <=>  n_now / n_fit > tolerated_inflation
+
+    At a sustained admission rate R that means one refit every
+    n_fit * (tolerated_inflation - 1) / R seconds — for the measured
+    38 s refit at 71k members this prices well under one trigger
+    interval of amortized cost per day at any rate the trigger rule
+    admits.  ``n_fit`` is the members count at the last refit (the
+    generation pointer's fit-time size); callers that track only the
+    live members table can snapshot it at cutover."""
+    if n_fit <= 0:
+        raise ValueError(f"n_fit must be positive, got {n_fit}")
+    if tolerated_inflation < 1.0:
+        raise ValueError(
+            f"tolerated_inflation must be >= 1.0, got {tolerated_inflation}"
+        )
+    return n_now / n_fit > tolerated_inflation
+
+
 def _read_marker(path: str) -> int:
     try:
         with open(path) as fh:

@@ -481,3 +481,27 @@ def test_stream_probe_pointer_cutover_mid_stream(spark, tmp_path):
     got = spark.read.parquet(out)
     want0_b = _probe_batch(spark, q0, coarse_b, fine_b, mem_b)
     assert _rows(got.filter(F.col("batch_id") == 0)) == _rows(want0_b)
+
+
+def test_refit_cadence_rule():
+    """The executable form of the measured refit cadence: due exactly
+    when corpus growth since the current generation's fit exceeds the
+    tolerated marginal-inflation factor (growth IS the inflation, per
+    the round-14 A/B: ~21x marginal at 67x starved growth, ~1x after
+    the refit)."""
+    import pytest
+
+    from awsbatch_mapreduce_spark.streaming.codebook import refit_due
+
+    assert not refit_due(1000, 1000)  # fresh fit: never due
+    assert not refit_due(2000, 1000)  # exactly at the default factor
+    assert refit_due(2001, 1000)
+    # the measured A/B point: 67x growth is far past ANY sane factor
+    assert refit_due(67000, 1000)
+    assert refit_due(67000, 1000, tolerated_inflation=10.0)
+    # a generous factor defers the refit but the A/B's regime still due
+    assert not refit_due(3000, 1000, tolerated_inflation=4.0)
+    with pytest.raises(ValueError, match="n_fit"):
+        refit_due(1000, 0)
+    with pytest.raises(ValueError, match="tolerated_inflation"):
+        refit_due(1000, 1000, tolerated_inflation=0.5)
