@@ -820,6 +820,53 @@ def vacuum_generation(spark, sf_dir: str, pointer_path: str, kind: str) -> int:
     return dropped
 
 
+def refit_and_cutover(
+    spark, sf_dir: str, pointer_path: str, new_kind: str
+) -> str:
+    """The guarded refit->cutover sequence: refit a fresh generation
+    ``new_kind`` from the CURRENT generation's members table, then cut
+    the pointer over — REFUSING the cutover if the source generation's
+    members changed while the refit ran.
+
+    Why the guard exists: the refit reads the members table once (its
+    snapshot); an admission committed into the OLD generation after
+    that snapshot exists ONLY in the old generation, so cutting over
+    and vacuuming would silently drop it — the one data-loss window
+    the pointer protocol otherwise closes.  The contract is therefore
+    "quiesce admissions into the current generation for the duration"
+    (for the streaming operator: stop the admit stream, run this,
+    restart it bound to the new generation); this function turns a
+    violated contract into a loud error instead of lost vectors.  On
+    refusal the half-built new generation is left on disk for
+    inspection — re-run after quiescing; `_index_tables` sweeps it on
+    the retry.  Returns the previous generation's kind tag (the
+    argument to a subsequent ``vacuum_generation``)."""
+    current = read_generation_pointer(pointer_path)
+    if current is None:
+        raise RuntimeError(
+            f"no current generation under {pointer_path!r}: nothing to"
+            " refit from — fit and cut over a first generation directly"
+        )
+    _, _, src_mem = _generation_names(sf_dir, current)
+    n_snapshot = spark.table(src_mem).count()
+    base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(
+        spark, sf_dir, new_kind
+    )
+    refit_from_members(spark, src_mem, base, coarse_tbl, fine_tbl, mem_tbl)
+    spark.catalog.refreshTable(src_mem)
+    n_now = spark.table(src_mem).count()
+    if n_now != n_snapshot:
+        raise RuntimeError(
+            f"cutover to {new_kind!r} refused: generation {current!r}"
+            f" grew from {n_snapshot} to {n_now} members while the refit"
+            " ran — those admissions exist only in the old generation"
+            " and would be lost at vacuum. Quiesce admissions into the"
+            " current generation and re-run."
+        )
+    cutover_generation(spark, sf_dir, pointer_path, new_kind)
+    return current
+
+
 def probe_current_generation(spark, sf_dir: str, pointer_path: str, new) -> DataFrame:
     """Probe a quantized (vec_id, vq) batch against whatever generation
     the pointer names — the reader-side half of the cutover contract.

@@ -326,6 +326,80 @@ def test_recall_eval_scores_are_consistent(spark):
         assert r2["vec_recall_bp"] >= r1["vec_recall_bp"], sf
 
 
+def test_refit_and_cutover_refuses_on_concurrent_admission(
+    spark, tmp_path, monkeypatch
+):
+    """The guarded sequence closes the one data-loss window of the
+    pointer protocol: an admission committed into the OLD generation
+    while the refit runs exists only there and would be dropped at
+    vacuum.  A monkeypatched refit interleaves a real admission inside
+    the guard's snapshot->recount window: the sequence must refuse
+    loudly and leave the pointer on the old generation; the quiesced
+    retry must succeed with the late admission carried into the new
+    generation — nothing lost."""
+    import pytest
+
+    import awsbatch_mapreduce_spark.plans.wave13 as w13
+    from awsbatch_mapreduce_spark.plans.wave12 import _admit_batch
+    from awsbatch_mapreduce_spark.plans.wave13 import (
+        _generation_names,
+        cutover_generation,
+        read_generation_pointer,
+        refit_and_cutover,
+        vacuum_generation,
+    )
+
+    pointer = str(tmp_path / "CURRENT_GENERATION")
+    with pytest.raises(RuntimeError, match="nothing to refit from"):
+        refit_and_cutover(spark, SF_DIR, pointer, "gda")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    mid, q3 = _bounds(spark, SF_DIR)
+    base_a, coarse_a, fine_a, mem_a = _index_tables(spark, SF_DIR, "gda")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base_a,
+        coarse_a,
+        fine_a,
+        mem_a,
+    )
+    cutover_generation(spark, SF_DIR, pointer, "gda")
+    n_before = spark.table(mem_a).count()
+    late = emb.filter(
+        (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
+    ).select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+
+    real_refit = w13.refit_from_members
+
+    def refit_then_admit(spark_, src_mem, *args, **kwargs):
+        real_refit(spark_, src_mem, *args, **kwargs)
+        # the violated contract: an admission lands in the SOURCE
+        # generation after the refit consumed its snapshot
+        _admit_batch(spark_, late, coarse_a, fine_a, mem_a)
+
+    monkeypatch.setattr(w13, "refit_from_members", refit_then_admit)
+    with pytest.raises(RuntimeError, match="grew from"):
+        refit_and_cutover(spark, SF_DIR, pointer, "gdb")
+    monkeypatch.setattr(w13, "refit_from_members", real_refit)
+    # refused: pointer untouched, old generation intact with the late
+    # admission, half-built gen B missing it (why the refusal matters)
+    assert read_generation_pointer(pointer) == "gda"
+    assert spark.table(mem_a).count() == n_before + late.count()
+    _, _, mem_b = _generation_names(SF_DIR, "gdb")
+    assert spark.table(mem_b).count() == n_before
+
+    # quiesced retry: source stable for the whole sequence -> cutover
+    # lands and the new generation carries the late admission
+    assert refit_and_cutover(spark, SF_DIR, pointer, "gdc") == "gda"
+    assert read_generation_pointer(pointer) == "gdc"
+    _, _, mem_c = _generation_names(SF_DIR, "gdc")
+    assert spark.table(mem_c).count() == n_before + late.count()
+    assert vacuum_generation(spark, SF_DIR, pointer, "gda") == 3
+    assert vacuum_generation(spark, SF_DIR, pointer, "gdb") == 3
+
+
 def test_generation_cutover_vacuum_lifecycle(spark, tmp_path):
     """The operational tail of the refit (wave13 cutover section):
     fit gen A -> cutover -> probe-via-pointer == direct probe; admit a
