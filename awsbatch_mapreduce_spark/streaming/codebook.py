@@ -40,16 +40,23 @@ operators the driver already proves:
   Both markers are atomic renames.  On entry, ``batch_id <=
   watermark`` is a committed replay (no-op), and a live INTENT for the
   incoming batch id means a previous attempt crashed INSIDE the
-  admission window — the handler then repairs before proceeding:
-  if the batch's rows are already in the members table the admission
-  had fully committed (the members append is the protocol's commit
-  point — one job, one atomic FileOutputCommitter commit), so the
-  watermark fast-forwards and the batch is skipped; otherwise at most
-  the FINE append landed, and the orphaned fine rows (fine cells with
-  no member rows — build and admission keep the two tables 1:1 by
-  construction) are dropped, restoring the pre-admission state before
-  the normal probe + admit re-runs.  Every crash position therefore
-  replays to the clean-run state (test-pinned per window in
+  admission window — the handler then repairs before proceeding,
+  ALL-OR-REPAIR (a FileOutputCommitter job commit is a sequence of
+  renames, not one atomic step, so a crash mid-commitJob can leave a
+  PARTIALLY visible members append — ADVICE r14): if ALL of the
+  batch's rows are in the members table the admission had fully
+  committed (the members append is the protocol's commit point), so
+  the watermark fast-forwards and the batch is skipped; if SOME are
+  (mid-commit crash) the partial member rows are purged first; then
+  the orphaned fine rows (fine cells with no member rows — build and
+  admission keep the two tables 1:1 by construction) are dropped,
+  restoring the pre-admission state before the normal probe + admit
+  re-runs.  Both repairs rewrite via a crash-safe sibling-directory
+  swap (``_swap_rewrite``): the live table stays intact until the
+  swap, and the one window between the two renames fails LOUDLY
+  (missing table location) rather than silently exposing a truncated
+  table.  Every crash position therefore replays to the clean-run
+  state or a loud error (test-pinned per window in
   ``tests/test_streaming_codebook.py``).  A real deployment replaces
   the marker files with a table format's transactional commit and the
   two appends with one MERGE; the protocol here is what plain-parquet
@@ -244,18 +251,66 @@ def _write_marker(path: str, batch_id: int) -> None:
     os.replace(tmp, path)
 
 
-def _batch_already_admitted(spark, new: DataFrame, mem_tbl: str) -> bool:
-    """True iff the batch's rows are in the members table — the
-    admission commit point (the members append is one atomic job
-    commit, so a batch's member rows are all-or-nothing)."""
+def _batch_admitted_count(spark, new: DataFrame, mem_tbl: str) -> int:
+    """How many of the batch's rows the members table holds.  A members
+    append is normally one atomic FileOutputCommitter job commit, but
+    that commit is itself a SEQUENCE of renames — a crash mid-commitJob
+    leaves a PARTIALLY visible append (ADVICE r14), so the repair path
+    must distinguish all (committed), none (only the fine append can
+    have landed), and partial (mid-commit crash) instead of treating
+    any visible row as proof of commit."""
     ids = new.select(F.col("vec_id").alias("seen_id"))
     return (
         spark.table(mem_tbl)
         .join(F.broadcast(ids), "seen_id", "semi")
-        .limit(1)
         .count()
-        > 0
     )
+
+
+def _table_location(spark, tbl: str) -> str:
+    loc = (
+        spark.sql(f"DESC EXTENDED {tbl}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    return loc.removeprefix("file:")
+
+
+def _swap_rewrite(
+    spark, tbl: str, kept: DataFrame, bucket_cols: list[str]
+) -> None:
+    """Crash-safe rewrite of a bucketed external table with the kept
+    rows: write them to a SIBLING directory, then swap directories with
+    two renames (ADVICE r14 — a bare ``mode('overwrite')`` deletes the
+    live files before the rewrite commits, so a crash mid-overwrite
+    loses the whole table and the next replay silently proceeds against
+    the truncated remainder).  Crash positions here: before the first
+    rename the live table is untouched (the replay simply redoes the
+    repair); between the two renames the table's location is MISSING,
+    so every subsequent read fails loudly instead of exposing a
+    truncated table; after the second rename the repair is complete and
+    the stale ``__old`` dir is swept on the next entry."""
+    import shutil
+
+    location = _table_location(spark, tbl)
+    repair_loc, old_loc = f"{location}__repair", f"{location}__old"
+    # sweep leftovers of a previously crashed/completed repair
+    shutil.rmtree(repair_loc, ignore_errors=True)
+    shutil.rmtree(old_loc, ignore_errors=True)
+    tmp_tbl = f"{tbl}__rp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    (
+        kept.write.bucketBy(8, *bucket_cols)
+        .sortBy("cell", "sub")
+        .option("path", repair_loc)
+        .mode("overwrite")
+        .saveAsTable(tmp_tbl)
+    )
+    spark.sql(f"DROP TABLE {tmp_tbl}")  # external: files stay in place
+    os.rename(location, old_loc)
+    os.rename(repair_loc, location)  # same bucket spec, same file layout
+    shutil.rmtree(old_loc, ignore_errors=True)
+    spark.catalog.refreshTable(tbl)
 
 
 def _drop_orphan_fine(spark, fine_tbl: str, mem_tbl: str) -> None:
@@ -263,31 +318,34 @@ def _drop_orphan_fine(spark, fine_tbl: str, mem_tbl: str) -> None:
     rows whose (cell, sub) has no member rows.  Build and admission
     keep fine<->members 1:1 per (cell, sub) by construction, so an
     orphaned fine cell can only be the fine half of an uncommitted
-    admission.  Rewrites the fine book (same bucket spec) only when an
-    orphan actually exists — the zero-orphan probe is one semi-join
-    over the k0-bounded book, and the rewrite runs only on the rare
-    crash-replay path."""
+    admission.  Rewrites the fine book (same bucket spec, crash-safe
+    sibling-swap — ``_swap_rewrite``) only when an orphan actually
+    exists — the zero-orphan probe is one semi-join over the k0-bounded
+    book, and the rewrite runs only on the rare crash-replay path."""
     fine = spark.table(fine_tbl)
     keys = spark.table(mem_tbl).select("cell", "sub").distinct()
     kept = fine.join(keys, ["cell", "sub"], "semi").localCheckpoint()
     if kept.count() == fine.count():
         return
-    # rewrite into the table's OWN location (the index's external base
-    # dir): a bare overwrite would recreate the table as managed in the
-    # warehouse, both losing the index layout and colliding with any
-    # stale warehouse dir of the same name
-    location = (
-        spark.sql(f"DESC EXTENDED {fine_tbl}")
-        .filter(F.col("col_name") == "Location")
-        .first()["data_type"]
+    _swap_rewrite(spark, fine_tbl, kept, ["cell"])
+
+
+def _drop_partial_members(spark, new: DataFrame, mem_tbl: str) -> None:
+    """Repair a crash INSIDE the members append's job commit (the
+    mid-commitJob window — ADVICE r14): some but not all of the batch's
+    member rows are visible.  Drop every member row belonging to the
+    batch (anti-join on the batch's bounded id set), restoring the
+    members table to its pre-admission state via the same crash-safe
+    sibling-swap as the fine repair.  Corpus-sized rewrite — acceptable
+    because it runs only on the mid-commit-crash replay path, which a
+    table format's transactional commit removes entirely."""
+    ids = new.select(F.col("vec_id").alias("seen_id"))
+    kept = (
+        spark.table(mem_tbl)
+        .join(F.broadcast(ids), "seen_id", "anti")
+        .localCheckpoint()
     )
-    (
-        kept.write.bucketBy(8, "cell")
-        .sortBy("cell", "sub")
-        .option("path", location)
-        .mode("overwrite")
-        .saveAsTable(fine_tbl)
-    )
+    _swap_rewrite(spark, mem_tbl, kept, ["cell", "sub"])
 
 
 def foreach_batch_codebook_admit_probe(
@@ -330,13 +388,21 @@ def foreach_batch_codebook_admit_probe(
             "vec_id", _quantize(F.col("embedding")).alias("vq")
         )
         if intent == batch_id:
-            # a previous attempt crashed inside the admission window
-            if _batch_already_admitted(spark, new, mem_tbl):
-                # both appends committed; only the watermark is missing
-                # (the probe partition committed before the intent did)
+            # a previous attempt crashed inside the admission window.
+            # All-or-repair (ADVICE r14): the members append commits via
+            # a sequence of renames, so a mid-commitJob crash leaves a
+            # PARTIAL append — only a complete id set proves commit.
+            n_in = _batch_admitted_count(spark, new, mem_tbl)
+            if n_in == new.count():
+                # both appends fully committed; only the watermark is
+                # missing (the probe partition committed before the
+                # intent did) — fast-forward and skip
                 _write_marker(watermark_path, batch_id)
                 os.remove(intent_path)
                 return
+            if n_in > 0:
+                # mid-commit crash: purge the partial member rows first
+                _drop_partial_members(spark, new, mem_tbl)
             # at most the fine append landed: restore pre-admission
             # state, then fall through to the normal path
             _drop_orphan_fine(spark, fine_tbl, mem_tbl)

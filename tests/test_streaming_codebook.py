@@ -296,6 +296,120 @@ def test_admit_crash_between_appends_repairs_on_replay(
     assert _rows(spark.read.parquet(out)) == _rows(spark.read.parquet(out_t))
 
 
+def test_admit_crash_mid_members_commit_repairs_on_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window 1b (ADVICE r14): the members append crashed MID job
+    commit — the commit is a sequence of renames, so SOME but not all
+    of the batch's member rows are visible.  The old any-row check
+    would have misread this as committed, fast-forwarded the watermark,
+    and silently dropped the rest of the batch.  The all-or-repair
+    replay must purge the partial member rows, drop the orphaned fine
+    rows, re-run the admission, and land the index AND probe output
+    byte-identical to a never-crashed twin."""
+    import awsbatch_mapreduce_spark.plans.wave12 as w12
+
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "strm9")
+    out = str(tmp_path / "admit_out")
+    fn = foreach_batch_codebook_admit_probe(coarse, fine, mem, out)
+    batch0, batch1 = _two_batches(emb, mid, q3)
+    fn(batch0, 0)
+    mem_after_0 = spark.table(mem).count()
+
+    real_append_members = w12._append_members
+
+    def partial_then_crash(app_members, mem_tbl):
+        n = app_members.count()
+        real_append_members(app_members.limit(n // 2), mem_tbl)
+        raise RuntimeError("injected crash mid members commit")
+
+    monkeypatch.setattr(w12, "_append_members", partial_then_crash)
+    with pytest.raises(RuntimeError, match="mid members commit"):
+        fn(batch1, 1)
+    monkeypatch.setattr(w12, "_append_members", real_append_members)
+    # the crashed attempt left a PARTIAL members append + open intent
+    n_partial = spark.table(mem).count()
+    assert mem_after_0 < n_partial < mem_after_0 + batch1.count()
+    assert _read_marker(os.path.join(out, "_ADMIT_INTENT")) == 1
+
+    fn(batch1, 1)  # replay: partial detected -> purge -> repair -> re-run
+    assert not os.path.exists(os.path.join(out, "_ADMIT_INTENT"))
+    assert _read_marker(os.path.join(out, "_ADMITTED_WATERMARK")) == 1
+
+    # never-crashed twin on a separate index generation
+    _, _, _, coarse_t, fine_t, mem_t = _build_index(spark, "strm10")
+    out_t = str(tmp_path / "twin_out")
+    fn_t = foreach_batch_codebook_admit_probe(coarse_t, fine_t, mem_t, out_t)
+    fn_t(batch0, 0)
+    fn_t(batch1, 1)
+
+    def tbl_rows(t):
+        return sorted(map(tuple, spark.table(t).collect()))
+
+    assert tbl_rows(mem) == tbl_rows(mem_t)
+    assert tbl_rows(fine) == tbl_rows(fine_t)
+    assert _rows(spark.read.parquet(out)) == _rows(spark.read.parquet(out_t))
+
+
+def test_repair_swap_sweeps_stale_dirs_and_preserves_layout(
+    spark, tmp_path, monkeypatch
+):
+    """The crash-safe sibling-swap repair (ADVICE r14): stale
+    ``__repair``/``__old`` leftovers of a previously crashed repair are
+    swept, the live table survives intact until the swap, and the
+    repaired table keeps its bucketed layout (subsequent probes and
+    admissions read it normally)."""
+    import awsbatch_mapreduce_spark.plans.wave12 as w12
+    from awsbatch_mapreduce_spark.plans.wave11 import _CAP
+    from awsbatch_mapreduce_spark.streaming.codebook import (
+        _drop_orphan_fine,
+        _table_location,
+    )
+
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "strm11")
+    batch0, batch1 = _two_batches(emb, mid, q3)
+    q0 = batch0.select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+    # orphan some fine rows for real: append the fine half only
+    from awsbatch_mapreduce_spark.plans.iterative import assign_to_cells
+    from pyspark.sql.window import Window as W
+
+    assigned = assign_to_cells(q0, spark.table(coarse))
+    wk = W.partitionBy("cell").orderBy(F.asc("d_fp"), F.asc("vec_id"))
+    app = assigned.withColumn("rn", F.row_number().over(wk)).select(
+        F.col("vec_id").alias("seen_id"),
+        F.col("cell").cast("int").alias("cell"),
+        # offset far past any existing sub so the injected fine rows are
+        # genuine orphans (colliding (cell, sub) keys would be kept by
+        # the semi-join and the repair would correctly no-op)
+        (F.lit(1000) + F.floor((F.col("rn") - 1) / F.lit(_CAP)))
+        .cast("int")
+        .alias("sub"),
+        F.col("vq").alias("vq_s"),
+        F.aggregate(
+            "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("nn_s"),
+    ).localCheckpoint()
+    w12._append_fine(app, fine)
+    n_fine_grown = spark.table(fine).count()
+    n_fine_clean = spark.table(mem).select("cell", "sub").distinct().count()
+    assert n_fine_grown > n_fine_clean
+
+    # stale leftovers of an earlier crashed repair beside the live data
+    loc = _table_location(spark, fine)
+    os.makedirs(f"{loc}__repair", exist_ok=True)
+    os.makedirs(f"{loc}__old", exist_ok=True)
+    with open(f"{loc}__repair/junk", "w") as fh:
+        fh.write("stale")
+
+    _drop_orphan_fine(spark, fine, mem)
+    assert not os.path.exists(f"{loc}__repair")
+    assert not os.path.exists(f"{loc}__old")
+    assert spark.table(fine).count() == n_fine_clean
+    # the repaired table still serves probes (bucketed read path intact)
+    res = _probe_batch(spark, q0, coarse, fine, mem)
+    assert res.count() == q0.count()
+
+
 def test_admit_crash_after_commit_fast_forwards_watermark(spark, tmp_path):
     """Crash window 2: both appends committed but the watermark write
     never happened (intent still open).  The replay must recognize the
