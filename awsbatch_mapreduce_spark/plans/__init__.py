@@ -47,5 +47,6 @@ from awsbatch_mapreduce_spark.plans import wave10  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave11  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave12  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave13  # noqa: F401
+from awsbatch_mapreduce_spark.plans import wave14  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "grading_order", "query"]

@@ -104,9 +104,13 @@ _SEEN_SRC = (
 # rank-chunk capacity split + fine codebook) is also the prefix of
 # wave 12's append-batch oracle, whose probe boundary and grown-index
 # CTEs differ — ``_FINE_TAIL`` is the concatenation, byte-identical to
-# the r11-proven text.
-_SPLIT_CTES = (
-    f""",
+# the r11-proven text.  ``cap`` parameterized in round 15 for the
+# recall/cost sweep (wave 14); ``_split_ctes(_CAP)`` is sha-pinned
+# byte-identical to the r11-proven constant in ``tests/test_wave13.py``.
+
+
+def _split_ctes(cap: int) -> str:
+    return f""",
     c5 AS MATERIALIZED (
       SELECT a.cell, q.pos,
              CAST(SUM(q.vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
@@ -118,13 +122,15 @@ _SPLIT_CTES = (
                AS rn
       FROM a5),
     mfin AS MATERIALIZED (
-      SELECT vec_id, cell, CAST((rn - 1) // {_CAP} AS INT) AS sub FROM r),
+      SELECT vec_id, cell, CAST((rn - 1) // {cap} AS INT) AS sub FROM r),
     fc AS MATERIALIZED (
       SELECT m.cell, m.sub, q.pos,
              CAST(SUM(q.vq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
       FROM mfin m JOIN q ON q.vec_id = m.vec_id
       GROUP BY 1, 2, 3)"""
-)
+
+
+_SPLIT_CTES = _split_ctes(_CAP)
 
 # The probe boundary as it appears (byte-for-byte) in the r11-proven
 # oracle text: probe batch = everything past the seen half's midpoint.
@@ -217,11 +223,18 @@ _CODEBOOK_CAPACITY_ORACLE = _kmeans_cte(5, source=_SEEN_SRC) + _FINE_TAIL
 # variant's k0-fixed n/(k0*cap) residual term.  The init is a
 # deterministic mod-hash of vec_id (one mean per residue class) —
 # expressible identically in both engines; ids are positive by fixture
-# contract so % == pmod.
-_K0_SQL = (
-    f"(SELECT CAST(CEIL(SQRT(CEIL(COUNT(*) / {_CAP}.0))) AS BIGINT)"
-    f" FROM {_SEEN_SRC} s0)"
-)
+# contract so % == pmod.  ``cap`` parameterized in round 15 for the
+# wave-14 sweep; ``_k0_sql(_CAP)`` sha-pinned to the proven constant.
+
+
+def _k0_sql(cap: int, src: str = _SEEN_SRC) -> str:
+    return (
+        f"(SELECT CAST(CEIL(SQRT(CEIL(COUNT(*) / {cap}.0))) AS BIGINT)"
+        f" FROM {src} s0)"
+    )
+
+
+_K0_SQL = _k0_sql(_CAP)
 
 _CODEBOOK_ADAPTIVE_ORACLE = (
     _kmeans_cte(
@@ -300,7 +313,7 @@ def _build_probe(spark, sf_dir, kind, init_fn) -> DataFrame:
 
 def _persist_two_level(
     spark, seen, init_fn, base, coarse_tbl, fine_tbl, mem_tbl,
-    quantized: bool = False,
+    quantized: bool = False, cap: int = _CAP,
 ) -> None:
     """BUILD phase (amortized, once per corpus generation): Lloyd fit
     of ``seen`` with ``init_fn``'s coarse init, rank-chunk capacity
@@ -308,7 +321,9 @@ def _persist_two_level(
     fine codebook bucketed on cell, quantized members bucketed on
     (cell, sub).  ``quantized=True``: ``seen`` is (vec_id, vq) already
     in the fixed-point domain (wave-13 refit from the members table)
-    and ``init_fn`` must accept that shape."""
+    and ``init_fn`` must accept that shape.  ``cap`` is the fine-cell
+    membership bound (default the registered fixture cap; the wave-14
+    recall/cost sweep fits one index per candidate cap)."""
     cols = ("vec_id", "vq") if quantized else ("vec_id", "embedding")
     assigned, _ = kmeans_fit(
         seen.select(*cols), init_fn(seen), n_iter=5, quantized=quantized
@@ -330,7 +345,7 @@ def _persist_two_level(
         .select(
             F.col("vec_id").alias("seen_id"),
             F.col("cell").cast("int").alias("cell"),
-            F.floor((F.col("rn") - 1) / F.lit(_CAP)).cast("int").alias("sub"),
+            F.floor((F.col("rn") - 1) / F.lit(cap)).cast("int").alias("sub"),
             F.col("vq").alias("vq_s"),
             F.aggregate(
                 "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
@@ -486,7 +501,9 @@ semdedup_codebook_capacity.__doc__ = semdedup_codebook_capacity.__doc__.format(
 )
 
 
-def _mod_centroid_init(seen: DataFrame, quantized: bool = False) -> DataFrame:
+def _mod_centroid_init(
+    seen: DataFrame, quantized: bool = False, cap: int = _CAP
+) -> DataFrame:
     """Adaptive coarse init: k0 = ceil(sqrt(ceil(n/cap))) residue-class
     means over vec_id % k0 — the deterministic, oracle-twinned init that
     lets the COARSE width grow with the corpus at fit time.  Same
@@ -498,7 +515,7 @@ def _mod_centroid_init(seen: DataFrame, quantized: bool = False) -> DataFrame:
     import math
 
     n = seen.count()
-    k0 = math.ceil(math.sqrt(math.ceil(n / _CAP)))
+    k0 = math.ceil(math.sqrt(math.ceil(n / cap)))
     vq = F.col("vq") if quantized else _quantize(F.col("embedding"))
     return (
         seen.select(

@@ -308,54 +308,83 @@ _MULTIPROBE_ORACLE = (
 
 
 def _multiprobe_batch(
-    spark: SparkSession, new, coarse_tbl: str, fine_tbl: str, mem_tbl: str
+    spark: SparkSession,
+    new,
+    coarse_tbl: str,
+    fine_tbl: str,
+    mem_tbl: str,
+    nprobe: int = _NPROBE,
 ) -> DataFrame:
-    """nprobe=2 PROBE over a fitted two-level index: coarse-assign each
-    batch vector to its nearest AND second-nearest coarse cells, fine-
-    argmin within each, exact membership cosine against the union of
-    the (up to) two fine cells' <= cap members, report dup stats over
-    the union with the PRIMARY (rank-1) cell/sub.
+    """nprobe=k PROBE over a fitted two-level index: coarse-assign each
+    batch vector to its k nearest coarse cells, fine-argmin within
+    each, exact membership cosine against the union of the (up to) k
+    fine cells' <= cap members, report dup stats over the union with
+    the PRIMARY (rank-1) cell/sub.  Generalized from the fixed
+    nprobe=2 of round 14 (VERDICT r14 #2) — the registered
+    ``semdedup_codebook_multiprobe`` keeps ``_NPROBE`` (2); the
+    wave-14 recall/cost sweep probes 1/2/4.
 
-    Scale shape matches ``wave11._probe_batch``: the second-nearest
-    cell is a SECOND struct-min aggregate over a re-evaluation of the
-    bounded k0 coarse distances (2x the broadcast-side compute, ZERO
-    extra exchange, one row per vector crossing each aggregate) — not
-    a row_number window over the |batch| x k0 candidate blow-up, the
-    exchange the argmin-as-aggregate discipline exists to avoid.  The
-    growing fine book and members sides stay `never_broadcast`-pinned
-    sort-merge joins reading their bucket specs."""
+    Scale shape matches ``wave11._probe_batch``: rank r is the r-th
+    struct-min aggregate over a re-evaluation of the bounded k0 coarse
+    distances with the ranks-(1..r-1) cells excluded (r x the
+    broadcast-side compute, ZERO extra exchange, one row per vector
+    crossing each aggregate) — not a row_number window over the
+    |batch| x k0 candidate blow-up, the exchange the
+    argmin-as-aggregate discipline exists to avoid.  Ties match the
+    oracle's ROW_NUMBER(ORDER BY dfp, cell): each struct-min takes the
+    lexicographically smallest (d_fp, cell) of the remaining cells.
+    The growing fine book and members sides stay
+    `never_broadcast`-pinned sort-merge joins reading their bucket
+    specs.  With fewer than nprobe coarse cells the exclusion filter
+    empties and the higher ranks contribute no rows — matching the
+    oracle's rnk <= nprobe."""
     coarse = spark.table(coarse_tbl)
     a1 = assign_to_cells(new, coarse)
-    # rank-2 coarse cell: argmin over every OTHER cell.  Ties match the
-    # oracle's ROW_NUMBER(ORDER BY dfp, cell): rank-1 takes the lower
-    # cell id, so the lexicographic min over the remainder IS rank 2.
-    second = (
-        a1.select("vec_id", "vq", F.col("cell").alias("cell1"))
-        .crossJoin(F.broadcast(coarse))
-        .filter(F.col("cell") != F.col("cell1"))
-        .select(
-            "vec_id",
-            "vq",
-            F.col("cell").cast("int").alias("cell"),
-            _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("vq").alias("vq"),
-            F.min(F.struct(F.col("d_fp"), F.col("cell"))).alias("b"),
-        )
-        .select("vec_id", "vq", F.col("b.cell").alias("cell"))
+    probes = a1.select(
+        "vec_id",
+        "vq",
+        F.col("cell").cast("int").alias("cell"),
+        F.lit(1).alias("rnk"),
     )
-    probes = (
-        a1.select(
-            "vec_id",
-            "vq",
-            F.col("cell").cast("int").alias("cell"),
-            F.lit(1).alias("rnk"),
-        )
-    ).unionByName(
-        second.select("vec_id", "vq", "cell", F.lit(2).alias("rnk"))
+    excl = a1.select(
+        "vec_id", "vq", F.array(F.col("cell").cast("int")).alias("excluded")
     )
+    for r in range(2, nprobe + 1):
+        nxt = (
+            excl.crossJoin(F.broadcast(coarse))
+            .filter(
+                ~F.array_contains("excluded", F.col("cell").cast("int"))
+            )
+            .select(
+                "vec_id",
+                "vq",
+                "excluded",
+                F.col("cell").cast("int").alias("cell"),
+                _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("vq").alias("vq"),
+                F.first("excluded").alias("excluded"),
+                F.min(F.struct(F.col("d_fp"), F.col("cell"))).alias("b"),
+            )
+        )
+        probes = probes.unionByName(
+            nxt.select(
+                "vec_id",
+                "vq",
+                F.col("b.cell").alias("cell"),
+                F.lit(r).alias("rnk"),
+            )
+        )
+        if r < nprobe:
+            excl = nxt.select(
+                "vec_id",
+                "vq",
+                F.array_union(
+                    "excluded", F.array(F.col("b.cell"))
+                ).alias("excluded"),
+            )
     # fine argmin per (vec_id, rank) — the same struct-min aggregate as
     # the single-probe plan, keyed one level wider
     assigned = (
@@ -504,8 +533,13 @@ semdedup_codebook_multiprobe.__doc__ = (
 
 # Panel width: vec_id in (mid, mid + _PANEL] — bounded by construction
 # (a literal id range), so broadcasting it into the truth cross join is
-# the registered scalar-batch pattern, never data x data.
-_PANEL = 64
+# the registered scalar-batch pattern, never data x data.  Widened
+# 64 -> 256 in round 15 (VERDICT r14 #3): at 64 the recall quantum was
+# ~150-300 bp per boundary vector — too coarse to rank adjacent knob
+# settings; at 256 it is ~40-80 bp (panel-width sensitivity recorded in
+# SCALING.md round-15).  The wave-14 sweep uses an md5-sampled panel of
+# the same width for its unbiased variant.
+_PANEL = 256
 
 _RECALL_EVAL_CTES = f""",
     qn AS MATERIALIZED (
@@ -591,8 +625,10 @@ _RECALL_EVAL_CTES = f""",
            CAST(tp AS BIGINT) AS n_truth_pairs,
            CAST(dv AS BIGINT) AS n_detected_vecs,
            CAST(dp AS BIGINT) AS n_detected_pairs,
-           CAST(dv * 10000 // tv AS BIGINT) AS vec_recall_bp,
-           CAST(dp * 10000 // tp AS BIGINT) AS pair_recall_bp
+           CAST(CASE WHEN tv = 0 THEN 0 ELSE dv * 10000 // tv END
+                AS BIGINT) AS vec_recall_bp,
+           CAST(CASE WHEN tp = 0 THEN 0 ELSE dp * 10000 // tp END
+                AS BIGINT) AS pair_recall_bp
     FROM (
       SELECT 'nprobe1' AS variant, v1.dv, v1.dp, tt.tv, tt.tp FROM v1, tt
       UNION ALL
@@ -708,8 +744,16 @@ def semdedup_codebook_recall_eval(
         F.col("tp").alias("n_truth_pairs"),
         F.col("dv").alias("n_detected_vecs"),
         F.col("dp").alias("n_detected_pairs"),
-        F.expr("CAST(dv * 10000 div tv AS BIGINT)").alias("vec_recall_bp"),
-        F.expr("CAST(dp * 10000 div tp AS BIGINT)").alias("pair_recall_bp"),
+        # zero-guarded on BOTH sides (ADVICE r14): a degenerate panel
+        # with no true duplicates must yield recall 0, not NULL/error
+        F.expr(
+            "CAST(CASE WHEN tv = 0 THEN 0 ELSE dv * 10000 div tv END"
+            " AS BIGINT)"
+        ).alias("vec_recall_bp"),
+        F.expr(
+            "CAST(CASE WHEN tp = 0 THEN 0 ELSE dp * 10000 div tp END"
+            " AS BIGINT)"
+        ).alias("pair_recall_bp"),
     )
 
 
@@ -754,22 +798,45 @@ def _generation_names(sf_dir: str, kind: str) -> tuple[str, str, str]:
 def read_generation_pointer(pointer_path: str) -> str | None:
     """The kind tag of the current index generation, or None if no
     cutover has happened yet."""
+    return read_generation_meta(pointer_path)[0]
+
+
+def read_generation_meta(pointer_path: str) -> tuple[str | None, int | None]:
+    """(kind, n_fit) of the current generation — ``n_fit`` is the
+    members count at fit/cutover time (the denominator of the
+    ``refit_due`` cadence rule), carried as the pointer file's second
+    line so it rides the SAME atomic rename as the kind (round 15: a
+    separate n_fit marker would reopen the crash window between the
+    swap and the marker write).  Pointers written before round 15 have
+    no second line — n_fit comes back None and callers fall back to a
+    live count."""
     try:
         with open(pointer_path) as fh:
-            kind = fh.read().strip()
-            return kind or None
+            lines = fh.read().splitlines()
     except OSError:
-        return None
+        return None, None
+    kind = lines[0].strip() if lines else ""
+    if not kind:
+        return None, None
+    try:
+        return kind, int(lines[1].strip())
+    except (IndexError, ValueError):
+        return kind, None
 
 
-def cutover_generation(spark, sf_dir: str, pointer_path: str, kind: str) -> str | None:
+def cutover_generation(
+    spark, sf_dir: str, pointer_path: str, kind: str, n_fit: int | None = None
+) -> str | None:
     """Atomically repoint readers at generation ``kind``: verify all
     three tables of the target generation exist (a half-written
     generation must never become current), then rename-swap the pointer
     file.  Returns the previous kind (None on first cutover).  The old
     generation's tables are left intact — reclaim is a separate,
     explicitly-ordered step (``vacuum_generation``), so a crash between
-    cutover and vacuum costs storage, never correctness."""
+    cutover and vacuum costs storage, never correctness.  ``n_fit``
+    (the generation's fit-time members count) is recorded in the same
+    atomic write when given — the ``refit_due`` denominator the
+    streaming supervisor reads back at stream start."""
     import os as _os
 
     missing = [
@@ -786,7 +853,7 @@ def cutover_generation(spark, sf_dir: str, pointer_path: str, kind: str) -> str 
     _os.makedirs(_os.path.dirname(pointer_path) or ".", exist_ok=True)
     tmp = f"{pointer_path}.tmp"
     with open(tmp, "w") as fh:
-        fh.write(kind)
+        fh.write(kind if n_fit is None else f"{kind}\n{n_fit}")
     _os.replace(tmp, pointer_path)
     return prev
 
@@ -835,27 +902,46 @@ def refit_and_cutover(
     the pointer protocol otherwise closes.  The contract is therefore
     "quiesce admissions into the current generation for the duration"
     (for the streaming operator: stop the admit stream, run this,
-    restart it bound to the new generation); this function turns a
-    violated contract into a loud error instead of lost vectors.  On
-    refusal the half-built new generation is left on disk for
-    inspection — re-run after quiescing; `_index_tables` sweeps it on
-    the retry.  Returns the previous generation's kind tag (the
+    restart it bound to the new generation — exactly what the
+    ``streaming.supervisor`` auto-refit loop does); this function turns
+    a violated contract into a loud error instead of lost vectors.  The
+    guard is checked TWICE: once after the refit (cheap refusal before
+    any pointer motion) and once again AFTER the pointer swap — an
+    admission landing between the first recount and the swap (the
+    TOCTOU gap, ADVICE r14) is caught by the second check, which rolls
+    the pointer back to the still-complete old generation and raises.
+    Residual window: a hard crash exactly between the swap and the
+    second recount leaves the pointer on the new generation while the
+    old one holds unrefitted admissions — quiescing is still the
+    contract; the guard is a best-effort backstop, not a license to
+    admit concurrently.  On refusal the new generation is left on disk
+    for inspection — re-run after quiescing; `_index_tables` sweeps it
+    on the retry.  Returns the previous generation's kind tag (the
     argument to a subsequent ``vacuum_generation``)."""
-    current = read_generation_pointer(pointer_path)
+    current, cur_n_fit = read_generation_meta(pointer_path)
     if current is None:
         raise RuntimeError(
             f"no current generation under {pointer_path!r}: nothing to"
             " refit from — fit and cut over a first generation directly"
         )
     _, _, src_mem = _generation_names(sf_dir, current)
+    # refresh BEFORE the snapshot: streamed admissions commit through
+    # the micro-batch's cloned session, so this session's cached file
+    # listing can predate them — an unrefreshed refit would silently
+    # fit the stale listing (the double-recount guard below caught
+    # exactly this in the round-15 supervisor tests)
+    spark.catalog.refreshTable(src_mem)
     n_snapshot = spark.table(src_mem).count()
     base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(
         spark, sf_dir, new_kind
     )
     refit_from_members(spark, src_mem, base, coarse_tbl, fine_tbl, mem_tbl)
-    spark.catalog.refreshTable(src_mem)
-    n_now = spark.table(src_mem).count()
-    if n_now != n_snapshot:
+
+    def _recount() -> int:
+        spark.catalog.refreshTable(src_mem)
+        return spark.table(src_mem).count()
+
+    def _refuse(n_now: int) -> None:
         raise RuntimeError(
             f"cutover to {new_kind!r} refused: generation {current!r}"
             f" grew from {n_snapshot} to {n_now} members while the refit"
@@ -863,7 +949,22 @@ def refit_and_cutover(
             " and would be lost at vacuum. Quiesce admissions into the"
             " current generation and re-run."
         )
-    cutover_generation(spark, sf_dir, pointer_path, new_kind)
+
+    n_now = _recount()
+    if n_now != n_snapshot:
+        _refuse(n_now)
+    # the new generation's fit-time size IS the snapshot count — record
+    # it in the pointer's atomic write (the refit_due denominator)
+    cutover_generation(spark, sf_dir, pointer_path, new_kind, n_fit=n_snapshot)
+    n_after = _recount()
+    if n_after != n_snapshot:
+        # an admission slipped into the old generation between the
+        # first recount and the swap: roll the pointer back (the old
+        # generation is intact — nothing vacuumed yet) and refuse
+        cutover_generation(
+            spark, sf_dir, pointer_path, current, n_fit=cur_n_fit
+        )
+        _refuse(n_after)
     return current
 
 

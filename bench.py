@@ -124,20 +124,51 @@ EXTENDED = [
     # _adaptive: the delta is the eval overhead an operator pays per
     # scheduled recall check
     "semdedup_codebook_recall_eval",
+    # round 15 (wave 14): the recall/cost sweep — one fit per cap,
+    # probed at nprobe 1/2/4 against brute-force truth over the
+    # md5-256 panel.  Read the three caps against each other: the
+    # fit cost falls with cap (fewer, larger cells) while recall
+    # rises — the 3x3 surface SCALING.md round-15 records
+    "codebook_recall_sweep_cap16",
+    "codebook_recall_sweep_cap64",
+    "codebook_recall_sweep_cap512",
+    # round 15 (wave 14): the operational pointer path — fit, cutover,
+    # admit, guarded refit-and-cutover, vacuum, probe-via-pointer;
+    # read next to semdedup_codebook_refit (the same lifecycle minus
+    # the pointer ops): the delta prices cutover + vacuum
+    "codebook_pointer_lifecycle",
 ]
 
-# Heavy-query rep discipline (VERDICT r13 #3): the longest extended
-# queries skip the untimed warm-up (JIT/footer-cache effects amortize
-# to noise inside a multi-second job) but are timed min-of-N so the
-# drift gate reads signal instead of the measured ±30% single-shot
-# band (the round-13 prefix-filter adjudication: three "rising"
-# single-shot readings were noise-band draws; the idle min-of-3 sat
-# BELOW reference).  dedup_prefix_filter: min-of-3, making the
-# adjudication instrument the permanent default (~2 extra bench
-# minutes).  semdedup_codebook_refit: min-of-2 — the two-Lloyd-fit
-# lifecycle is the second most expensive registry query; one repeat
-# bounds the band at half the cost.
-_NO_WARMUP_REPS = {"dedup_prefix_filter": 3, "semdedup_codebook_refit": 2}
+# Heavy-query rep discipline (VERDICT r13 #3, widened r14 #5): the
+# longest extended queries skip the untimed warm-up (JIT/footer-cache
+# effects amortize to noise inside a multi-second job) but are timed
+# min-of-N so the drift gate reads signal instead of the measured ±30%
+# single-shot band (the round-13 prefix-filter adjudication: three
+# "rising" single-shot readings were noise-band draws; the idle
+# min-of-3 sat BELOW reference).  dedup_prefix_filter: min-of-3,
+# making the adjudication instrument the permanent default (~2 extra
+# bench minutes).  Round 15 extends min-of-2 to EVERY >= 5 s extended
+# query (VERDICT r14 #5: the 5.8-7.9 s codebook tier was single-shot
+# inside the quantified band, so its drift entries were band draws) —
+# ~55 s of bench time for a band-free drift table on the heavy tier.
+_NO_WARMUP_REPS = {
+    "dedup_prefix_filter": 3,
+    "semdedup_codebook_refit": 2,
+    "semdedup_cluster_prune": 2,
+    "semdedup_codebook_adaptive_append": 2,
+    "semdedup_codebook_recall_eval": 2,
+    "semdedup_codebook_capacity": 2,
+    "semdedup_codebook_novelty": 2,
+    "semdedup_codebook_adaptive": 2,
+    "semdedup_codebook_multiprobe": 2,
+    "semdedup_eps_curve_sampled": 2,
+    # the round-15 additions land in the same tier (a fit + probes
+    # each): min-of-2 from the start, no single-shot era
+    "codebook_recall_sweep_cap16": 2,
+    "codebook_recall_sweep_cap64": 2,
+    "codebook_recall_sweep_cap512": 2,
+    "codebook_pointer_lifecycle": 2,
+}
 
 
 def _calibration_sec(spark) -> float:

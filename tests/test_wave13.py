@@ -66,11 +66,38 @@ def _bounds(spark, sf_dir):
     return mid, (mid + b.hi) // 2
 
 
+# shas of wave11._SPLIT_CTES / _K0_SQL as driver-proven through round
+# 14, recorded immediately BEFORE the round-15 cap parameterization
+# (_split_ctes(cap) / _k0_sql(cap) for the wave-14 recall/cost sweep):
+# the default-cap output must never drift the proven oracle text.
+_SPLIT_CTES_SHA = (
+    "1e0eddb273693d617132e868ac750c33592e5d66fddbb1f01e634e9c33648726"
+)
+_K0_SQL_SHA = (
+    "497e8b632fe5ccab51e549f7388fbbc484344e7c83b77981e5ce329b5ffa43a2"
+)
+
+
 def test_probe_ctes_parameterization_is_byte_identical():
+    from awsbatch_mapreduce_spark.plans.wave11 import (
+        _K0_SQL,
+        _SPLIT_CTES,
+        _k0_sql,
+        _split_ctes,
+    )
+
     assert _probe_ctes(_MID_BOUNDARY) == _PROBE_CTES
     assert (
         hashlib.sha256(_PROBE_CTES.encode()).hexdigest() == _PROBE_CTES_SHA
     ), "r11 driver-proven probe-CTE text drifted"
+    assert _split_ctes(_CAP) == _SPLIT_CTES
+    assert (
+        hashlib.sha256(_SPLIT_CTES.encode()).hexdigest() == _SPLIT_CTES_SHA
+    ), "r11 driver-proven split-CTE text drifted"
+    assert _k0_sql(_CAP) == _K0_SQL
+    assert (
+        hashlib.sha256(_K0_SQL.encode()).hexdigest() == _K0_SQL_SHA
+    ), "r11 driver-proven k0 subquery text drifted"
 
 
 def test_refit_cap_bound_and_index_shape(spark):
@@ -398,6 +425,122 @@ def test_refit_and_cutover_refuses_on_concurrent_admission(
     assert spark.table(mem_c).count() == n_before + late.count()
     assert vacuum_generation(spark, SF_DIR, pointer, "gda") == 3
     assert vacuum_generation(spark, SF_DIR, pointer, "gdb") == 3
+
+
+def test_refit_and_cutover_rolls_back_pointer_on_post_swap_growth(
+    spark, tmp_path, monkeypatch
+):
+    """The TOCTOU gap of the concurrent-admission guard (ADVICE r14):
+    an admission landing AFTER the pre-swap recount but BEFORE the
+    pointer swap used to be silently lost at vacuum.  The post-swap
+    re-verify must catch it, roll the pointer BACK to the still-intact
+    old generation, and refuse loudly; the quiesced retry must carry
+    the late admission into the new generation."""
+    import pytest
+
+    import awsbatch_mapreduce_spark.plans.wave13 as w13
+    from awsbatch_mapreduce_spark.plans.wave12 import _admit_batch
+    from awsbatch_mapreduce_spark.plans.wave13 import (
+        _generation_names,
+        cutover_generation,
+        read_generation_pointer,
+        refit_and_cutover,
+        vacuum_generation,
+    )
+
+    pointer = str(tmp_path / "CURRENT_GENERATION")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    mid, q3 = _bounds(spark, SF_DIR)
+    base_a, coarse_a, fine_a, mem_a = _index_tables(spark, SF_DIR, "tka")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base_a,
+        coarse_a,
+        fine_a,
+        mem_a,
+    )
+    cutover_generation(spark, SF_DIR, pointer, "tka")
+    n_before = spark.table(mem_a).count()
+    late = emb.filter(
+        (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
+    ).select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+
+    real_cutover = w13.cutover_generation
+    fired = []
+
+    def admit_then_cutover(spark_, sf_dir_, pointer_, kind_):
+        # first call = the real swap: sneak an admission into the OLD
+        # generation just before it (the post-recount TOCTOU window);
+        # later calls (the rollback) pass straight through
+        if not fired:
+            fired.append(True)
+            _admit_batch(spark_, late, coarse_a, fine_a, mem_a)
+        return real_cutover(spark_, sf_dir_, pointer_, kind_)
+
+    monkeypatch.setattr(w13, "cutover_generation", admit_then_cutover)
+    with pytest.raises(RuntimeError, match="grew from"):
+        refit_and_cutover(spark, SF_DIR, pointer, "tkb")
+    monkeypatch.setattr(w13, "cutover_generation", real_cutover)
+    # refused AND rolled back: pointer on the old generation, which
+    # holds the late admission; gen B lacks it (why the rollback matters)
+    assert read_generation_pointer(pointer) == "tka"
+    assert spark.table(mem_a).count() == n_before + late.count()
+    _, _, mem_b = _generation_names(SF_DIR, "tkb")
+    assert spark.table(mem_b).count() == n_before
+
+    # quiesced retry: carries the late admission into the new generation
+    assert refit_and_cutover(spark, SF_DIR, pointer, "tkc") == "tka"
+    assert read_generation_pointer(pointer) == "tkc"
+    _, _, mem_c = _generation_names(SF_DIR, "tkc")
+    assert spark.table(mem_c).count() == n_before + late.count()
+    assert vacuum_generation(spark, SF_DIR, pointer, "tka") == 3
+    assert vacuum_generation(spark, SF_DIR, pointer, "tkb") == 3
+
+
+def test_recall_eval_zero_guard_on_degenerate_corpus(spark, tmp_path):
+    """ADVICE r14: on a corpus with NO true duplicates the truth totals
+    are zero — both the Spark side and the DuckDB oracle must yield
+    recall 0 (not NULL, not a division-by-zero error) and stay
+    hash-identical.  Fixture: one-hot vectors (all pairwise cosines 0,
+    far below eps)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_utils import compare_frames
+
+    import duckdb
+
+    n = 16
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0 if j == i else 0.0 for j in range(n)] for i in range(n)],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 3 for i in range(n)], type=pa.int32()),
+        }
+    )
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    spec = QUERIES["semdedup_codebook_recall_eval"]
+    spark_pdf = spec.builder(spark, str(d)).toPandas()
+    assert len(spark_pdf) == 2
+    assert (spark_pdf["n_truth_vecs"] == 0).all()
+    assert (spark_pdf["vec_recall_bp"] == 0).all()
+    assert (spark_pdf["pair_recall_bp"] == 0).all()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{d}/embeddings.parquet')"
+    )
+    oracle_pdf = con.execute(spec.oracle).fetchdf()
+    assert compare_frames(spark_pdf, oracle_pdf) == []
 
 
 def test_generation_cutover_vacuum_lifecycle(spark, tmp_path):
