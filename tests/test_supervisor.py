@@ -1,0 +1,260 @@
+"""The self-driving refit loop (`streaming/supervisor.py`): automatic
+quiesce -> refit -> cutover -> vacuum -> resume, pinned end to end.
+
+The claims under test:
+
+- the supervisor sustains admission ACROSS automatic refit cycles
+  (>= 2 on the fixture) and the surviving index is frame-identical to
+  one clean fit over everything admitted — the wave-13 refit proof,
+  now reached without any manual step;
+- every probe partition commits exactly once despite the
+  replay-on-restart the quiesce mechanism relies on;
+- a crash DURING the automatic sequence (mid-refit) leaves the pointer
+  on the intact old generation, and the next supervisor run recovers:
+  startup sweep vacuums the half-built generation, the cadence check
+  re-signals, the refit completes — landing the crashed timeline on
+  the never-crashed one;
+- the n_fit denominator rides the pointer's atomic rename
+  (old-format pointers degrade to a live count, never crash).
+"""
+
+from __future__ import annotations
+
+import os
+import time as _time
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from awsbatch_mapreduce_spark.plans.iterative import _quantize
+from awsbatch_mapreduce_spark.plans.wave11 import (
+    _index_tables,
+    _mod_centroid_init,
+    _persist_two_level,
+    _probe_batch,
+)
+from awsbatch_mapreduce_spark.plans.wave13 import (
+    _generation_names,
+    probe_current_generation,
+    read_generation_meta,
+    read_generation_pointer,
+)
+from awsbatch_mapreduce_spark.sources.tables import load_table
+from awsbatch_mapreduce_spark.streaming.supervisor import (
+    _next_kind,
+    bootstrap_generation,
+    run_supervised_admission,
+)
+from tests.conftest import SF_DIR
+
+_INFLATION = 1.2  # low factor so the 4-chunk fixture triggers >= 2 refits
+
+
+def _bounds(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    b = emb.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
+    return emb, b.lo, b.hi
+
+
+@pytest.fixture(scope="module")
+def four_chunks(spark, tmp_path_factory):
+    """The new half split into four parquet chunk files with pinned
+    increasing mtimes (file-source order), so maxFilesPerTrigger=1
+    yields four admission micro-batches."""
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    out = tmp_path_factory.mktemp("sup_stream")
+    table = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vid = table.column("vec_id")
+    edges = [mid + (hi - mid) * k // 4 for k in range(5)]
+    now = _time.time()
+    for i, (a, b) in enumerate(zip(edges, edges[1:])):
+        chunk = table.filter(pc.and_(pc.greater(vid, a), pc.less_equal(vid, b)))
+        p = out / f"chunk-{i}.parquet"
+        pq.write_table(chunk, str(p))
+        os.utime(p, (now - 40 + 10 * i, now - 40 + 10 * i))
+    return str(out)
+
+
+def _source(spark, chunks_dir):
+    schema = load_table(spark, SF_DIR, "embeddings").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir)
+    )
+
+
+def _run(spark, chunks_dir, tmp_path, pointer, **kw):
+    return run_supervised_admission(
+        spark,
+        _source(spark, chunks_dir),
+        SF_DIR,
+        pointer,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=_INFLATION,
+        **kw,
+    )
+
+
+def test_next_kind_and_pointer_meta_roundtrip(tmp_path):
+    assert _next_kind("sup", "sup0000") == "sup0001"
+    assert _next_kind("sup", "sup0041") == "sup0042"
+    assert _next_kind("sup", "unrelated") == "sup0001"
+    # old-format pointer (kind only): n_fit degrades to None, not a crash
+    p = str(tmp_path / "ptr")
+    with open(p, "w") as fh:
+        fh.write("legacy_kind")
+    assert read_generation_meta(p) == ("legacy_kind", None)
+    assert read_generation_pointer(p) == "legacy_kind"
+    assert read_generation_meta(str(tmp_path / "missing")) == (None, None)
+
+
+def test_supervisor_requires_bootstrap(spark, four_chunks, tmp_path):
+    with pytest.raises(RuntimeError, match="no current generation"):
+        _run(spark, four_chunks, tmp_path, str(tmp_path / "ptr"))
+
+
+def test_supervised_admission_auto_refits_and_matches_clean_fit(
+    spark, four_chunks, tmp_path
+):
+    """The headline pin: four streamed admissions under a tight
+    cadence factor drive >= 2 AUTOMATIC refit cycles; afterwards the
+    pointer names the last refit generation, every superseded
+    generation is vacuumed, all admitted vectors are in the index, and
+    a probe through the pointer is frame-identical to a probe of one
+    from-scratch fit over everything admitted (the wave-13 refit
+    equivalence, reached with zero manual steps).  Probe partitions
+    committed exactly once per batch despite quiesce replays."""
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "sva",
+    )
+    assert read_generation_meta(pointer) == (
+        "sva0000",
+        emb.filter(F.col("vec_id") <= F.lit(mid)).count(),
+    )
+    report = _run(spark, four_chunks, tmp_path, pointer, gen_prefix="sva")
+
+    assert len(report["refits"]) >= 2, report["refits"]
+    kind, n_fit = read_generation_meta(pointer)
+    assert kind == report["refits"][-1]["new"]
+    assert n_fit == report["refits"][-1]["n_fit_after"]
+    # every superseded generation reclaimed
+    for r in report["refits"]:
+        _, _, old_mem = _generation_names(SF_DIR, r["old"])
+        assert not spark.catalog.tableExists(old_mem), r["old"]
+    # the full corpus was admitted across the cycles
+    _, _, mem_tbl = _generation_names(SF_DIR, kind)
+    assert spark.table(mem_tbl).count() == emb.count()
+
+    # equivalence with one clean fit over everything admitted
+    probe = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    got = sorted(
+        map(
+            tuple,
+            probe_current_generation(spark, SF_DIR, pointer, probe).collect(),
+        )
+    )
+    base_s, coarse_s, fine_s, mem_s = _index_tables(spark, SF_DIR, "svs")
+    _persist_two_level(
+        spark, emb, _mod_centroid_init, base_s, coarse_s, fine_s, mem_s
+    )
+    want = sorted(
+        map(tuple, _probe_batch(spark, probe, coarse_s, fine_s, mem_s).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # probe partitions: one per admitted batch, each exactly the
+    # batch's row count (no duplicates from the quiesce replays)
+    res = spark.read.parquet(str(tmp_path / "out"))
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in res.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(per_batch) == [0, 1, 2, 3]
+    q4 = emb.count() // 4
+    assert sum(per_batch.values()) == emb.filter(F.col("vec_id") > F.lit(mid)).count()
+    assert all(v > 0 for v in per_batch.values()), per_batch
+    assert q4 > 0
+
+
+def test_supervisor_recovers_from_crash_during_refit(
+    spark, four_chunks, tmp_path, monkeypatch
+):
+    """Crash DURING the automatic sequence: the refit dies mid-build.
+    The failed run must leave the pointer on the intact old
+    generation; the next supervisor run must sweep the half-built
+    generation, re-signal the refit at the first batch boundary,
+    complete it, and finish the stream — the crashed timeline lands
+    exactly where a never-crashed one would."""
+    import awsbatch_mapreduce_spark.plans.wave13 as w13
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svc",
+    )
+
+    real_refit = w13.refit_from_members
+    crashed = []
+
+    def crash_once(spark_, src_mem, base, coarse, fine, mem):
+        if not crashed:
+            crashed.append(True)
+            # leave a half-built generation behind: fine+members missing
+            raise RuntimeError("injected crash mid refit")
+        return real_refit(spark_, src_mem, base, coarse, fine, mem)
+
+    monkeypatch.setattr(w13, "refit_from_members", crash_once)
+    with pytest.raises(RuntimeError, match="injected crash mid refit"):
+        _run(spark, four_chunks, tmp_path, pointer, gen_prefix="svc")
+    # pointer untouched by the crash; admitted rows are in the OLD gen
+    assert read_generation_pointer(pointer) == "svc0000"
+    _, _, mem0 = _generation_names(SF_DIR, "svc0000")
+    n_after_crash = spark.table(mem0).count()
+    assert n_after_crash > emb.filter(F.col("vec_id") <= F.lit(mid)).count()
+
+    # recovery run (monkeypatch still active: later refits succeed)
+    report = _run(spark, four_chunks, tmp_path, pointer, gen_prefix="svc")
+    assert len(report["refits"]) >= 2
+    kind, _ = read_generation_meta(pointer)
+    assert kind == report["refits"][-1]["new"]
+    _, _, mem_tbl = _generation_names(SF_DIR, kind)
+    assert spark.table(mem_tbl).count() == emb.count()
+
+    # equivalence with the never-crashed clean fit
+    probe = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    got = sorted(
+        map(
+            tuple,
+            probe_current_generation(spark, SF_DIR, pointer, probe).collect(),
+        )
+    )
+    base_s, coarse_s, fine_s, mem_s = _index_tables(spark, SF_DIR, "svt")
+    _persist_two_level(
+        spark, emb, _mod_centroid_init, base_s, coarse_s, fine_s, mem_s
+    )
+    want = sorted(
+        map(tuple, _probe_batch(spark, probe, coarse_s, fine_s, mem_s).collect())
+    )
+    assert got == want and len(got) > 0
