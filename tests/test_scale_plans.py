@@ -776,8 +776,29 @@ _REGISTRY_BROADCAST_BUDGET = {
     # BOUNDED 64-vector panel at its truth-join site and the 1-row
     # truth-total scalar frame — every site is a literal-range panel,
     # a k0-row book, or a scalar; the seen side of the truth join is
-    # the un-broadcast scan
+    # the un-broadcast scan (panel widened 64 -> 256 in round 15, same
+    # literal-range construction)
     "semdedup_codebook_recall_eval": 8,
+    # wave 14 (round 15): the recall/cost sweep composes the
+    # single-probe plan (2) + the rank-k multiprobe at nprobe=2 (4)
+    # and nprobe=4 (one direct probe-scan subtree + one k0-row
+    # coarse-book site per probed rank) over one shared fit, plus the
+    # md5-top-256 panel at its truth-join site (bounded by a literal
+    # LIMIT; the panel frame itself is localCheckpoint-materialized
+    # before the plan, so its own top-k does not appear here) and the
+    # 1-row truth-total scalar — every site is a k0-row book, the
+    # 256-row panel, or a scalar; the seen side of the truth join and
+    # the fine/members probe sides stay un-broadcast (never_broadcast
+    # pins inside the shared probe bodies)
+    "codebook_recall_sweep_cap16": 19,
+    "codebook_recall_sweep_cap64": 19,
+    "codebook_recall_sweep_cap512": 19,
+    # wave 14 (round 15): the pointer lifecycle returns the shared
+    # wave-11 probe plan against the generation the pointer names —
+    # the identical 2 bounded coarse-book sites as the refit query
+    # (fit/admit/refit/cutover/vacuum all execute eagerly inside the
+    # builder before this plan is captured)
+    "codebook_pointer_lifecycle": 2,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites
