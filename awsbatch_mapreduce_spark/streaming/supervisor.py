@@ -225,6 +225,12 @@ def run_supervised_admission(
         spark, sf_dir, pointer_path, gen_prefix
     )
     marker = _marker_path(out_dir)
+    # a stale marker from a run that crashed between the marker write
+    # and its refit would otherwise trigger one spurious refit at the
+    # FIRST segment boundary; clearing it loses nothing — if the refit
+    # is genuinely due, the first batch's cadence check re-signals
+    if os.path.exists(marker):
+        os.remove(marker)
     start_all = time.time()
     refits = 0
     while True:

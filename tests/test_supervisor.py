@@ -191,6 +191,62 @@ def test_supervised_admission_auto_refits_and_matches_clean_fit(
     assert q4 > 0
 
 
+def test_supervisor_clears_stale_refit_marker(spark, tmp_path):
+    """A marker left by a run that crashed between the marker write and
+    its refit must not trigger a spurious refit on the next run — it is
+    cleared at startup, and the cadence check re-signals if (and only
+    if) the refit is genuinely due."""
+    from awsbatch_mapreduce_spark.streaming.supervisor import _marker_path
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svm",
+    )
+    # one small chunk; a generous factor keeps the refit genuinely
+    # not-due, so any refit would be the stale marker's doing
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    table = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vid = table.column("vec_id")
+    pq.write_table(
+        table.filter(
+            pc.and_(pc.greater(vid, mid), pc.less_equal(vid, mid + 20))
+        ),
+        str(chunks / "chunk-0.parquet"),
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    with open(_marker_path(str(out)), "w") as fh:
+        fh.write('{"batch_id": 99, "n_now": 0, "n_fit": 1}')
+    report = run_supervised_admission(
+        spark,
+        _source(spark, str(chunks)),
+        SF_DIR,
+        pointer,
+        str(out),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=100.0,
+        gen_prefix="svm",
+    )
+    assert report["refits"] == []
+    assert not os.path.exists(_marker_path(str(out)))
+    assert read_generation_pointer(pointer) == "svm0000"
+    # the batch itself was admitted normally (refresh: the admission
+    # committed through the micro-batch's cloned session, so this
+    # session's cached file listing predates it)
+    _, _, mem0 = _generation_names(SF_DIR, "svm0000")
+    spark.catalog.refreshTable(mem0)
+    n_seen = emb.filter(F.col("vec_id") <= F.lit(mid)).count()
+    assert spark.table(mem0).count() == n_seen + 20
+
+
 def test_supervisor_recovers_from_crash_during_refit(
     spark, four_chunks, tmp_path, monkeypatch
 ):
