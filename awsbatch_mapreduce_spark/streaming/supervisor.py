@@ -66,8 +66,10 @@ import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from awsbatch_mapreduce_spark.streaming.codebook import (
+    _read_marker,
     foreach_batch_codebook_admit_probe,
     refit_due,
 )
@@ -83,6 +85,84 @@ def _marker_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_REFIT_DUE")
 
 
+def _recall_snapshot(
+    spark, new, coarse_tbl: str, fine_tbl: str, mem_tbl: str,
+    panel: int, nprobe: int,
+) -> dict:
+    """Duplicate-recall of the LIVE probe on a bounded md5 sample of an
+    incoming quantized batch, scored against brute-force integer-cosine
+    truth over everything admitted so far — the per-generation QA read
+    the recall-sweep queries provide offline, taken on live traffic
+    right after each automatic refit.  Cost: one members-table scan per
+    snapshot (the sample is a bounded broadcast, never data x data) —
+    the sampled-schedule price every recall eval in the repo pays."""
+    from awsbatch_mapreduce_spark.plans.wave9 import _SEMDEDUP_EPS_BP
+    from awsbatch_mapreduce_spark.plans.wave11 import _probe_batch
+    from awsbatch_mapreduce_spark.plans.wave13 import _multiprobe_batch
+
+    sample = (
+        new.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id"))
+        .limit(panel)
+        .withColumn(
+            "nnn",
+            F.aggregate(
+                "vq", F.lit(0).cast("bigint"), lambda a, v: a + v * v
+            ),
+        )
+        .localCheckpoint()  # one bounded sample, probe + truth consumers
+    )
+    probe_in = sample.select("vec_id", "vq")
+    res = (
+        _probe_batch(spark, probe_in, coarse_tbl, fine_tbl, mem_tbl)
+        if nprobe == 1
+        else _multiprobe_batch(
+            spark, probe_in, coarse_tbl, fine_tbl, mem_tbl, nprobe=nprobe
+        )
+    )
+    det = res.agg(
+        F.sum(F.lit(1) - F.col("is_novel")).cast("bigint").alias("dv"),
+        F.sum("n_seen_dups").cast("bigint").alias("dp"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vq_s"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    truth = (
+        spark.table(mem_tbl)
+        .crossJoin(F.broadcast(sample))
+        .filter((F.col("nnn") > 0) & (F.col("nn_s") > 0))
+        .select(
+            "vec_id",
+            F.floor(
+                dot / (F.sqrt("nnn") * F.sqrt("nn_s")) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_bp"),
+        )
+        .filter(F.col("cos_bp") >= F.lit(_SEMDEDUP_EPS_BP))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tv"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    row = det.crossJoin(F.broadcast(truth)).first()
+    tv, tp, dv, dp = row["tv"], row["tp"], row["dv"] or 0, row["dp"] or 0
+    return {
+        "nprobe": nprobe,
+        "panel": panel,
+        "n_truth_vecs": tv,
+        "n_truth_pairs": tp,
+        "n_detected_vecs": dv,
+        "n_detected_pairs": dp,
+        "vec_recall_bp": 0 if tv == 0 else dv * 10000 // tv,
+        "pair_recall_bp": 0 if tp == 0 else dp * 10000 // tp,
+    }
+
+
 def admit_probe_with_cadence(
     coarse_tbl: str,
     fine_tbl: str,
@@ -90,19 +170,52 @@ def admit_probe_with_cadence(
     out_dir: str,
     n_fit: int,
     tolerated_inflation: float = 2.0,
+    recall_panel: int = 0,
+    recall_nprobe: int = 2,
 ) -> Callable[[DataFrame, int], None]:
     """The supervised per-batch function: the round-14 replay-safe
     admission, then the cadence check.  The ``RefitDueSignal`` raise
     happens strictly AFTER the admission's watermark write, so the
     engine-side replay of this batch (its offset never committed) hits
-    the watermark no-op on restart."""
+    the watermark no-op on restart.
+
+    ``recall_panel > 0`` arms a ONE-SHOT recall snapshot: the first
+    FRESH batch of this stream incarnation (replays are skipped via
+    the admission watermark — a replayed batch is already in the
+    members table and would self-match) is sampled and scored against
+    brute-force truth BEFORE its admission, and the result appended to
+    ``_RECALL_SNAPSHOTS.jsonl`` in the sink dir — the per-generation
+    QA read of the just-cut-over index on live traffic."""
+    from awsbatch_mapreduce_spark.plans.iterative import _quantize
+
     inner = foreach_batch_codebook_admit_probe(
         coarse_tbl, fine_tbl, mem_tbl, out_dir
     )
+    wm_path = os.path.join(out_dir, "_ADMITTED_WATERMARK")
+    snap_path = os.path.join(out_dir, "_RECALL_SNAPSHOTS.jsonl")
+    measured: list[int] = []
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        inner(batch_df, batch_id)
         spark = batch_df.sparkSession
+        if (
+            recall_panel > 0
+            and not measured
+            and batch_id > _read_marker(wm_path)
+            and not batch_df.isEmpty()
+        ):
+            measured.append(batch_id)
+            new = batch_df.select(
+                "vec_id", _quantize(F.col("embedding")).alias("vq")
+            )
+            snap = _recall_snapshot(
+                spark, new, coarse_tbl, fine_tbl, mem_tbl,
+                recall_panel, recall_nprobe,
+            )
+            os.makedirs(out_dir, exist_ok=True)  # first batch: the
+            # probe-partition write has not created the sink dir yet
+            with open(snap_path, "a") as fh:
+                fh.write(json.dumps({"batch_id": batch_id, **snap}) + "\n")
+        inner(batch_df, batch_id)
         spark.catalog.refreshTable(mem_tbl)
         n_now = spark.table(mem_tbl).count()
         if refit_due(n_now, n_fit, tolerated_inflation):
@@ -198,6 +311,8 @@ def run_supervised_admission(
     max_refits: int = 32,
     run_secs: float | None = None,
     await_secs: float = 600.0,
+    recall_panel: int = 0,
+    recall_nprobe: int = 2,
 ) -> dict:
     """Drive streaming admission with AUTOMATIC refits until the
     source drains (``available_now=True``), the wall budget
@@ -212,7 +327,11 @@ def run_supervised_admission(
     the engine's progress log) and one ``refits`` entry per cycle
     (old/new kinds, refit wall seconds, n_fit before/after) — the
     load-test evidence that per-batch cost returns to the clean model
-    after each reset."""
+    after each reset.  ``recall_panel > 0`` additionally takes one
+    recall snapshot per stream incarnation (the first fresh batch of
+    each generation scored against brute-force truth — the QA read of
+    every just-cut-over index on live traffic), returned under
+    ``report["recall"]``."""
     from awsbatch_mapreduce_spark.plans.wave13 import (
         read_generation_meta,
         refit_and_cutover,
@@ -249,6 +368,8 @@ def run_supervised_admission(
             out_dir,
             n_fit,
             tolerated_inflation,
+            recall_panel=recall_panel,
+            recall_nprobe=recall_nprobe,
         )
         writer = source_df.writeStream.foreachBatch(fn).option(
             "checkpointLocation", ckpt_dir
@@ -319,4 +440,10 @@ def run_supervised_admission(
                 continue  # resume admission on the new generation
         if exc is not None and not due:
             raise RuntimeError(f"supervised admission failed: {exc}") from None
+        snap_path = os.path.join(out_dir, "_RECALL_SNAPSHOTS.jsonl")
+        if os.path.exists(snap_path):
+            with open(snap_path) as fh:
+                report["recall"] = [
+                    json.loads(line) for line in fh if line.strip()
+                ]
         return report

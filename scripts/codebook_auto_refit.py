@@ -44,6 +44,7 @@ RATE = int(os.environ.get("AUTOREFIT_RATE", "1000"))
 TRIGGER = int(os.environ.get("AUTOREFIT_TRIGGER", "8"))
 RUN_SECS = int(os.environ.get("AUTOREFIT_SECS", "240"))
 INFLATION = float(os.environ.get("AUTOREFIT_INFLATION", "2.0"))
+RECALL_PANEL = int(os.environ.get("AUTOREFIT_RECALL_PANEL", "64"))
 
 _FLOOR_MS = 6000.0  # the measured round-14 per-batch fixed floor
 
@@ -130,12 +131,15 @@ def main() -> None:
         gen_prefix="aref",
         run_secs=RUN_SECS,
         await_secs=RUN_SECS + 120,
+        recall_panel=RECALL_PANEL,
     )
 
     for seg in report["segments"]:
         print(json.dumps({"phase": "segment", **seg}), flush=True)
     for r in report["refits"]:
         print(json.dumps({"phase": "refit", **r}), flush=True)
+    for s in report.get("recall", []):
+        print(json.dumps({"phase": "recall_snapshot", **s}), flush=True)
 
     # marginal cost per segment: (batch_ms - floor) / kvec over steady
     # batches — must return to the clean band after each refit

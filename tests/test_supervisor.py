@@ -144,9 +144,23 @@ def test_supervised_admission_auto_refits_and_matches_clean_fit(
         "sva0000",
         emb.filter(F.col("vec_id") <= F.lit(mid)).count(),
     )
-    report = _run(spark, four_chunks, tmp_path, pointer, gen_prefix="sva")
+    report = _run(
+        spark, four_chunks, tmp_path, pointer, gen_prefix="sva",
+        recall_panel=16,
+    )
 
     assert len(report["refits"]) >= 2, report["refits"]
+    # one recall snapshot per stream incarnation that saw a fresh batch
+    # (the per-generation QA read): consistent and non-degenerate
+    snaps = report.get("recall", [])
+    assert len(snaps) >= len(report["refits"]), snaps
+    assert len({s["batch_id"] for s in snaps}) == len(snaps)
+    for s in snaps:
+        assert 0 <= s["n_detected_vecs"] <= s["n_truth_vecs"] <= 16, s
+        assert s["n_detected_pairs"] <= s["n_truth_pairs"], s
+        assert 0 <= s["vec_recall_bp"] <= 10000, s
+        assert 0 <= s["pair_recall_bp"] <= 10000, s
+    assert any(s["n_truth_vecs"] > 0 for s in snaps), snaps
     kind, n_fit = read_generation_meta(pointer)
     assert kind == report["refits"][-1]["new"]
     assert n_fit == report["refits"][-1]["n_fit_after"]
