@@ -168,6 +168,18 @@ REHEARSAL = [
     # boundary-recall gain (measured 0.35 -> 0.54 vec-recall at
     # sf0.001)
     "semdedup_codebook_multiprobe",
+    # round 15 (wave 14): the operational pointer path — its exponent
+    # should land ON semdedup_codebook_refit's (same two-fit
+    # lifecycle; cutover/vacuum are metadata ops), which is the claim
+    # (measured: 288.4 vs 282.4 s at 100x, REHEARSAL_r15.jsonl)
+    "codebook_pointer_lifecycle",
+    # round 15 (wave 14): the recall/cost sweep's cheapest and most
+    # expensive cap rungs — one fit at the cap + 3 probes of a FIXED
+    # 256-panel + a corpus-linear truth pass; sublinear per decade
+    # (0.41-0.53 measured), so the recall surface is re-measurable at
+    # every refit
+    "codebook_recall_sweep_cap16",
+    "codebook_recall_sweep_cap512",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any
