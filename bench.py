@@ -139,36 +139,21 @@ EXTENDED = [
     "codebook_pointer_lifecycle",
 ]
 
-# Heavy-query rep discipline (VERDICT r13 #3, widened r14 #5): the
-# longest extended queries skip the untimed warm-up (JIT/footer-cache
-# effects amortize to noise inside a multi-second job) but are timed
-# min-of-N so the drift gate reads signal instead of the measured ±30%
-# single-shot band (the round-13 prefix-filter adjudication: three
-# "rising" single-shot readings were noise-band draws; the idle
-# min-of-3 sat BELOW reference).  dedup_prefix_filter: min-of-3,
-# making the adjudication instrument the permanent default (~2 extra
-# bench minutes).  Round 15 extends min-of-2 to EVERY >= 5 s extended
-# query (VERDICT r14 #5: the 5.8-7.9 s codebook tier was single-shot
-# inside the quantified band, so its drift entries were band draws) —
-# ~55 s of bench time for a band-free drift table on the heavy tier.
-_NO_WARMUP_REPS = {
-    "dedup_prefix_filter": 3,
-    "semdedup_codebook_refit": 2,
-    "semdedup_cluster_prune": 2,
-    "semdedup_codebook_adaptive_append": 2,
-    "semdedup_codebook_recall_eval": 2,
-    "semdedup_codebook_capacity": 2,
-    "semdedup_codebook_novelty": 2,
-    "semdedup_codebook_adaptive": 2,
-    "semdedup_codebook_multiprobe": 2,
-    "semdedup_eps_curve_sampled": 2,
-    # the round-15 additions land in the same tier (a fit + probes
-    # each): min-of-2 from the start, no single-shot era
-    "codebook_recall_sweep_cap16": 2,
-    "codebook_recall_sweep_cap64": 2,
-    "codebook_recall_sweep_cap512": 2,
-    "codebook_pointer_lifecycle": 2,
-}
+# Heavy-query rep discipline (VERDICT r13 #3): the two LONGEST
+# extended queries skip the untimed warm-up (JIT effects amortize
+# inside a 14-50 s job) but are timed min-of-N so the drift gate reads
+# signal (the round-13 prefix-filter adjudication).  Everything else -
+# including the 5-10 s codebook tier VERDICT r14 #5 asked to move to
+# min-of-2 - already runs the STRONGER default discipline: one untimed
+# warm-up pass + min-of-3 timed reps (the r14 spread rows prove it:
+# semdedup_eps_curve_sampled spread 2.074 over reps=3).  A round-15
+# experiment moving that tier into this dict (no-warm-up min-of-2)
+# DEGRADED the instrument - the cold first rep leaks into the min at
+# this duration (eps_curve read 9.4 s vs its 5.8 s warm min-of-3
+# history; an idle min-of-4 showed rep0 17.6 s, steady 8.6 s) - so the
+# tier stays on the default path; this dict is only for queries long
+# enough that a warm-up pass costs more than it stabilizes.
+_NO_WARMUP_REPS = {"dedup_prefix_filter": 3, "semdedup_codebook_refit": 2}
 
 
 def _calibration_sec(spark) -> float:
