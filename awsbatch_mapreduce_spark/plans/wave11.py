@@ -374,22 +374,21 @@ def _persist_two_level(
     assigned.unpersist()
 
 
-def _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl) -> DataFrame:
-    """PROBE phase (per batch): coarse assign (broadcast k0-row
-    codebook — bounded), fine assign (sort-merge vs the GROWING fine
-    codebook), exact cosine against <= cap members of the assigned
-    fine cell only.  ``new`` is the (vec_id, vq) quantized batch."""
+def _assign_fine(spark, new, coarse_tbl, fine_tbl) -> DataFrame:
+    """The probe's ASSIGNMENT half: coarse assign (broadcast k0-row
+    codebook — bounded) then fine argmin as a struct-min AGGREGATE (the
+    assign_to_cells discipline, found at this query's own 100x ladder):
+    the |batch| x subs-per-cell candidate rows collapse map-side in the
+    same stage as the sort-merge join that produced them — a row_number
+    window here exchanged every candidate WITH its 64-int vq array
+    (~30 GB at 100x, straggler-stalled), twice (the probe frame has two
+    consumers).  Returns (vec_id, cell, sub, vq, nn_n).  Extracted from
+    ``_probe_batch`` in round 15 so the PQ re-rank probe (wave 14)
+    shares the identical assignment plan."""
     coarse_new = assign_to_cells(new, spark.table(coarse_tbl)).select(
         "vec_id", "vq", F.col("cell").cast("int").alias("cell")
     )
-    # fine argmin as a struct-min AGGREGATE (the assign_to_cells
-    # discipline, found at this query's own 100x ladder): the
-    # |batch| x subs-per-cell candidate rows collapse map-side in the
-    # same stage as the sort-merge join that produced them — a
-    # row_number window here exchanged every candidate WITH its 64-int
-    # vq array (~30 GB at 100x, straggler-stalled), twice (the probe
-    # frame has two consumers)
-    assigned_new = (
+    return (
         coarse_new.join(never_broadcast(spark.table(fine_tbl)), "cell")
         .select(
             "vec_id",
@@ -414,6 +413,14 @@ def _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl) -> DataFrame:
             ).alias("nn_n"),
         )
     )
+
+
+def _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl) -> DataFrame:
+    """PROBE phase (per batch): coarse assign (broadcast k0-row
+    codebook — bounded), fine assign (sort-merge vs the GROWING fine
+    codebook), exact cosine against <= cap members of the assigned
+    fine cell only.  ``new`` is the (vec_id, vq) quantized batch."""
+    assigned_new = _assign_fine(spark, new, coarse_tbl, fine_tbl)
     members = spark.table(mem_tbl)
     dot = F.aggregate(
         F.zip_with(F.col("vq"), F.col("vq_s"), lambda x, y: x * y),

@@ -55,15 +55,18 @@ from pyspark.sql import functions as F
 
 from awsbatch_mapreduce_spark.plans.iterative import _kmeans_cte, _quantize
 from awsbatch_mapreduce_spark.plans.registry import query
-from awsbatch_mapreduce_spark.plans.wave9 import _SEMDEDUP_EPS_BP
+from awsbatch_mapreduce_spark.plans.wave9 import _NO_PEER_BP, _SEMDEDUP_EPS_BP
 from awsbatch_mapreduce_spark.plans.wave11 import (
+    _assign_fine,
     _index_tables,
+    _K0_SQL,
     _k0_sql,
     _MID_BOUNDARY,
     _mod_centroid_init,
     _persist_two_level,
     _probe_batch,
     _SEEN_SRC,
+    _SPLIT_CTES,
     _split_ctes,
 )
 from awsbatch_mapreduce_spark.plans.wave12 import _admit_batch
@@ -353,6 +356,401 @@ def _register_sweep(cap: int, kind: str):
 codebook_recall_sweep_cap16 = _register_sweep(16, "sw16")
 codebook_recall_sweep_cap64 = _register_sweep(64, "sw64")
 codebook_recall_sweep_cap512 = _register_sweep(512, "sw512")
+
+
+# ---------------------------------------------------------------------------
+# PQ-CODED MEMBERS + ADC RE-RANK (round 15): the members-STORAGE story.
+# The two-level codebook's membership check reads <= cap FULL quantized
+# vectors per probed vector (64 x 8-byte ints each).  At 100 TB the
+# members table IS the corpus-scale artifact, and production IVF
+# systems (FAISS IVFPQ) keep PQ CODES in the hot path instead — 8
+# one-byte codes per vector, a ~64x bandwidth cut — then re-rank a
+# handful of ADC-nearest candidates against full vectors.  This query
+# runs that exact two-stage shape on the adaptive layout: the members'
+# PQ codes live in a FOURTH persisted table bucketed like the members
+# (so the ADC join is exchange-free on the growing side and never
+# touches full vectors), and only the top-`_PQ_RERANK` ADC candidates
+# per probed vector are fetched from the members table for the exact
+# integer-cosine verdict.  Everything is fixed-point integer (the PQ
+# domain is derived from the index's own 1e6-quantized components by a
+# shared exact rule, so the refit-from-members self-containment
+# property survives), making the DuckDB twin hash-exact.
+# Recall trade: the verdict only sees candidates the ADC prefilter
+# ranks top-R, so dup counts are a SUBSET of the full probe's —
+# test-pinned against `semdedup_codebook_adaptive` (identical fit),
+# with the recall cost measured rather than asserted.
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = 8  # dims per PQ subspace (64-dim fixture -> 8 subspaces)
+_PQ_K = 10  # codebook entries per subspace (seen_id % 10 residue means)
+_PQ_RERANK = 4  # ADC candidates re-ranked exactly, per probed vector
+
+# The assignment CTEs (qn/dn/an/dfine/afine) restate the single-probe
+# text of wave11._probe_ctes (same fragments the multiprobe oracle
+# restates); the PQ section then mirrors the Spark build/probe 1:1.
+_PQ_RERANK_CTES = f""",
+    qn AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS vq
+      FROM embeddings
+      WHERE vec_id > {_MID_BOUNDARY}),
+    dn AS MATERIALIZED (
+      SELECT qn.vec_id, c.cell,
+             SUM(CAST(FLOOR((qn.vq / 1000000.0 - c.c) * (qn.vq / 1000000.0 - c.c)
+                            * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
+      FROM qn JOIN c5 c ON c.pos = qn.pos
+      GROUP BY 1, 2),
+    an AS MATERIALIZED (
+      SELECT vec_id, FIRST(cell ORDER BY dfp, cell) AS cell
+      FROM dn GROUP BY vec_id),
+    dfine AS MATERIALIZED (
+      SELECT qn.vec_id, f.cell, f.sub,
+             SUM(CAST(FLOOR((qn.vq / 1000000.0 - f.c) * (qn.vq / 1000000.0 - f.c)
+                            * 1000000000000.0 + 0.5) AS BIGINT)) AS dfp
+      FROM qn JOIN an ON an.vec_id = qn.vec_id
+      JOIN fc f ON f.cell = an.cell AND f.pos = qn.pos
+      GROUP BY 1, 2, 3),
+    afine AS MATERIALIZED (
+      SELECT vec_id, FIRST(cell ORDER BY dfp, sub) AS cell,
+             FIRST(sub ORDER BY dfp, sub) AS sub
+      FROM dfine GROUP BY vec_id),
+    msub AS MATERIALIZED (
+      SELECT m.vec_id, (q.pos - 1) // {_PQ_SUB} AS sm,
+             (q.pos - 1) % {_PQ_SUB} AS sj,
+             CAST(FLOOR(q.vq / 100.0 + 0.5) AS BIGINT) AS vq4
+      FROM mfin m JOIN q ON q.vec_id = m.vec_id),
+    pcb AS MATERIALIZED (
+      SELECT CAST(vec_id % {_PQ_K} AS INT) AS k, sm, sj,
+             CAST(FLOOR(CAST(SUM(vq4) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS cq
+      FROM msub GROUP BY 1, 2, 3),
+    mdist AS MATERIALIZED (
+      SELECT s.vec_id, s.sm, c.k,
+             SUM((s.vq4 - c.cq) * (s.vq4 - c.cq)) AS d
+      FROM msub s JOIN pcb c ON c.sm = s.sm AND c.sj = s.sj
+      GROUP BY 1, 2, 3),
+    mcode AS MATERIALIZED (
+      SELECT vec_id, sm, FIRST(k ORDER BY d, k) AS code
+      FROM mdist GROUP BY 1, 2),
+    psub AS (
+      SELECT vec_id, (pos - 1) // {_PQ_SUB} AS sm,
+             (pos - 1) % {_PQ_SUB} AS sj,
+             CAST(FLOOR(vq / 100.0 + 0.5) AS BIGINT) AS vq4
+      FROM qn),
+    pdist AS MATERIALIZED (
+      SELECT p.vec_id, p.sm, c.k AS code,
+             SUM((p.vq4 - c.cq) * (p.vq4 - c.cq)) AS d
+      FROM psub p JOIN pcb c ON c.sm = p.sm AND c.sj = p.sj
+      GROUP BY 1, 2, 3),
+    adc AS MATERIALIZED (
+      SELECT a.vec_id AS id_new, s.vec_id AS id_seen, SUM(pd.d) AS adc_d
+      FROM afine a
+      JOIN mfin s ON s.cell = a.cell AND s.sub = a.sub
+      JOIN mcode mc ON mc.vec_id = s.vec_id
+      JOIN pdist pd ON pd.vec_id = a.vec_id AND pd.sm = mc.sm
+                   AND pd.code = mc.code
+      GROUP BY 1, 2),
+    rr AS MATERIALIZED (
+      SELECT id_new, id_seen FROM (
+        SELECT id_new, id_seen,
+               ROW_NUMBER() OVER (PARTITION BY id_new
+                                  ORDER BY adc_d, id_seen) AS rk
+        FROM adc) t
+      WHERE rk <= {_PQ_RERANK}),
+    nrm_s AS (SELECT vec_id, SUM(vq * vq) AS nn FROM q GROUP BY 1),
+    nrm_n AS (SELECT vec_id, SUM(vq * vq) AS nn FROM qn GROUP BY 1),
+    pr AS MATERIALIZED (
+      SELECT rr.id_new, rr.id_seen, SUM(qn.vq * qs.vq) AS dot
+      FROM rr
+      JOIN qn ON qn.vec_id = rr.id_new
+      JOIN q qs ON qs.vec_id = rr.id_seen AND qs.pos = qn.pos
+      GROUP BY 1, 2),
+    sim AS MATERIALIZED (
+      SELECT id_new,
+             CAST(FLOOR(dot / (sqrt(na.nn) * sqrt(nb.nn)) * 10000.0 + 0.5)
+                  AS BIGINT) AS cos_bp
+      FROM pr
+      JOIN nrm_n na ON na.vec_id = id_new
+      JOIN nrm_s nb ON nb.vec_id = id_seen
+      WHERE na.nn > 0 AND nb.nn > 0),
+    agg AS MATERIALIZED (
+      SELECT id_new AS vec_id, COUNT(*) AS n_seen_dups,
+             MAX(cos_bp) AS max_cos_bp
+      FROM sim WHERE cos_bp >= {_SEMDEDUP_EPS_BP} GROUP BY 1)
+    SELECT CAST(n.vec_id AS BIGINT) AS vec_id,
+           CAST(n.cell AS INT) AS cell,
+           CAST(n.sub AS INT) AS sub,
+           CAST(COALESCE(a.n_seen_dups, 0) AS BIGINT) AS n_seen_dups,
+           CAST(COALESCE(a.max_cos_bp, {_NO_PEER_BP}) AS BIGINT) AS max_cos_bp,
+           CAST(CASE WHEN a.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_novel
+    FROM afine n LEFT JOIN agg a ON a.vec_id = n.vec_id
+"""
+
+# the identical adaptive-fit prefix as `semdedup_codebook_adaptive`'s
+# oracle (same Lloyd chain + capacity-split text) — the PQ section is
+# the only delta, mirroring "same fit, different membership check"
+_PQ_RERANK_ORACLE = (
+    _kmeans_cte(
+        5,
+        source=_SEEN_SRC,
+        cell_expr=f"CAST(vec_id % {_K0_SQL} AS INT)",
+    )
+    + _SPLIT_CTES
+    + _PQ_RERANK_CTES
+)
+
+
+def _vq4(col):
+    """1e6-quantized component -> the PQ 1e4 domain, by the shared
+    exact rule floor(vq/100 + 0.5) — derived from the index's own
+    quantized components, so the codes build never re-reads the raw
+    corpus (the refit-from-members self-containment property)."""
+    return F.floor(col / F.lit(100.0) + F.lit(0.5)).cast("bigint")
+
+
+def _persist_pq_codes(
+    spark, mem_tbl: str, base: str, codes_tbl: str, pqcb_tbl: str
+) -> None:
+    """BUILD extra (amortized, once per generation): train the per-
+    subspace PQ codebook from the members' own quantized components
+    (residue-class means over seen_id % k, exact int sum / one
+    division), encode every member as one code per subspace, and
+    persist BOTH artifacts — the codes bucketed on (cell, sub) EXACTLY
+    like the members table (the probe's ADC join then reads codes
+    exchange-free where the full-vector membership join would have
+    read 64 x 8-byte arrays) and the k x subspaces x dims codebook as
+    its own bounded table (the probe broadcasts it; recomputing it
+    from the members would be a corpus-scale pass per batch — the
+    zero-seen-recompute discipline)."""
+    mem = spark.table(mem_tbl)
+    msub = mem.select(
+        "seen_id", F.posexplode("vq_s").alias("pos", "v")
+    ).select(
+        "seen_id",
+        (F.col("pos") / _PQ_SUB).cast("int").alias("sm"),
+        (F.col("pos") % _PQ_SUB).alias("sj"),
+        _vq4(F.col("v")).alias("vq4"),
+    )
+    pcb = msub.groupBy(
+        (F.col("seen_id") % _PQ_K).cast("int").alias("k"), "sm", "sj"
+    ).agg(
+        F.floor(
+            F.sum("vq4").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cq")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {pqcb_tbl}")
+    (
+        pcb.write.option("path", os.path.join(base, pqcb_tbl))
+        .mode("overwrite")
+        .saveAsTable(pqcb_tbl)
+    )
+    pcb_t = spark.table(pqcb_tbl)
+    mdist = (
+        msub.join(F.broadcast(pcb_t), ["sm", "sj"])
+        .groupBy("seen_id", "sm", "k")
+        .agg(
+            F.sum(
+                (F.col("vq4") - F.col("cq")) * (F.col("vq4") - F.col("cq"))
+            ).alias("d")
+        )
+    )
+    mcode = (
+        mdist.groupBy("seen_id", "sm")
+        .agg(F.min(F.struct("d", "k")).alias("b"))
+        .select("seen_id", "sm", F.col("b.k").alias("code"))
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {codes_tbl}")
+    (
+        mem.select("seen_id", "cell", "sub")
+        .join(mcode, "seen_id")
+        .write.bucketBy(8, "cell", "sub")
+        .sortBy("cell", "sub")
+        .option("path", os.path.join(base, codes_tbl))
+        .mode("overwrite")
+        .saveAsTable(codes_tbl)
+    )
+
+
+def _pq_rerank_probe(
+    spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl
+) -> DataFrame:
+    """Two-stage PQ probe: the shared coarse+fine assignment, an ADC
+    pass over the assigned fine cell's CODES (<= cap * subspaces
+    one-int rows per probed vector — full vectors never enter this
+    join), then exact integer cosine against only the top-rerank ADC
+    candidates, fetched from the members table ON ITS (cell, sub)
+    BUCKET KEYS (a seen_id-keyed fetch would exchange the corpus-scale
+    members side per batch; the (cell, sub) join reads the bucket spec
+    and the equality filter selects the <= rerank survivors from the
+    <= cap joined members).  The PQ codebook is the PERSISTED bounded
+    table — the probe never recomputes it from the members.  Output
+    schema matches the probe family."""
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+
+    assigned = _assign_fine(spark, new, coarse_tbl, fine_tbl)
+    pcb = spark.table(pqcb_tbl)  # k x subspaces x dims rows: bounded
+    psub = new.select(
+        "vec_id", F.posexplode("vq").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") / _PQ_SUB).cast("int").alias("sm"),
+        (F.col("pos") % _PQ_SUB).alias("sj"),
+        _vq4(F.col("v")).alias("vq4"),
+    )
+    pdist = (
+        psub.join(F.broadcast(pcb), ["sm", "sj"])
+        .groupBy("vec_id", "sm", F.col("k").alias("code"))
+        .agg(
+            F.sum(
+                (F.col("vq4") - F.col("cq")) * (F.col("vq4") - F.col("cq"))
+            ).alias("d")
+        )
+    )
+    adc = (
+        assigned.select("vec_id", "cell", "sub")
+        .join(never_broadcast(spark.table(codes_tbl)), ["cell", "sub"])
+        .join(pdist, ["vec_id", "sm", "code"])
+        .groupBy(
+            "vec_id", "cell", "sub", F.col("seen_id").alias("id_seen")
+        )
+        .agg(F.sum("d").alias("adc_d"))
+    )
+    from pyspark.sql.window import Window
+
+    rr = (
+        adc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.asc("adc_d"), F.asc("id_seen")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _PQ_RERANK)
+        .select("vec_id", "cell", "sub", "id_seen")
+    )
+    # exact verify on the <= rerank survivors only: fetch full vectors
+    # through the members' OWN (cell, sub) bucket keys
+    mem = spark.table(mem_tbl)
+    dot = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vq_s"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    hits = (
+        rr.join(never_broadcast(mem), ["cell", "sub"])
+        # survivor selection as a RESIDUAL predicate, deliberately in
+        # arithmetic form: a plain seen_id == id_seen gets pushed into
+        # the join condition and extracted as a THIRD equi-join key,
+        # which breaks the members side's (cell, sub) bucket match and
+        # re-exchanges the corpus-scale table per batch (observed in
+        # the round-15 plan pin); the difference form stays a post-join
+        # filter, so the members scan keeps its bucket distribution and
+        # the join fans <= cap x rerank rows per probed vector before
+        # filtering
+        .filter((F.col("seen_id") - F.col("id_seen")) == F.lit(0))
+        .join(
+            assigned.select("vec_id", "vq", "nn_n"), "vec_id"
+        )
+        .filter((F.col("nn_n") > 0) & (F.col("nn_s") > 0))
+        .select(
+            "vec_id",
+            F.floor(
+                dot / (F.sqrt("nn_n") * F.sqrt("nn_s")) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_bp"),
+        )
+        .filter(F.col("cos_bp") >= F.lit(_SEMDEDUP_EPS_BP))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seen_dups"),
+            F.max("cos_bp").alias("max_cos_bp"),
+        )
+        .withColumn("hit", F.lit(1))
+    )
+    from awsbatch_mapreduce_spark.plans.wave9 import _NO_PEER_BP
+
+    return (
+        assigned.select("vec_id", "cell", "sub")
+        .join(never_broadcast(hits), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "cell",
+            "sub",
+            F.coalesce("n_seen_dups", F.lit(0))
+            .cast("bigint")
+            .alias("n_seen_dups"),
+            F.coalesce("max_cos_bp", F.lit(_NO_PEER_BP))
+            .cast("bigint")
+            .alias("max_cos_bp"),
+            F.when(F.col("hit").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_novel"),
+        )
+    )
+
+
+@query("codebook_pq_rerank_probe", oracle=_PQ_RERANK_ORACLE, wave=15)
+def codebook_pq_rerank_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ-style semantic novelty on the adaptive two-level codebook
+    (section comment): the fit is `semdedup_codebook_adaptive`'s
+    (identical seen half, init, and capacity split), PLUS a persisted
+    PQ codes table — every member encoded as {sub} one-byte codes
+    against a {k}-entry-per-subspace codebook trained from the members'
+    own quantized components.  Probe: coarse+fine assignment as usual,
+    ADC over the assigned cell's CODES (full vectors never enter the
+    membership join — the ~64x members-bandwidth cut IVFPQ exists for),
+    exact integer cosine against only the top-{rerank} ADC candidates.
+
+    Output schema matches the probe family (vec_id, cell, sub,
+    n_seen_dups, max_cos_bp, is_novel); dup counts are capped at
+    {rerank} by construction and every flagged dup is exact (the
+    verdict cosine is computed on full vectors), so the PQ stage can
+    only LOSE duplicates vs the full probe, never invent them —
+    subset-of-adaptive pinned row-for-row in tests/test_wave14.py with
+    the measured recall cost next to it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).first()
+    mid = (b.lo + b.hi) // 2  # oracle: (MIN + MAX) // 2, ids positive
+
+    base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(spark, sf_dir, "pqm")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base,
+        coarse_tbl,
+        fine_tbl,
+        mem_tbl,
+    )
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_tag
+
+    tag = _scratch_tag(sf_dir)
+    codes_tbl = f"semdedup_pqm_codes_{tag}"
+    pqcb_tbl = f"semdedup_pqm_pqcb_{tag}"
+    _persist_pq_codes(spark, mem_tbl, base, codes_tbl, pqcb_tbl)
+
+    new = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    return _pq_rerank_probe(
+        spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl
+    )
+
+
+codebook_pq_rerank_probe.__doc__ = codebook_pq_rerank_probe.__doc__.format(
+    sub=_PQ_SUB, k=_PQ_K, rerank=_PQ_RERANK
+)
 
 
 @query("codebook_pointer_lifecycle", oracle=_REFIT_ORACLE, wave=15)

@@ -137,6 +137,11 @@ EXTENDED = [
     # read next to semdedup_codebook_refit (the same lifecycle minus
     # the pointer ops): the delta prices cutover + vacuum
     "codebook_pointer_lifecycle",
+    # round 15 (wave 14): the IVFPQ re-rank probe — same fit as
+    # _adaptive plus the PQ codes build; read next to _adaptive: the
+    # delta prices the codes build (amortized) against the ~64x
+    # members-bandwidth cut in the membership join
+    "codebook_pq_rerank_probe",
 ]
 
 # Heavy-query rep discipline (VERDICT r13 #3): the two LONGEST

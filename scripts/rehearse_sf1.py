@@ -180,6 +180,11 @@ REHEARSAL = [
     # every refit
     "codebook_recall_sweep_cap16",
     "codebook_recall_sweep_cap512",
+    # round 15 (wave 14): the IVFPQ re-rank probe — the membership
+    # join reads 8 one-int codes per member instead of the 64-int
+    # vector (the members-bandwidth term at 100 TB); exponent should
+    # track _adaptive's with the codes build as a constant
+    "codebook_pq_rerank_probe",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any

@@ -799,6 +799,14 @@ _REGISTRY_BROADCAST_BUDGET = {
     # (fit/admit/refit/cutover/vacuum all execute eagerly inside the
     # builder before this plan is captured)
     "codebook_pointer_lifecycle": 2,
+    # wave 14 (round 15): the IVFPQ re-rank probe — the shared
+    # assignment's 2 bounded sites (direct probe-scan subtree + k0-row
+    # coarse book) + the PERSISTED k x subspaces x dims PQ codebook at
+    # its distance-table site + the bounded per-vector distance-table
+    # frame itself; the codes and members scans stay exchange-free
+    # sort-merge off their (cell, sub) bucket specs (pinned in
+    # tests/test_wave14.py)
+    "codebook_pq_rerank_probe": 4,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites

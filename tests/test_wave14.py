@@ -116,6 +116,77 @@ def test_generalized_multiprobe_matches_registered_variant(spark):
     assert got == want and len(got) > 0
 
 
+def test_pq_rerank_is_subset_of_full_probe_with_measured_recall(spark):
+    """The PQ trade, pinned: the re-rank probe runs on the IDENTICAL
+    fit as `semdedup_codebook_adaptive` (same seen half, same mod
+    init — deterministic), so rows are comparable per vec_id.  The ADC
+    prefilter can only LOSE duplicates (the verdict cosine is exact on
+    full vectors, candidates capped at the re-rank width), never invent
+    them: per vec, same (cell, sub), n_seen_dups <= min(full count,
+    rerank width), max_cos_bp never higher, novelty flags only flip
+    seen -> novel.  And the recall cost is a measured number, not a
+    hope: most of the full probe's dup verdicts must survive on the
+    fixture."""
+    from awsbatch_mapreduce_spark.plans.wave14 import _PQ_RERANK
+
+    full = {
+        r["vec_id"]: r
+        for r in _rows(spark, "semdedup_codebook_adaptive", SF_DIR)
+    }
+    pq = {
+        r["vec_id"]: r for r in _rows(spark, "codebook_pq_rerank_probe", SF_DIR)
+    }
+    assert set(pq) == set(full)
+    flips = 0
+    for v, p in pq.items():
+        f = full[v]
+        assert (p["cell"], p["sub"]) == (f["cell"], f["sub"]), v
+        assert p["n_seen_dups"] <= min(f["n_seen_dups"], _PQ_RERANK), v
+        assert p["max_cos_bp"] <= f["max_cos_bp"], v
+        assert p["is_novel"] >= f["is_novel"], v
+        if p["is_novel"] == 1 and f["is_novel"] == 0:
+            flips += 1
+    dup_full = [v for v in full if full[v]["is_novel"] == 0]
+    dup_pq = [v for v in pq if pq[v]["is_novel"] == 0]
+    assert dup_full, "fixture has no duplicates - vacuous"
+    recall = len(dup_pq) / len(dup_full)
+    # the ADC prefilter with exact re-rank retains most dup verdicts
+    # (measured 0.797 = 59/74 at the deliberately tight cap=16 /
+    # rerank=4 fixture point — R/cap = 25%; production sizes R to the
+    # recall budget); a collapse below the measured floor means the
+    # codes or the distance tables broke
+    assert recall >= 0.75, (recall, len(dup_pq), len(dup_full))
+
+
+def test_pq_rerank_plan_reads_codes_without_exchange(spark):
+    """The scale claim: the ADC membership join reads the bucketed
+    CODES table exchange-free, and the members table (full vectors,
+    read only for the bounded top-R re-rank fetch) likewise joins on
+    its own (cell, sub) bucket keys with no exchange above its scan —
+    the corpus-scale sides never shuffle in the probe.  (The only
+    posexplode in the plan is over the PROBE BATCH for the per-vector
+    distance tables — batch-scaled by construction; the PQ codebook is
+    the persisted bounded table, never recomputed from members.)"""
+    import re
+
+    from tests.conftest import plan_of
+
+    df = QUERIES["codebook_pq_rerank_probe"].builder(spark, SF_DIR)
+    tree = plan_of(df)
+    lines = tree.splitlines()
+    for t in ("semdedup_pqm_codes_", "semdedup_pqm_members_"):
+        assert re.search(
+            rf"Scan parquet spark_catalog\.default\.{t}", tree
+        ), t
+        for i, line in enumerate(lines):
+            if f"Scan parquet spark_catalog.default.{t}" not in line:
+                continue
+            assert "Exchange" not in "\n".join(lines[max(0, i - 3) : i]), (
+                f"{t} probe-side scan must not exchange:\n"
+                + "\n".join(lines[max(0, i - 4) : i + 1])
+            )
+
+
 def test_pointer_lifecycle_idempotent_on_one_session(spark):
     """Two runs on one session must produce identical rows: the pointer
     file, both generations, and the vacuum must rebuild cleanly (the
