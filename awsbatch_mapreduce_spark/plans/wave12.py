@@ -272,7 +272,10 @@ def semdedup_codebook_adaptive_append(
     return _probe_batch(spark, probe, coarse_tbl, fine_tbl, mem_tbl)
 
 
-def _admit_batch(spark, batch, coarse_tbl, fine_tbl, mem_tbl) -> None:
+def _admit_batch(
+    spark, batch, coarse_tbl, fine_tbl, mem_tbl,
+    codes_tbl: str | None = None, pqcb_tbl: str | None = None,
+) -> None:
     """Admit one quantized batch (vec_id, vq) into the persisted
     two-level index WITHOUT a refit: coarse-assign via the broadcast
     codebook (d_fp is the chunk-rank key, exactly as the build
@@ -287,6 +290,16 @@ def _admit_batch(spark, batch, coarse_tbl, fine_tbl, mem_tbl) -> None:
     rank is the amortized fit cost, not this path's).  The sub-offset
     frame is one row per coarse cell (k0-bounded, like the coarse
     book) -> broadcast.
+
+    ``codes_tbl``/``pqcb_tbl`` (round 16, VERDICT r15 #1): a
+    PQ-carrying generation additionally encodes the admitted members
+    against the generation's PERSISTED codebook (broadcast, bounded —
+    never retrained per batch) and bucket-appends their codes, so the
+    ADC candidate set stays complete between refits.  Append order is
+    fine -> codes -> members: the members append remains the protocol's
+    COMMIT POINT (if the batch's member rows are all visible, the codes
+    landed before them), and the replay-repair path purges batch codes
+    alongside orphan fine rows (`streaming/codebook.py`).
     """
     assigned_batch = assign_to_cells(batch, spark.table(coarse_tbl))
     w_chunk = Window.partitionBy("cell").orderBy(F.asc("d_fp"), F.asc("vec_id"))
@@ -319,6 +332,8 @@ def _admit_batch(spark, batch, coarse_tbl, fine_tbl, mem_tbl) -> None:
         .localCheckpoint()
     )
     _append_fine(app_members, fine_tbl)
+    if codes_tbl is not None:
+        _append_codes(spark, app_members, codes_tbl, pqcb_tbl)
     _append_members(app_members, mem_tbl)
 
 
@@ -335,6 +350,28 @@ def _append_fine(app_members: DataFrame, fine_tbl: str) -> None:
         .sortBy("cell", "sub")
         .mode("append")
         .saveAsTable(fine_tbl)
+    )
+
+
+def _append_codes(
+    spark, app_members: DataFrame, codes_tbl: str, pqcb_tbl: str
+) -> None:
+    """PQ-codes half of an admission (round 16): encode the admitted
+    members against the generation's persisted PQ codebook (broadcast —
+    k x subspaces x dims rows, bounded) and bucket-append.  Split out
+    like ``_append_fine`` so the streaming crash-window tests can
+    inject failures around it; one Spark job -> one job commit."""
+    from awsbatch_mapreduce_spark.plans.wave14 import _encode_codes
+
+    (
+        _encode_codes(
+            app_members.select("seen_id", "cell", "sub", "vq_s"),
+            spark.table(pqcb_tbl),
+        )
+        .write.bucketBy(8, "cell", "sub")
+        .sortBy("cell", "sub")
+        .mode("append")
+        .saveAsTable(codes_tbl)
     )
 
 

@@ -795,6 +795,20 @@ def _generation_names(sf_dir: str, kind: str) -> tuple[str, str, str]:
     )
 
 
+def _pq_generation_names(sf_dir: str, kind: str) -> tuple[str, str]:
+    """The two PQ table names of a generation — codes (per-member PQ
+    codes, bucketed exactly like the members table) and the bounded
+    per-subspace PQ codebook.  Round 16 (VERDICT r15 #1): the PQ
+    artifacts are generation-scoped, owned by the same fit/refit/
+    cutover/vacuum machinery as coarse/fine/members."""
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_tag
+
+    tag = _scratch_tag(sf_dir)
+    return tuple(
+        f"semdedup_{kind}_{part}_{tag}" for part in ("codes", "pqcb")
+    )
+
+
 def read_generation_pointer(pointer_path: str) -> str | None:
     """The kind tag of the current index generation, or None if no
     cutover has happened yet."""
@@ -824,26 +838,51 @@ def read_generation_meta(pointer_path: str) -> tuple[str | None, int | None]:
         return kind, None
 
 
+def read_generation_flags(pointer_path: str) -> frozenset[str]:
+    """Capability flags of the current generation (pointer line 3,
+    space-separated) — riding the same atomic rename as the kind and
+    n_fit.  ``pq`` means the generation carries codes + PQ-codebook
+    tables, so ``probe_current_generation(adc=True)`` may serve from
+    it.  Pointers written before round 16 have no flag line — an empty
+    set (no ADC path) comes back."""
+    try:
+        with open(pointer_path) as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        return frozenset()
+    if len(lines) < 3:
+        return frozenset()
+    return frozenset(lines[2].split())
+
+
 def cutover_generation(
-    spark, sf_dir: str, pointer_path: str, kind: str, n_fit: int | None = None
+    spark,
+    sf_dir: str,
+    pointer_path: str,
+    kind: str,
+    n_fit: int | None = None,
+    with_pq: bool = False,
 ) -> str | None:
     """Atomically repoint readers at generation ``kind``: verify all
-    three tables of the target generation exist (a half-written
-    generation must never become current), then rename-swap the pointer
-    file.  Returns the previous kind (None on first cutover).  The old
+    tables of the target generation exist (a half-written generation
+    must never become current), then rename-swap the pointer file.
+    Returns the previous kind (None on first cutover).  The old
     generation's tables are left intact — reclaim is a separate,
     explicitly-ordered step (``vacuum_generation``), so a crash between
     cutover and vacuum costs storage, never correctness.  ``n_fit``
     (the generation's fit-time members count) is recorded in the same
     atomic write when given — the ``refit_due`` denominator the
-    streaming supervisor reads back at stream start."""
+    streaming supervisor reads back at stream start.  ``with_pq``
+    (round 16) additionally verifies the generation's codes + PQ
+    codebook tables and records the ``pq`` capability flag on the
+    pointer's third line (same atomic rename) — the signal
+    ``probe_current_generation(adc=True)`` reads before serving ADC."""
     import os as _os
 
-    missing = [
-        t
-        for t in _generation_names(sf_dir, kind)
-        if not spark.catalog.tableExists(t)
-    ]
+    required = list(_generation_names(sf_dir, kind))
+    if with_pq:
+        required += list(_pq_generation_names(sf_dir, kind))
+    missing = [t for t in required if not spark.catalog.tableExists(t)]
     if missing:
         raise RuntimeError(
             f"cutover to generation {kind!r} refused: tables {missing}"
@@ -852,8 +891,13 @@ def cutover_generation(
     prev = read_generation_pointer(pointer_path)
     _os.makedirs(_os.path.dirname(pointer_path) or ".", exist_ok=True)
     tmp = f"{pointer_path}.tmp"
+    lines = [kind]
+    if n_fit is not None or with_pq:
+        lines.append("" if n_fit is None else str(n_fit))
+    if with_pq:
+        lines.append("pq")
     with open(tmp, "w") as fh:
-        fh.write(kind if n_fit is None else f"{kind}\n{n_fit}")
+        fh.write("\n".join(lines))
     _os.replace(tmp, pointer_path)
     return prev
 
@@ -876,7 +920,13 @@ def vacuum_generation(spark, sf_dir: str, pointer_path: str, kind: str) -> int:
             f" generation under {pointer_path!r} — cut over first"
         )
     dropped = 0
-    for t in _generation_names(sf_dir, kind):
+    # codes + pqcb vacuumed WITH the generation (round 16, VERDICT r15
+    # #1): dropped unconditionally — a generation without a PQ path
+    # simply has neither table and the loop no-ops over them
+    tables = _generation_names(sf_dir, kind) + _pq_generation_names(
+        sf_dir, kind
+    )
+    for t in tables:
         if spark.catalog.tableExists(t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             dropped += 1
@@ -888,7 +938,11 @@ def vacuum_generation(spark, sf_dir: str, pointer_path: str, kind: str) -> int:
 
 
 def refit_and_cutover(
-    spark, sf_dir: str, pointer_path: str, new_kind: str
+    spark,
+    sf_dir: str,
+    pointer_path: str,
+    new_kind: str,
+    with_pq: bool | None = None,
 ) -> str:
     """The guarded refit->cutover sequence: refit a fresh generation
     ``new_kind`` from the CURRENT generation's members table, then cut
@@ -917,13 +971,23 @@ def refit_and_cutover(
     admit concurrently.  On refusal the new generation is left on disk
     for inspection — re-run after quiescing; `_index_tables` sweeps it
     on the retry.  Returns the previous generation's kind tag (the
-    argument to a subsequent ``vacuum_generation``)."""
+    argument to a subsequent ``vacuum_generation``).
+
+    ``with_pq`` (round 16, VERDICT r15 #1): True rebuilds the codes +
+    PQ-codebook tables beside the new generation's coarse/fine/members
+    BEFORE the cutover, so an ADC reader resolving the pointer never
+    sees a generation without its codes; None (the default) INHERITS
+    the current generation's ``pq`` flag — the supervisor's automatic
+    refits keep whatever capability surface the generation had."""
     current, cur_n_fit = read_generation_meta(pointer_path)
     if current is None:
         raise RuntimeError(
             f"no current generation under {pointer_path!r}: nothing to"
             " refit from — fit and cut over a first generation directly"
         )
+    cur_flags = read_generation_flags(pointer_path)
+    if with_pq is None:
+        with_pq = "pq" in cur_flags
     _, _, src_mem = _generation_names(sf_dir, current)
     # refresh BEFORE the snapshot: streamed admissions commit through
     # the micro-batch's cloned session, so this session's cached file
@@ -936,6 +1000,17 @@ def refit_and_cutover(
         spark, sf_dir, new_kind
     )
     refit_from_members(spark, src_mem, base, coarse_tbl, fine_tbl, mem_tbl)
+    if with_pq:
+        # codes + PQ codebook are per-generation artifacts: rebuilt
+        # from the NEW generation's members table (the codes build is
+        # members-only by construction — the refit self-containment
+        # property extends to the PQ path), before any pointer motion
+        from awsbatch_mapreduce_spark.plans.wave14 import _pq_tables
+
+        codes_tbl, pqcb_tbl = _pq_tables(spark, sf_dir, new_kind)
+        from awsbatch_mapreduce_spark.plans.wave14 import _persist_pq_codes
+
+        _persist_pq_codes(spark, mem_tbl, base, codes_tbl, pqcb_tbl)
 
     def _recount() -> int:
         spark.catalog.refreshTable(src_mem)
@@ -955,25 +1030,38 @@ def refit_and_cutover(
         _refuse(n_now)
     # the new generation's fit-time size IS the snapshot count — record
     # it in the pointer's atomic write (the refit_due denominator)
-    cutover_generation(spark, sf_dir, pointer_path, new_kind, n_fit=n_snapshot)
+    cutover_generation(
+        spark, sf_dir, pointer_path, new_kind, n_fit=n_snapshot,
+        with_pq=with_pq,
+    )
     n_after = _recount()
     if n_after != n_snapshot:
         # an admission slipped into the old generation between the
         # first recount and the swap: roll the pointer back (the old
         # generation is intact — nothing vacuumed yet) and refuse
         cutover_generation(
-            spark, sf_dir, pointer_path, current, n_fit=cur_n_fit
+            spark, sf_dir, pointer_path, current, n_fit=cur_n_fit,
+            with_pq="pq" in cur_flags,
         )
         _refuse(n_after)
     return current
 
 
-def probe_current_generation(spark, sf_dir: str, pointer_path: str, new) -> DataFrame:
+def probe_current_generation(
+    spark, sf_dir: str, pointer_path: str, new, adc: bool = False
+) -> DataFrame:
     """Probe a quantized (vec_id, vq) batch against whatever generation
     the pointer names — the reader-side half of the cutover contract.
     The pointer is resolved ONCE, at plan-build time, so one probe
     never mixes generations even if a cutover lands mid-execution (the
-    old generation's tables are immutable until vacuumed)."""
+    old generation's tables are immutable until vacuumed).
+
+    ``adc=True`` (round 16) serves the IVFPQ two-stage path instead —
+    ADC over the generation's bucketed CODES table, exact cosine on the
+    top-rerank survivors only — and REFUSES loudly when the pointer
+    does not carry the ``pq`` flag: a generation without codes must
+    never silently fall back to the full-vector membership join an ADC
+    reader chose this path to avoid."""
     kind = read_generation_pointer(pointer_path)
     if kind is None:
         raise RuntimeError(
@@ -981,4 +1069,17 @@ def probe_current_generation(spark, sf_dir: str, pointer_path: str, new) -> Data
             " and cut over before probing"
         )
     coarse_tbl, fine_tbl, mem_tbl = _generation_names(sf_dir, kind)
-    return _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+    if not adc:
+        return _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+    if "pq" not in read_generation_flags(pointer_path):
+        raise RuntimeError(
+            f"ADC probe refused: generation {kind!r} under"
+            f" {pointer_path!r} carries no 'pq' flag — fit or refit it"
+            " with with_pq=True before serving ADC readers"
+        )
+    from awsbatch_mapreduce_spark.plans.wave14 import _pq_rerank_probe
+
+    codes_tbl, pqcb_tbl = _pq_generation_names(sf_dir, kind)
+    return _pq_rerank_probe(
+        spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl
+    )

@@ -175,7 +175,7 @@ def _sweep_ctes(cap: int) -> str:
       SELECT np.nprobe,
              COUNT(DISTINCT hb.id_new) AS dv,
              COALESCE(SUM(hb.n), 0) AS dp
-      FROM (VALUES (1), (2), (4)) np(nprobe)
+      FROM (VALUES {', '.join(f'({n})' for n in _SWEEP_NPROBES)}) np(nprobe)
       LEFT JOIN hb ON hb.rnk <= np.nprobe
       GROUP BY 1)
     SELECT CAST({cap} AS BIGINT) AS cap,
@@ -388,13 +388,16 @@ _PQ_RERANK = 4  # ADC candidates re-ranked exactly, per probed vector
 # The assignment CTEs (qn/dn/an/dfine/afine) restate the single-probe
 # text of wave11._probe_ctes (same fragments the multiprobe oracle
 # restates); the PQ section then mirrors the Spark build/probe 1:1.
-_PQ_RERANK_CTES = f""",
+# Parameterized by the probe boundary (round 16): the pointer-lifecycle
+# ADC query probes the quarter beyond q3 against a grown-corpus fit.
+def _pq_rerank_ctes(boundary_sql: str) -> str:
+    return f""",
     qn AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
              CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
                   AS BIGINT) AS vq
       FROM embeddings
-      WHERE vec_id > {_MID_BOUNDARY}),
+      WHERE vec_id > {boundary_sql}),
     dn AS MATERIALIZED (
       SELECT qn.vec_id, c.cell,
              SUM(CAST(FLOOR((qn.vq / 1000000.0 - c.c) * (qn.vq / 1000000.0 - c.c)
@@ -488,6 +491,9 @@ _PQ_RERANK_CTES = f""",
     FROM afine n LEFT JOIN agg a ON a.vec_id = n.vec_id
 """
 
+
+_PQ_RERANK_CTES = _pq_rerank_ctes(_MID_BOUNDARY)
+
 # the identical adaptive-fit prefix as `semdedup_codebook_adaptive`'s
 # oracle (same Lloyd chain + capacity-split text) — the PQ section is
 # the only delta, mirroring "same fit, different membership check"
@@ -508,6 +514,62 @@ def _vq4(col):
     quantized components, so the codes build never re-reads the raw
     corpus (the refit-from-members self-containment property)."""
     return F.floor(col / F.lit(100.0) + F.lit(0.5)).cast("bigint")
+
+
+def _pq_tables(spark, sf_dir: str, kind: str) -> tuple[str, str]:
+    """The generation's two PQ table names, with the same stale-tag
+    sweep + drop discipline as ``wave11._index_tables`` (one mutable
+    generation per fixture) — the build-side half; pure-name readers
+    use ``wave13._pq_generation_names``."""
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_tag
+    from awsbatch_mapreduce_spark.plans.wave13 import _pq_generation_names
+
+    tag = _scratch_tag(sf_dir)
+    names = _pq_generation_names(sf_dir, kind)
+    prefixes = tuple(
+        f"semdedup_{kind}_{part}_" for part in ("codes", "pqcb")
+    )
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefixes) and not t.name.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return names
+
+
+def _encode_codes(members_like: DataFrame, pcb: DataFrame) -> DataFrame:
+    """Encode (seen_id, cell, sub, vq_s) member rows against the
+    bounded PQ codebook: per subspace, the argmin-distance codebook
+    entry (FIRST(k ORDER BY d, k) ties, matching the oracle's mcode).
+    Returns (seen_id, cell, sub, sm, code) — the codes-table row shape.
+    Shared by the generation build (`_persist_pq_codes`) and the
+    streaming admission's codes append (round 16: admitted members get
+    codes too, so the ADC candidate set stays complete between
+    refits)."""
+    msub = members_like.select(
+        "seen_id", "cell", "sub", F.posexplode("vq_s").alias("pos", "v")
+    ).select(
+        "seen_id",
+        "cell",
+        "sub",
+        (F.col("pos") / _PQ_SUB).cast("int").alias("sm"),
+        (F.col("pos") % _PQ_SUB).alias("sj"),
+        _vq4(F.col("v")).alias("vq4"),
+    )
+    mdist = (
+        msub.join(F.broadcast(pcb), ["sm", "sj"])
+        .groupBy("seen_id", "cell", "sub", "sm", "k")
+        .agg(
+            F.sum(
+                (F.col("vq4") - F.col("cq")) * (F.col("vq4") - F.col("cq"))
+            ).alias("d")
+        )
+    )
+    return (
+        mdist.groupBy("seen_id", "cell", "sub", "sm")
+        .agg(F.min(F.struct("d", "k")).alias("b"))
+        .select("seen_id", "cell", "sub", "sm", F.col("b.k").alias("code"))
+    )
 
 
 def _persist_pq_codes(
@@ -549,24 +611,11 @@ def _persist_pq_codes(
         .saveAsTable(pqcb_tbl)
     )
     pcb_t = spark.table(pqcb_tbl)
-    mdist = (
-        msub.join(F.broadcast(pcb_t), ["sm", "sj"])
-        .groupBy("seen_id", "sm", "k")
-        .agg(
-            F.sum(
-                (F.col("vq4") - F.col("cq")) * (F.col("vq4") - F.col("cq"))
-            ).alias("d")
-        )
-    )
-    mcode = (
-        mdist.groupBy("seen_id", "sm")
-        .agg(F.min(F.struct("d", "k")).alias("b"))
-        .select("seen_id", "sm", F.col("b.k").alias("code"))
-    )
     spark.sql(f"DROP TABLE IF EXISTS {codes_tbl}")
     (
-        mem.select("seen_id", "cell", "sub")
-        .join(mcode, "seen_id")
+        _encode_codes(
+            mem.select("seen_id", "cell", "sub", "vq_s"), pcb_t
+        )
         .write.bucketBy(8, "cell", "sub")
         .sortBy("cell", "sub")
         .option("path", os.path.join(base, codes_tbl))
@@ -733,11 +782,7 @@ def codebook_pq_rerank_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         fine_tbl,
         mem_tbl,
     )
-    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_tag
-
-    tag = _scratch_tag(sf_dir)
-    codes_tbl = f"semdedup_pqm_codes_{tag}"
-    pqcb_tbl = f"semdedup_pqm_pqcb_{tag}"
+    codes_tbl, pqcb_tbl = _pq_tables(spark, sf_dir, "pqm")
     _persist_pq_codes(spark, mem_tbl, base, codes_tbl, pqcb_tbl)
 
     new = emb.filter(F.col("vec_id") > F.lit(mid)).select(

@@ -235,6 +235,33 @@ def refit_due(
     return n_now / n_fit > tolerated_inflation
 
 
+def recommend_nprobe(
+    vec_recall_bp: int,
+    current_nprobe: int,
+    floor_bp: int,
+    max_nprobe: int = 4,
+) -> int:
+    """The recall ACTUATOR (round 16, VERDICT r15 #3): turn a live
+    recall snapshot into a knob step.  The supervisor measures
+    per-generation vec-recall on live traffic (`_recall_snapshot`) and
+    the offline sweep prices the surface (`wave14`: ~+19 pts vec-recall
+    per nprobe step at production caps, at a bounded ~1x-per-step probe
+    constant and ZERO extra exchange); this rule connects them: a
+    snapshot below ``floor_bp`` recommends one nprobe step, capped at
+    ``max_nprobe`` (the sweep's measured range — beyond it the next
+    lever is a cap re-fit, which the cadence rule already owns).  One
+    step per snapshot, not a jump to max: each generation's snapshot
+    re-measures before the next step, so the knob converges on the
+    cheapest setting that clears the floor instead of overshooting to
+    the most expensive one.  ``floor_bp <= 0`` disarms the actuator
+    (measurement-only, the round-15 behavior)."""
+    if floor_bp <= 0:
+        return current_nprobe
+    if vec_recall_bp < floor_bp and current_nprobe < max_nprobe:
+        return current_nprobe + 1
+    return current_nprobe
+
+
 def _read_marker(path: str) -> int:
     try:
         with open(path) as fh:
@@ -276,6 +303,39 @@ def _table_location(spark, tbl: str) -> str:
     return loc.removeprefix("file:")
 
 
+def _complete_pending_swap(spark, tbl: str) -> None:
+    """Finish (or loudly refuse past) a ``_swap_rewrite`` that crashed
+    between its two renames.  ADVICE r15: Spark's InMemoryFileIndex
+    tolerates a missing root path and returns an EMPTY scan for a
+    catalog table, so the mid-swap window is not self-announcing — a
+    replay that reads the members table as empty would misclassify
+    "nothing landed", rewrite the fine book to empty, and silently
+    truncate the index.  The window is, however, always COMPLETABLE:
+    the sibling ``__repair`` dir was fully written (its saveAsTable
+    committed) before the first rename ran, so if the live location is
+    missing and ``__repair`` exists, the second rename is simply
+    re-issued.  A missing location with NO repair sibling is real
+    corruption — raise rather than let an empty scan masquerade as an
+    empty table.  Idempotent; called before every read-dependent
+    repair decision and at ``_swap_rewrite`` entry (so a pending swap
+    is never swept as a stale leftover)."""
+    import shutil
+
+    location = _table_location(spark, tbl)
+    if os.path.isdir(location):
+        return
+    repair_loc, old_loc = f"{location}__repair", f"{location}__old"
+    if not os.path.isdir(repair_loc):
+        raise RuntimeError(
+            f"table {tbl!r} location {location!r} is missing and no"
+            " __repair sibling exists to complete the swap — refusing"
+            " to read what Spark would surface as an empty table"
+        )
+    os.rename(repair_loc, location)
+    shutil.rmtree(old_loc, ignore_errors=True)
+    spark.catalog.refreshTable(tbl)
+
+
 def _swap_rewrite(
     spark, tbl: str, kept: DataFrame, bucket_cols: list[str]
 ) -> None:
@@ -286,12 +346,16 @@ def _swap_rewrite(
     loses the whole table and the next replay silently proceeds against
     the truncated remainder).  Crash positions here: before the first
     rename the live table is untouched (the replay simply redoes the
-    repair); between the two renames the table's location is MISSING,
-    so every subsequent read fails loudly instead of exposing a
-    truncated table; after the second rename the repair is complete and
-    the stale ``__old`` dir is swept on the next entry."""
+    repair); between the two renames the table's location is MISSING —
+    and because Spark reads a missing location as an EMPTY table rather
+    than an error (ADVICE r15), every repair entry point first runs
+    ``_complete_pending_swap``, which re-issues the second rename from
+    the fully-written ``__repair`` sibling; after the second rename the
+    repair is complete and the stale ``__old`` dir is swept on the next
+    entry."""
     import shutil
 
+    _complete_pending_swap(spark, tbl)
     location = _table_location(spark, tbl)
     repair_loc, old_loc = f"{location}__repair", f"{location}__old"
     # sweep leftovers of a previously crashed/completed repair
@@ -348,14 +412,45 @@ def _drop_partial_members(spark, new: DataFrame, mem_tbl: str) -> None:
     _swap_rewrite(spark, mem_tbl, kept, ["cell", "sub"])
 
 
+def _drop_batch_codes(spark, new: DataFrame, codes_tbl: str) -> None:
+    """Repair the codes half of an uncommitted admission (round 16):
+    drop every codes row belonging to the batch (anti-join on the
+    batch's bounded id set, crash-safe sibling-swap).  The codes append
+    runs BETWEEN the fine and members appends, so on any replay where
+    the members append did not fully commit the batch's codes rows —
+    none, partial, or all of them — are uncommitted and must go before
+    the re-admission re-encodes them.  The zero-row probe is one
+    bounded semi-join; the rewrite runs only when batch codes actually
+    landed."""
+    ids = new.select(F.col("vec_id").alias("seen_id"))
+    codes = spark.table(codes_tbl)
+    n_in = codes.join(F.broadcast(ids), "seen_id", "semi").count()
+    if n_in == 0:
+        return
+    kept = codes.join(F.broadcast(ids), "seen_id", "anti").localCheckpoint()
+    _swap_rewrite(spark, codes_tbl, kept, ["cell", "sub"])
+
+
 def foreach_batch_codebook_admit_probe(
-    coarse_tbl: str, fine_tbl: str, mem_tbl: str, out_dir: str
+    coarse_tbl: str,
+    fine_tbl: str,
+    mem_tbl: str,
+    out_dir: str,
+    codes_tbl: str | None = None,
+    pqcb_tbl: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Probe-then-admit streaming lifecycle: the micro-batch is probed
     against the index as of all PREVIOUSLY admitted batches, then
     admitted as new <= cap sub-cells.  The intent/watermark marker
     pair + the repair path make the two-append index mutation
-    replay-safe for a crash at ANY point (module docstring)."""
+    replay-safe for a crash at ANY point (module docstring).
+
+    ``codes_tbl``/``pqcb_tbl`` (round 16): bind the admission to a
+    PQ-carrying generation — admitted members are additionally encoded
+    against the generation's persisted PQ codebook and their codes
+    bucket-appended (order fine -> codes -> members; the members append
+    stays the commit point), and the replay-repair path purges the
+    batch's uncommitted codes rows alongside the orphan fine rows."""
     watermark_path = os.path.join(out_dir, "_ADMITTED_WATERMARK")
     intent_path = os.path.join(out_dir, "_ADMIT_INTENT")
 
@@ -389,20 +484,33 @@ def foreach_batch_codebook_admit_probe(
         )
         if intent == batch_id:
             # a previous attempt crashed inside the admission window.
+            # Before ANY read-dependent repair decision, complete a
+            # swap the previous repair may itself have crashed inside
+            # (ADVICE r15: a missing table root reads as EMPTY, which
+            # would turn n_in==0 into a silent index truncation).
+            _complete_pending_swap(spark, mem_tbl)
+            _complete_pending_swap(spark, fine_tbl)
+            if codes_tbl is not None:
+                _complete_pending_swap(spark, codes_tbl)
             # All-or-repair (ADVICE r14): the members append commits via
             # a sequence of renames, so a mid-commitJob crash leaves a
             # PARTIAL append — only a complete id set proves commit.
             n_in = _batch_admitted_count(spark, new, mem_tbl)
             if n_in == new.count():
-                # both appends fully committed; only the watermark is
-                # missing (the probe partition committed before the
-                # intent did) — fast-forward and skip
+                # both appends fully committed (and the codes append,
+                # which precedes the members commit point); only the
+                # watermark is missing (the probe partition committed
+                # before the intent did) — fast-forward and skip
                 _write_marker(watermark_path, batch_id)
                 os.remove(intent_path)
                 return
             if n_in > 0:
                 # mid-commit crash: purge the partial member rows first
                 _drop_partial_members(spark, new, mem_tbl)
+            if codes_tbl is not None:
+                # the batch's codes rows (none/partial/all may have
+                # landed before the members crash) are uncommitted
+                _drop_batch_codes(spark, new, codes_tbl)
             # at most the fine append landed: restore pre-admission
             # state, then fall through to the normal path
             _drop_orphan_fine(spark, fine_tbl, mem_tbl)
@@ -415,7 +523,10 @@ def foreach_batch_codebook_admit_probe(
         res = _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
         _write_probe_partition(res, out_dir, batch_id)
         _write_marker(intent_path, batch_id)  # admission window opens
-        _admit_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+        _admit_batch(
+            spark, new, coarse_tbl, fine_tbl, mem_tbl,
+            codes_tbl=codes_tbl, pqcb_tbl=pqcb_tbl,
+        )
         _write_marker(watermark_path, batch_id)  # admission committed
         os.remove(intent_path)
 

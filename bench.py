@@ -142,6 +142,13 @@ EXTENDED = [
     # delta prices the codes build (amortized) against the ~64x
     # members-bandwidth cut in the membership join
     "codebook_pq_rerank_probe",
+    # round 16 (wave 15): the pointer lifecycle WITH the PQ path folded
+    # in — fit+codes, cutover, admit-with-codes, inherited refit
+    # (codes rebuilt), vacuum, ADC probe via pointer; read next to
+    # codebook_pointer_lifecycle (same sequence, full-vector probe, no
+    # codes): the delta prices owning the codes as a generation
+    # artifact
+    "codebook_pointer_lifecycle_adc",
 ]
 
 # Heavy-query rep discipline (VERDICT r13 #3): the two LONGEST
@@ -159,6 +166,16 @@ EXTENDED = [
 # tier stays on the default path; this dict is only for queries long
 # enough that a warm-up pass costs more than it stabilizes.
 _NO_WARMUP_REPS = {"dedup_prefix_filter": 3, "semdedup_codebook_refit": 2}
+
+# Extra warm-up passes (VERDICT r15 hygiene #2): the two-fit pointer
+# lifecycles ran the widest relative spread in the suite (4.48 s on a
+# 14.10 s reading) — one warm-up pass does not absorb a two-fit JIT
+# (their rehearsal twins read ~2x cold-vs-warm).  A SECOND untimed
+# warm-up stabilizes the min without weakening the timed discipline.
+_EXTRA_WARMUP = {
+    "codebook_pointer_lifecycle": 2,
+    "codebook_pointer_lifecycle_adc": 2,
+}
 
 
 def _calibration_sec(spark) -> float:
@@ -218,12 +235,13 @@ def main() -> None:
     # 4-row output, read back with one cheap collect after timing.
     extended_metrics: dict[str, dict[str, int]] = {}
     for group in (HEADLINE, EXTENDED):
-        for name in group:  # untimed warm-up pass
+        for name in group:  # untimed warm-up pass(es)
             if name in _NO_WARMUP_REPS:
                 continue
-            QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            for _ in range(_EXTRA_WARMUP.get(name, 1)):
+                QUERIES[name].builder(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
         for rep in range(_REPS):
             for name in group:
                 if rep >= _NO_WARMUP_REPS.get(name, _REPS):

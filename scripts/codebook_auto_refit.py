@@ -45,6 +45,11 @@ TRIGGER = int(os.environ.get("AUTOREFIT_TRIGGER", "8"))
 RUN_SECS = int(os.environ.get("AUTOREFIT_SECS", "240"))
 INFLATION = float(os.environ.get("AUTOREFIT_INFLATION", "2.0"))
 RECALL_PANEL = int(os.environ.get("AUTOREFIT_RECALL_PANEL", "64"))
+# round 16: AUTOREFIT_PQ=1 bootstraps a PQ-carrying generation (codes
+# appended per batch, rebuilt per automatic refit, ADC-probed at the
+# end); AUTOREFIT_RECALL_FLOOR_BP > 0 arms the nprobe actuator
+WITH_PQ = os.environ.get("AUTOREFIT_PQ", "0") == "1"
+RECALL_FLOOR_BP = int(os.environ.get("AUTOREFIT_RECALL_FLOOR_BP", "0"))
 
 _FLOOR_MS = 6000.0  # the measured round-14 per-batch fixed floor
 
@@ -104,6 +109,7 @@ def main() -> None:
         pointer,
         emb.filter(F.col("vec_id") <= F.lit(mid)),
         "aref",
+        with_pq=WITH_PQ,
     )
     print(
         json.dumps(
@@ -114,6 +120,8 @@ def main() -> None:
                 "trigger_secs": TRIGGER,
                 "inflation": INFLATION,
                 "run_secs": RUN_SECS,
+                "with_pq": WITH_PQ,
+                "recall_floor_bp": RECALL_FLOOR_BP,
             }
         ),
         flush=True,
@@ -132,6 +140,7 @@ def main() -> None:
         run_secs=RUN_SECS,
         await_secs=RUN_SECS + 120,
         recall_panel=RECALL_PANEL,
+        recall_floor_bp=RECALL_FLOOR_BP,
     )
 
     for seg in report["segments"]:
@@ -172,6 +181,34 @@ def main() -> None:
         ),
         flush=True,
     )
+
+    if WITH_PQ:
+        # the ADC path must still serve through the pointer after the
+        # automatic cycles (VERDICT r15 #1 done-criterion, at load)
+        from awsbatch_mapreduce_spark.plans.iterative import _quantize
+        from awsbatch_mapreduce_spark.plans.wave13 import (
+            probe_current_generation,
+            read_generation_flags,
+        )
+
+        probe = (
+            emb.filter(F.col("vec_id") > F.lit(mid))
+            .limit(256)
+            .select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+        )
+        res = probe_current_generation(spark, SF_DIR, pointer, probe, adc=True)
+        n_dup = res.filter(F.col("is_novel") == 0).count()
+        print(
+            json.dumps(
+                {
+                    "phase": "adc_probe_after_cycles",
+                    "flags": sorted(read_generation_flags(pointer)),
+                    "probe_rows": res.count(),
+                    "n_dup_verdicts": n_dup,
+                }
+            ),
+            flush=True,
+        )
 
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -185,6 +185,12 @@ REHEARSAL = [
     # vector (the members-bandwidth term at 100 TB); exponent should
     # track _adaptive's with the codes build as a constant
     "codebook_pq_rerank_probe",
+    # round 16 (wave 15): the pointer lifecycle with the PQ path
+    # folded in — two fits + two codes builds + admit-with-codes +
+    # ADC probe via pointer; exponent should land between
+    # codebook_pointer_lifecycle's (same two-fit skeleton) and the PQ
+    # probe's, with the codes builds as the per-generation constant
+    "codebook_pointer_lifecycle_adc",
 ]
 
 # Resume/partition support: REHEARSE_ONLY="a,b" runs a subset (any

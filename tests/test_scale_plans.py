@@ -807,6 +807,12 @@ _REGISTRY_BROADCAST_BUDGET = {
     # sort-merge off their (cell, sub) bucket specs (pinned in
     # tests/test_wave14.py)
     "codebook_pq_rerank_probe": 4,
+    # wave 15 (round 16): the pointer-lifecycle ADC query returns the
+    # shared PQ re-rank plan against the generation the pointer names —
+    # the identical 4 bounded sites as codebook_pq_rerank_probe (the
+    # fit/codes/admit/refit/cutover/vacuum sequence executes eagerly
+    # inside the builder before this plan is captured)
+    "codebook_pointer_lifecycle_adc": 4,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites

@@ -410,6 +410,170 @@ def test_repair_swap_sweeps_stale_dirs_and_preserves_layout(
     assert res.count() == q0.count()
 
 
+def test_repair_crash_mid_swap_completes_on_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window 1c (ADVICE r15): the members REPAIR itself crashes
+    between ``_swap_rewrite``'s two renames.  Spark reads the missing
+    table root as an EMPTY table (not an error), so without the
+    completion guard the next replay would see n_in == 0, misread
+    "nothing landed", rewrite the fine book to empty against the empty
+    members scan, and silently truncate the index while the real data
+    sits stranded in the sibling dir.  The replay must instead COMPLETE
+    the swap from the fully-written ``__repair`` sibling before any
+    read-dependent decision, then repair and re-admit as usual —
+    landing byte-identical to a never-crashed twin."""
+    import awsbatch_mapreduce_spark.plans.wave12 as w12
+    import awsbatch_mapreduce_spark.streaming.codebook as sc
+
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "strm12")
+    out = str(tmp_path / "admit_out")
+    fn = foreach_batch_codebook_admit_probe(coarse, fine, mem, out)
+    batch0, batch1 = _two_batches(emb, mid, q3)
+    fn(batch0, 0)
+    mem_after_0 = spark.table(mem).count()
+
+    # crash #1: mid members job commit — a partial append + open intent
+    real_append_members = w12._append_members
+
+    def partial_then_crash(app_members, mem_tbl):
+        n = app_members.count()
+        real_append_members(app_members.limit(n // 2), mem_tbl)
+        raise RuntimeError("injected crash mid members commit")
+
+    monkeypatch.setattr(w12, "_append_members", partial_then_crash)
+    with pytest.raises(RuntimeError, match="mid members commit"):
+        fn(batch1, 1)
+    monkeypatch.setattr(w12, "_append_members", real_append_members)
+    assert _read_marker(os.path.join(out, "_ADMIT_INTENT")) == 1
+
+    # crash #2: the replay's members repair crashes BETWEEN the swap's
+    # two renames — live location renamed away, __repair not renamed in
+    real_rename = os.rename
+
+    def rename_then_crash(src, dst):
+        real_rename(src, dst)
+        if dst.endswith("__old"):
+            raise RuntimeError("injected crash between the swap renames")
+
+    monkeypatch.setattr(sc.os, "rename", rename_then_crash)
+    with pytest.raises(RuntimeError, match="between the swap renames"):
+        fn(batch1, 1)
+    monkeypatch.setattr(sc.os, "rename", real_rename)
+
+    loc = sc._table_location(spark, mem)
+    assert not os.path.isdir(loc)  # mid-swap: the live location is gone
+    assert os.path.isdir(f"{loc}__repair")
+    # the hazard itself, pinned: Spark surfaces the missing root as an
+    # EMPTY table — exactly what would fool the n_in == 0 branch
+    spark.catalog.refreshTable(mem)
+    assert spark.table(mem).count() == 0
+
+    fn(batch1, 1)  # replay: complete swap -> repair -> re-admit
+    assert not os.path.exists(os.path.join(out, "_ADMIT_INTENT"))
+    assert _read_marker(os.path.join(out, "_ADMITTED_WATERMARK")) == 1
+    assert spark.table(mem).count() > mem_after_0
+
+    # never-crashed twin on a separate index generation
+    _, _, _, coarse_t, fine_t, mem_t = _build_index(spark, "strm13")
+    out_t = str(tmp_path / "twin_out")
+    fn_t = foreach_batch_codebook_admit_probe(coarse_t, fine_t, mem_t, out_t)
+    fn_t(batch0, 0)
+    fn_t(batch1, 1)
+
+    def tbl_rows(t):
+        return sorted(map(tuple, spark.table(t).collect()))
+
+    assert tbl_rows(mem) == tbl_rows(mem_t)
+    assert tbl_rows(fine) == tbl_rows(fine_t)
+    assert _rows(spark.read.parquet(out)) == _rows(spark.read.parquet(out_t))
+
+
+def test_recommend_nprobe_rule():
+    """The recall actuator rule (round 16, VERDICT r15 #3): below the
+    floor -> one step up, capped; at/above the floor -> hold; floor
+    <= 0 -> disarmed."""
+    from awsbatch_mapreduce_spark.streaming.codebook import recommend_nprobe
+
+    assert recommend_nprobe(6600, 1, 8000) == 2  # below floor: step
+    assert recommend_nprobe(6600, 2, 8000) == 3  # keeps stepping
+    assert recommend_nprobe(6600, 4, 8000) == 4  # capped at max
+    assert recommend_nprobe(6600, 2, 8000, max_nprobe=2) == 2
+    assert recommend_nprobe(8000, 1, 8000) == 1  # at floor: hold
+    assert recommend_nprobe(9500, 3, 8000) == 3  # above floor: hold
+    assert recommend_nprobe(0, 1, 0) == 1  # disarmed
+    assert recommend_nprobe(0, 1, -1) == 1  # disarmed
+
+
+def test_admit_with_codes_crash_between_codes_and_members(
+    spark, tmp_path, monkeypatch
+):
+    """Round 16: a PQ-bound admission crashes AFTER the codes append
+    but BEFORE the members append (the new window the fine -> codes ->
+    members ordering creates).  The replay must purge the batch's
+    uncommitted codes rows alongside the orphan fine rows, then
+    re-admit — landing members, fine, AND codes byte-identical to a
+    never-crashed twin."""
+    import awsbatch_mapreduce_spark.plans.wave12 as w12
+    from awsbatch_mapreduce_spark.plans.wave14 import (
+        _persist_pq_codes,
+        _pq_tables,
+    )
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir
+
+    def build_pq(kind):
+        emb, mid, q3, coarse, fine, mem = _build_index(spark, kind)
+        base = _scratch_dir(f"awsbatch_semdedup_{kind}_idx", SF_DIR)
+        codes, pqcb = _pq_tables(spark, SF_DIR, kind)
+        _persist_pq_codes(spark, mem, base, codes, pqcb)
+        return emb, mid, q3, coarse, fine, mem, codes, pqcb
+
+    emb, mid, q3, coarse, fine, mem, codes, pqcb = build_pq("strm14")
+    out = str(tmp_path / "admit_out")
+    fn = foreach_batch_codebook_admit_probe(
+        coarse, fine, mem, out, codes_tbl=codes, pqcb_tbl=pqcb
+    )
+    batch0, batch1 = _two_batches(emb, mid, q3)
+    fn(batch0, 0)
+    codes_after_0 = spark.table(codes).count()
+
+    real_append_members = w12._append_members
+
+    def boom(app_members, mem_tbl):
+        raise RuntimeError("injected crash after the codes append")
+
+    monkeypatch.setattr(w12, "_append_members", boom)
+    with pytest.raises(RuntimeError, match="after the codes append"):
+        fn(batch1, 1)
+    monkeypatch.setattr(w12, "_append_members", real_append_members)
+    # the crashed attempt left the batch's codes committed (they precede
+    # the members commit point) and an open intent
+    spark.catalog.refreshTable(codes)
+    assert spark.table(codes).count() > codes_after_0
+    assert _read_marker(os.path.join(out, "_ADMIT_INTENT")) == 1
+
+    fn(batch1, 1)  # replay: purge batch codes + orphan fine -> re-admit
+    assert not os.path.exists(os.path.join(out, "_ADMIT_INTENT"))
+    assert _read_marker(os.path.join(out, "_ADMITTED_WATERMARK")) == 1
+
+    # never-crashed twin on a separate PQ-carrying generation
+    _, _, _, coarse_t, fine_t, mem_t, codes_t, pqcb_t = build_pq("strm15")
+    out_t = str(tmp_path / "twin_out")
+    fn_t = foreach_batch_codebook_admit_probe(
+        coarse_t, fine_t, mem_t, out_t, codes_tbl=codes_t, pqcb_tbl=pqcb_t
+    )
+    fn_t(batch0, 0)
+    fn_t(batch1, 1)
+
+    def tbl_rows(t):
+        return sorted(map(tuple, spark.table(t).collect()))
+
+    assert tbl_rows(mem) == tbl_rows(mem_t)
+    assert tbl_rows(fine) == tbl_rows(fine_t)
+    assert tbl_rows(codes) == tbl_rows(codes_t)
+    assert _rows(spark.read.parquet(out)) == _rows(spark.read.parquet(out_t))
+
+
 def test_admit_crash_after_commit_fast_forwards_watermark(spark, tmp_path):
     """Crash window 2: both appends committed but the watermark write
     never happened (intent still open).  The replay must recognize the

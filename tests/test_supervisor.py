@@ -261,6 +261,218 @@ def test_supervisor_clears_stale_refit_marker(spark, tmp_path):
     assert spark.table(mem0).count() == n_seen + 20
 
 
+def test_supervised_admission_pq_keeps_adc_serving(
+    spark, four_chunks, tmp_path
+):
+    """Round 16 (VERDICT r15 #1): a PQ-carrying generation stays
+    ADC-servable across >= 2 AUTOMATIC refit cycles — codes rebuilt
+    with every new generation (flag inherited), admitted batches'
+    codes appended between refits, superseded generations' codes
+    vacuumed — and the final ADC probe through the pointer is
+    frame-identical to one clean fit + encode over everything
+    admitted."""
+    from awsbatch_mapreduce_spark.plans.wave13 import (
+        _pq_generation_names,
+        read_generation_flags,
+    )
+    from awsbatch_mapreduce_spark.plans.wave14 import (
+        _persist_pq_codes,
+        _pq_rerank_probe,
+        _pq_tables,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svq",
+        with_pq=True,
+    )
+    assert read_generation_flags(pointer) == frozenset({"pq"})
+
+    report = _run(spark, four_chunks, tmp_path, pointer, gen_prefix="svq")
+    assert len(report["refits"]) >= 2, report["refits"]
+
+    # the flag survived every automatic cutover; the current
+    # generation's codes cover EVERY member (fit-time and admitted:
+    # one row per member per subspace), superseded codes are gone
+    kind, _ = read_generation_meta(pointer)
+    assert read_generation_flags(pointer) == frozenset({"pq"})
+    codes_tbl, pqcb_tbl = _pq_generation_names(SF_DIR, kind)
+    _, _, mem_tbl = _generation_names(SF_DIR, kind)
+    n_members = spark.table(mem_tbl).count()
+    assert n_members == emb.count()
+    n_subspaces = spark.table(pqcb_tbl).select("sm").distinct().count()
+    assert n_subspaces > 0
+    assert spark.table(codes_tbl).count() == n_members * n_subspaces
+    for r in report["refits"]:
+        old_codes, old_pqcb = _pq_generation_names(SF_DIR, r["old"])
+        assert not spark.catalog.tableExists(old_codes), r["old"]
+        assert not spark.catalog.tableExists(old_pqcb), r["old"]
+
+    # ADC through the pointer == ADC against one clean fit + encode
+    probe = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    got = sorted(
+        map(
+            tuple,
+            probe_current_generation(
+                spark, SF_DIR, pointer, probe, adc=True
+            ).collect(),
+        )
+    )
+    base_s, coarse_s, fine_s, mem_s = _index_tables(spark, SF_DIR, "svz")
+    _persist_two_level(
+        spark, emb, _mod_centroid_init, base_s, coarse_s, fine_s, mem_s
+    )
+    codes_s, pqcb_s = _pq_tables(spark, SF_DIR, "svz")
+    _persist_pq_codes(spark, mem_s, base_s, codes_s, pqcb_s)
+    want = sorted(
+        map(
+            tuple,
+            _pq_rerank_probe(
+                spark, probe, coarse_s, fine_s, mem_s, codes_s, pqcb_s
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_adc_probe_refused_without_pq_flag(spark, tmp_path):
+    """A generation without the pq flag must refuse ADC readers loudly
+    (never silently fall back to the full-vector path)."""
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svnf",
+    )
+    probe = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    ).limit(4)
+    with pytest.raises(RuntimeError, match="no 'pq' flag"):
+        probe_current_generation(spark, SF_DIR, pointer, probe, adc=True)
+
+
+def test_cadence_counter_matches_counted_twin(spark, tmp_path, monkeypatch):
+    """Round 16 (VERDICT r15 #2): the O(1) running cadence counter
+    feeds ``refit_due`` EXACTLY the numbers the per-batch full recount
+    used to — pinned by recording every (n_now, n_fit) the cadence
+    check sees across fresh batches, an exact replay, and an empty
+    batch, and comparing each n_now against an authoritative
+    refreshed count of the members table at that moment."""
+    import awsbatch_mapreduce_spark.streaming.supervisor as sup
+    from awsbatch_mapreduce_spark.streaming.supervisor import (
+        admit_probe_with_cadence,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    q3 = (mid + hi) // 2
+    base, coarse, fine, mem = _index_tables(spark, SF_DIR, "svcnt")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base,
+        coarse,
+        fine,
+        mem,
+    )
+    n_fit = spark.table(mem).count()
+
+    seen = []
+    real_refit_due = sup.refit_due
+
+    def recording(n_now, n_fit_, tol):
+        seen.append((n_now, n_fit_))
+        return real_refit_due(n_now, n_fit_, tol)
+
+    monkeypatch.setattr(sup, "refit_due", recording)
+    out = str(tmp_path / "out")
+    fn = admit_probe_with_cadence(
+        coarse, fine, mem, out, n_fit, tolerated_inflation=100.0
+    )
+    batch0 = emb.filter(
+        (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
+    ).select("vec_id", "embedding")
+    batch1 = emb.filter(F.col("vec_id") > F.lit(q3)).select(
+        "vec_id", "embedding"
+    )
+
+    def authoritative():
+        spark.catalog.refreshTable(mem)
+        return spark.table(mem).count()
+
+    fn(batch0, 0)  # first batch: the one authoritative count
+    assert seen[-1] == (authoritative(), n_fit)
+    fn(batch1, 1)  # running counter takes over
+    assert seen[-1] == (authoritative(), n_fit)
+    fn(batch1, 1)  # exact replay: watermark no-op, counter unchanged
+    assert seen[-1] == (authoritative(), n_fit)
+    fn(batch1.limit(0), 2)  # empty batch: no admission, no drift
+    assert seen[-1] == (authoritative(), n_fit)
+    assert len(seen) == 4  # the cadence check ran after EVERY batch
+
+
+def test_recall_actuator_steps_nprobe(spark, four_chunks, tmp_path):
+    """Round 16 (VERDICT r15 #3): with the actuator armed at an
+    unreachable floor, every snapshot recommends one nprobe step and
+    the next incarnation's QA probe RUNS at the stepped value (capped
+    at recall_max_nprobe); disarmed (floor 0), recommendations stay
+    put — the rule itself is pinned unit-style in
+    test_streaming_codebook."""
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svra",
+    )
+    report = _run(
+        spark,
+        four_chunks,
+        tmp_path,
+        pointer,
+        gen_prefix="svra",
+        recall_panel=16,
+        recall_nprobe=1,
+        recall_floor_bp=10000,  # unreachable on the fixture: always step
+    )
+    snaps = report.get("recall", [])
+    assert len(snaps) >= 3, snaps
+    # each snapshot ran at the previous one's recommendation, stepping
+    # 1 -> 2 -> 3 ... capped at 4
+    expect = 1
+    stepped = False
+    for s in snaps:
+        # the closed loop: this snapshot RAN at the previous one's
+        # recommendation, and its own recommendation follows the rule
+        # on the real measurement
+        assert s["nprobe"] == expect, snaps
+        want = (
+            expect + 1
+            if s["vec_recall_bp"] < 10000 and expect < 4
+            else expect
+        )
+        assert s["recommended_nprobe"] == want, snaps
+        stepped = stepped or want > expect
+        expect = s["recommended_nprobe"]
+    assert stepped, snaps  # at least one step actually fired
+
+
 def test_supervisor_recovers_from_crash_during_refit(
     spark, four_chunks, tmp_path, monkeypatch
 ):

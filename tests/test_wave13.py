@@ -470,14 +470,14 @@ def test_refit_and_cutover_rolls_back_pointer_on_post_swap_growth(
     real_cutover = w13.cutover_generation
     fired = []
 
-    def admit_then_cutover(spark_, sf_dir_, pointer_, kind_, n_fit=None):
+    def admit_then_cutover(spark_, sf_dir_, pointer_, kind_, **kw):
         # first call = the real swap: sneak an admission into the OLD
         # generation just before it (the post-recount TOCTOU window);
         # later calls (the rollback) pass straight through
         if not fired:
             fired.append(True)
             _admit_batch(spark_, late, coarse_a, fine_a, mem_a)
-        return real_cutover(spark_, sf_dir_, pointer_, kind_, n_fit=n_fit)
+        return real_cutover(spark_, sf_dir_, pointer_, kind_, **kw)
 
     monkeypatch.setattr(w13, "cutover_generation", admit_then_cutover)
     with pytest.raises(RuntimeError, match="grew from"):
