@@ -463,7 +463,11 @@ def run_supervised_admission(
 
             n_fit = spark.table(mem_tbl).count()
             cutover_generation(
-                spark, sf_dir, pointer_path, kind, n_fit=n_fit
+                spark, sf_dir, pointer_path, kind, n_fit=n_fit,
+                # preserve capability flags: a pq-flagged pointer with
+                # no n_fit (manual fit+cutover without a count) must
+                # not lose its ADC path in the baseline rewrite
+                with_pq="pq" in read_generation_flags(pointer_path),
             )
         # a PQ-carrying generation admits WITH codes, so the ADC path
         # keeps serving a complete candidate set between refits; the

@@ -424,6 +424,82 @@ def test_cadence_counter_matches_counted_twin(spark, tmp_path, monkeypatch):
     assert len(seen) == 4  # the cadence check ran after EVERY batch
 
 
+def test_legacy_pointer_baseline_rewrite_preserves_pq_flag(
+    spark, tmp_path
+):
+    """A pq-flagged pointer with NO recorded n_fit (a manual fit +
+    cutover without a count) must keep its ADC capability when the
+    supervisor writes the baseline back (ADVICE r15 follow-through):
+    losing the flag would stop codes appends and refuse ADC readers on
+    a generation that HAS codes."""
+    import pyarrow.parquet as _pq
+    from awsbatch_mapreduce_spark.plans.wave13 import (
+        cutover_generation,
+        read_generation_flags,
+    )
+    from awsbatch_mapreduce_spark.plans.wave14 import (
+        _persist_pq_codes,
+        _pq_tables,
+    )
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    kind = "svpf0000"
+    base, coarse, fine, mem = _index_tables(spark, SF_DIR, kind)
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base,
+        coarse,
+        fine,
+        mem,
+    )
+    codes, pqcb = _pq_tables(spark, SF_DIR, kind)
+    _persist_pq_codes(spark, mem, base, codes, pqcb)
+    cutover_generation(spark, SF_DIR, pointer, kind, with_pq=True)  # no n_fit
+    assert read_generation_meta(pointer) == (kind, None)
+
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    table = _pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    import pyarrow.compute as _pc
+
+    vid = table.column("vec_id")
+    _pq.write_table(
+        table.filter(
+            _pc.and_(_pc.greater(vid, mid), _pc.less_equal(vid, mid + 20))
+        ),
+        str(chunks / "chunk-0.parquet"),
+    )
+    report = run_supervised_admission(
+        spark,
+        _source(spark, str(chunks)),
+        SF_DIR,
+        pointer,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=100.0,
+        gen_prefix="svpf",
+    )
+    assert report["refits"] == []
+    # baseline recorded AND the pq capability survived the rewrite
+    kind_after, n_fit_after = read_generation_meta(pointer)
+    assert kind_after == kind and n_fit_after is not None
+    assert read_generation_flags(pointer) == frozenset({"pq"})
+    # the admitted batch's codes landed (admission ran codes-bound)
+    spark.catalog.refreshTable(codes)
+    n_subspaces = spark.table(pqcb).select("sm").distinct().count()
+    spark.catalog.refreshTable(mem)
+    assert (
+        spark.table(codes).count()
+        == spark.table(mem).count() * n_subspaces
+    )
+
+
 def test_recall_actuator_steps_nprobe(spark, four_chunks, tmp_path):
     """Round 16 (VERDICT r15 #3): with the actuator armed at an
     unreachable floor, every snapshot recommends one nprobe step and
