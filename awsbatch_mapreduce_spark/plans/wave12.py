@@ -275,6 +275,7 @@ def semdedup_codebook_adaptive_append(
 def _admit_batch(
     spark, batch, coarse_tbl, fine_tbl, mem_tbl,
     codes_tbl: str | None = None, pqcb_tbl: str | None = None,
+    cap: int = _CAP,
 ) -> None:
     """Admit one quantized batch (vec_id, vq) into the persisted
     two-level index WITHOUT a refit: coarse-assign via the broadcast
@@ -300,6 +301,12 @@ def _admit_batch(
     COMMIT POINT (if the batch's member rows are all visible, the codes
     landed before them), and the replay-repair path purges batch codes
     alongside orphan fine rows (`streaming/codebook.py`).
+
+    ``cap`` (round 16): the GENERATION'S fine-cell capacity — the
+    quality-triggered refit escalates it, so admission must rank-chunk
+    at the cap the index was fitted with to preserve the <= cap bound
+    (callers read it back from the generation pointer's ``cap=N``
+    token, `wave13.read_generation_cap`).
     """
     assigned_batch = assign_to_cells(batch, spark.table(coarse_tbl))
     w_chunk = Window.partitionBy("cell").orderBy(F.asc("d_fp"), F.asc("vec_id"))
@@ -316,7 +323,7 @@ def _admit_batch(
             F.col("cell").cast("int").alias("cell"),
             (
                 F.coalesce(F.col("base"), F.lit(0))
-                + F.floor((F.col("rn") - 1) / F.lit(_CAP))
+                + F.floor((F.col("rn") - 1) / F.lit(cap))
             )
             .cast("int")
             .alias("sub"),

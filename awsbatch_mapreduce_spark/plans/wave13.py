@@ -124,6 +124,7 @@ def refit_from_members(
     coarse_tbl: str,
     fine_tbl: str,
     mem_tbl: str,
+    cap: int = _CAP,
 ) -> None:
     """Rebuild the three-table two-level index as a NEW generation from
     an existing members table alone (no raw-corpus re-read): k0 is
@@ -132,19 +133,25 @@ def refit_from_members(
     path — identical integers to a from-scratch fit, since ``vq`` ==
     ``_quantize(embedding)`` by construction), and the rank-chunk
     capacity split + bucket specs are the shared build's.  The source
-    generation is left untouched; callers cut over by table name."""
+    generation is left untouched; callers cut over by table name.
+    ``cap`` (round 16): the NEW generation's fine-cell capacity — the
+    quality-triggered refit escalates it (the recall knob the wave-14
+    sweep priced: cap 16 -> 512 moved vec-recall 0.37 -> 0.996 at
+    nprobe=1), and since the fit reads only (vec_id, vq) the
+    escalation costs nothing beyond the refit already running."""
     grown = spark.table(src_mem_tbl).select(
         F.col("seen_id").alias("vec_id"), F.col("vq_s").alias("vq")
     )
     _persist_two_level(
         spark,
         grown,
-        lambda c: _mod_centroid_init(c, quantized=True),
+        lambda c: _mod_centroid_init(c, quantized=True, cap=cap),
         base,
         coarse_tbl,
         fine_tbl,
         mem_tbl,
         quantized=True,
+        cap=cap,
     )
 
 
@@ -840,11 +847,12 @@ def read_generation_meta(pointer_path: str) -> tuple[str | None, int | None]:
 
 def read_generation_flags(pointer_path: str) -> frozenset[str]:
     """Capability flags of the current generation (pointer line 3,
-    space-separated) — riding the same atomic rename as the kind and
-    n_fit.  ``pq`` means the generation carries codes + PQ-codebook
-    tables, so ``probe_current_generation(adc=True)`` may serve from
-    it.  Pointers written before round 16 have no flag line — an empty
-    set (no ADC path) comes back."""
+    space-separated tokens) — riding the same atomic rename as the
+    kind and n_fit.  ``pq`` means the generation carries codes +
+    PQ-codebook tables, so ``probe_current_generation(adc=True)`` may
+    serve from it; ``cap=N`` records the generation's fine-cell
+    capacity (``read_generation_cap`` parses it).  Pointers written
+    before round 16 have no flag line — an empty set comes back."""
     try:
         with open(pointer_path) as fh:
             lines = fh.read().splitlines()
@@ -855,6 +863,25 @@ def read_generation_flags(pointer_path: str) -> frozenset[str]:
     return frozenset(lines[2].split())
 
 
+def read_generation_cap(pointer_path: str) -> int:
+    """The current generation's fine-cell capacity, from the pointer's
+    ``cap=N`` flag token (round 16: the quality-triggered refit
+    escalates cap, so the generation's cap is state the admission path
+    must read back — its rank-chunking preserves the <= cap bound only
+    if it chunks at the SAME cap the generation was fitted with).
+    Pointers without the token (pre-escalation generations) return the
+    registered fixture default."""
+    from awsbatch_mapreduce_spark.plans.wave11 import _CAP
+
+    for tok in read_generation_flags(pointer_path):
+        if tok.startswith("cap="):
+            try:
+                return int(tok[4:])
+            except ValueError:
+                pass
+    return _CAP
+
+
 def cutover_generation(
     spark,
     sf_dir: str,
@@ -862,6 +889,7 @@ def cutover_generation(
     kind: str,
     n_fit: int | None = None,
     with_pq: bool = False,
+    cap: int | None = None,
 ) -> str | None:
     """Atomically repoint readers at generation ``kind``: verify all
     tables of the target generation exist (a half-written generation
@@ -876,7 +904,11 @@ def cutover_generation(
     (round 16) additionally verifies the generation's codes + PQ
     codebook tables and records the ``pq`` capability flag on the
     pointer's third line (same atomic rename) — the signal
-    ``probe_current_generation(adc=True)`` reads before serving ADC."""
+    ``probe_current_generation(adc=True)`` reads before serving ADC.
+    ``cap`` records the generation's fine-cell capacity as a ``cap=N``
+    token on the same line — the quality-triggered refit escalates it,
+    and the admission path must rank-chunk at the generation's own cap
+    to preserve the <= cap bound (``read_generation_cap``)."""
     import os as _os
 
     required = list(_generation_names(sf_dir, kind))
@@ -892,10 +924,13 @@ def cutover_generation(
     _os.makedirs(_os.path.dirname(pointer_path) or ".", exist_ok=True)
     tmp = f"{pointer_path}.tmp"
     lines = [kind]
-    if n_fit is not None or with_pq:
+    flags = (["pq"] if with_pq else []) + (
+        [f"cap={cap}"] if cap is not None else []
+    )
+    if n_fit is not None or flags:
         lines.append("" if n_fit is None else str(n_fit))
-    if with_pq:
-        lines.append("pq")
+    if flags:
+        lines.append(" ".join(flags))
     with open(tmp, "w") as fh:
         fh.write("\n".join(lines))
     _os.replace(tmp, pointer_path)
@@ -943,6 +978,7 @@ def refit_and_cutover(
     pointer_path: str,
     new_kind: str,
     with_pq: bool | None = None,
+    cap: int | None = None,
 ) -> str:
     """The guarded refit->cutover sequence: refit a fresh generation
     ``new_kind`` from the CURRENT generation's members table, then cut
@@ -978,7 +1014,14 @@ def refit_and_cutover(
     BEFORE the cutover, so an ADC reader resolving the pointer never
     sees a generation without its codes; None (the default) INHERITS
     the current generation's ``pq`` flag — the supervisor's automatic
-    refits keep whatever capability surface the generation had."""
+    refits keep whatever capability surface the generation had.
+
+    ``cap`` (round 16): the new generation's fine-cell capacity — None
+    inherits the current generation's (``read_generation_cap``); the
+    quality-triggered refit passes an ESCALATED cap, the growth-
+    triggered one inherits.  The cap rides the pointer as a ``cap=N``
+    token so admissions into the new generation rank-chunk at the cap
+    it was fitted with."""
     current, cur_n_fit = read_generation_meta(pointer_path)
     if current is None:
         raise RuntimeError(
@@ -986,8 +1029,11 @@ def refit_and_cutover(
             " refit from — fit and cut over a first generation directly"
         )
     cur_flags = read_generation_flags(pointer_path)
+    cur_cap = read_generation_cap(pointer_path)
     if with_pq is None:
         with_pq = "pq" in cur_flags
+    if cap is None:
+        cap = cur_cap
     _, _, src_mem = _generation_names(sf_dir, current)
     # refresh BEFORE the snapshot: streamed admissions commit through
     # the micro-batch's cloned session, so this session's cached file
@@ -999,7 +1045,9 @@ def refit_and_cutover(
     base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(
         spark, sf_dir, new_kind
     )
-    refit_from_members(spark, src_mem, base, coarse_tbl, fine_tbl, mem_tbl)
+    refit_from_members(
+        spark, src_mem, base, coarse_tbl, fine_tbl, mem_tbl, cap=cap
+    )
     if with_pq:
         # codes + PQ codebook are per-generation artifacts: rebuilt
         # from the NEW generation's members table (the codes build is
@@ -1032,7 +1080,7 @@ def refit_and_cutover(
     # it in the pointer's atomic write (the refit_due denominator)
     cutover_generation(
         spark, sf_dir, pointer_path, new_kind, n_fit=n_snapshot,
-        with_pq=with_pq,
+        with_pq=with_pq, cap=cap,
     )
     n_after = _recount()
     if n_after != n_snapshot:
@@ -1041,7 +1089,7 @@ def refit_and_cutover(
         # generation is intact — nothing vacuumed yet) and refuse
         cutover_generation(
             spark, sf_dir, pointer_path, current, n_fit=cur_n_fit,
-            with_pq="pq" in cur_flags,
+            with_pq="pq" in cur_flags, cap=cur_cap,
         )
         _refuse(n_after)
     return current

@@ -68,6 +68,8 @@ from awsbatch_mapreduce_spark.plans.wave11 import (
     _index_tables,
     _mod_centroid_init,
     _persist_two_level,
+    _probe_ctes,
+    _split_ctes,
     _SPLIT_CTES,
 )
 from awsbatch_mapreduce_spark.plans.wave12 import _admit_batch, _Q3_SQL
@@ -76,6 +78,7 @@ from awsbatch_mapreduce_spark.plans.wave13 import (
     _K0_GROWN_SQL,
     cutover_generation,
     probe_current_generation,
+    read_generation_cap,
     refit_and_cutover,
     vacuum_generation,
 )
@@ -178,3 +181,129 @@ def codebook_pointer_lifecycle_adc(
         "vec_id", _quantize(F.col("embedding")).alias("vq")
     )
     return probe_current_generation(spark, sf_dir, pointer, probe, adc=True)
+
+
+# ---------------------------------------------------------------------------
+# QUALITY-TRIGGERED CAP ESCALATION (round 16, follow-on to the recall
+# actuator): the nprobe step is the CHEAP recall knob (bounded probe
+# constant, zero extra exchange) but it saturates — the wave-14 sweep
+# measured the other axis: cap 16 -> 512 moved vec-recall 0.367 ->
+# 0.996 at nprobe=1.  When a live snapshot is below the floor with
+# nprobe at its max, the supervisor's next lever is a REFIT AT A
+# LARGER CAP (`run_supervised_admission`: marker reason `recall`, cap
+# * recall_cap_step bounded by recall_cap_max).  The cap rides the
+# generation pointer as a `cap=N` token — the same atomic rename as
+# the kind/n_fit/pq flag — because admission must rank-chunk at the
+# cap the generation was FITTED with to preserve the <= cap bound.
+# This query drives the escalated-refit arithmetic end to end against
+# a from-scratch oracle at the larger cap.
+# ---------------------------------------------------------------------------
+
+_ESCALATED_CAP = 64  # 16 * the supervisor's default recall_cap_step
+
+
+def _k0_grown_sql(cap: int) -> str:
+    """k0 = ceil(sqrt(ceil(n/cap))) over the grown corpus — the
+    wave-13 ``_K0_GROWN_SQL`` generalized to the escalated cap."""
+    return (
+        f"(SELECT CAST(CEIL(SQRT(CEIL(COUNT(*) / {cap}.0))) AS BIGINT)"
+        f" FROM {_GROWN_SRC} s0)"
+    )
+
+
+# From-scratch adaptive fit over the grown corpus AT THE ESCALATED CAP
+# + the shared probe program at the q3 boundary: the escalation is "one
+# clean fit at the new cap" by construction, and the driver's value
+# hash checks exactly that.
+_QUALITY_REFIT_ORACLE = (
+    _kmeans_cte(
+        5,
+        source=_GROWN_SRC,
+        cell_expr=f"CAST(vec_id % {_k0_grown_sql(_ESCALATED_CAP)} AS INT)",
+    )
+    + _split_ctes(_ESCALATED_CAP)
+    + _probe_ctes(_Q3_SQL)
+)
+
+
+@query(
+    "codebook_quality_refit_lifecycle",
+    oracle=_QUALITY_REFIT_ORACLE,
+    wave=16,
+)
+def codebook_quality_refit_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quality-triggered CAP-ESCALATION refit, driver-gated
+    (section comment): fit generation A at cap={cap0} -> cutover (the
+    pointer records ``cap={cap0}``) -> admit yesterday's batch
+    rank-chunked at the GENERATION'S cap (read back from the pointer,
+    the <= cap bound invariant) -> guarded ``refit_and_cutover`` at
+    cap={cap1} (the escalation the supervisor performs on a
+    below-floor snapshot with nprobe exhausted; the new cap rides the
+    pointer's atomic rename) -> vacuum A -> probe today's batch
+    through the pointer.
+
+    Oracle: a from-scratch adaptive fit over the grown corpus AT
+    cap={cap1} probed at the same boundary — the driver's value hash
+    proves the escalated refit-from-members lands the index exactly
+    where one clean fit at the new cap would have: the escalation is
+    a metadata decision plus the refit already scheduled, never a
+    corpus re-read.
+
+    Idempotent per run: pointer + both generations rebuilt from
+    scratch."""
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).first()
+    mid = (b.lo + b.hi) // 2  # oracle: (MIN + MAX) // 2, ids positive
+    q3 = (mid + b.hi) // 2  # oracle: (mid + MAX) // 2
+
+    ptr_dir = _scratch_dir("awsbatch_semdedup_ptrqr", sf_dir)
+    pointer = os.path.join(ptr_dir, "CURRENT_GENERATION")
+    if os.path.exists(pointer):
+        os.remove(pointer)  # fresh lifecycle per run
+
+    # generation A at the base cap, recorded on the pointer
+    base_a, coarse_a, fine_a, mem_a = _index_tables(spark, sf_dir, "qra")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base_a,
+        coarse_a,
+        fine_a,
+        mem_a,
+    )
+    cutover_generation(spark, sf_dir, pointer, "qra", cap=16)
+
+    # yesterday's batch, rank-chunked at the generation's OWN cap
+    batch = emb.filter(
+        (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
+    ).select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+    _admit_batch(
+        spark, batch, coarse_a, fine_a, mem_a,
+        cap=read_generation_cap(pointer),
+    )
+
+    # the quality escalation: refit at the larger cap, pointer carries
+    # the new capacity through the same atomic rename
+    old = refit_and_cutover(
+        spark, sf_dir, pointer, "qrb", cap=_ESCALATED_CAP
+    )
+    vacuum_generation(spark, sf_dir, pointer, old)
+
+    probe = emb.filter(F.col("vec_id") > F.lit(q3)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    return probe_current_generation(spark, sf_dir, pointer, probe)
+
+
+codebook_quality_refit_lifecycle.__doc__ = (
+    codebook_quality_refit_lifecycle.__doc__.format(
+        cap0=16, cap1=_ESCALATED_CAP
+    )
+)

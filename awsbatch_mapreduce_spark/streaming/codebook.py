@@ -120,7 +120,7 @@ def foreach_batch_codebook_probe(
 
 
 def foreach_batch_codebook_probe_current(
-    sf_dir: str, pointer_path: str, out_dir: str
+    sf_dir: str, pointer_path: str, out_dir: str, adc: bool = False
 ) -> Callable[[DataFrame, int], None]:
     """Probe-only streaming novelty against WHATEVER index generation
     the pointer names — the zero-downtime reader side of the wave-13
@@ -135,7 +135,16 @@ def foreach_batch_codebook_probe_current(
     so after a cutover its rewritten partition reflects the CURRENT
     generation — the at-least-once contract is "probed against the
     admitted corpus", which both generations of one refit satisfy (the
-    refit is probe-equivalent by the wave-13 oracle proof)."""
+    refit is probe-equivalent by the wave-13 oracle proof).
+
+    ``adc=True`` (round 16) serves each micro-batch through the
+    generation's IVFPQ path instead (``probe_current_generation(adc=
+    True)``: ADC over the bucketed codes, exact cosine on the
+    top-rerank survivors), refusing loudly at the batch boundary if
+    the pointer's generation carries no ``pq`` flag; because the
+    pointer is re-resolved per batch, a cutover that dropped the flag
+    surfaces as a failed batch, never a silent fallback to the
+    full-vector membership join."""
 
     def probe(batch_df: DataFrame, batch_id: int) -> None:
         from awsbatch_mapreduce_spark.plans.wave13 import (
@@ -148,7 +157,7 @@ def foreach_batch_codebook_probe_current(
             "vec_id", _quantize(F.col("embedding")).alias("vq")
         )
         res = probe_current_generation(
-            batch_df.sparkSession, sf_dir, pointer_path, new
+            batch_df.sparkSession, sf_dir, pointer_path, new, adc=adc
         )
         _write_probe_partition(res, out_dir, batch_id)
 
@@ -438,6 +447,7 @@ def foreach_batch_codebook_admit_probe(
     out_dir: str,
     codes_tbl: str | None = None,
     pqcb_tbl: str | None = None,
+    cap: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Probe-then-admit streaming lifecycle: the micro-batch is probed
     against the index as of all PREVIOUSLY admitted batches, then
@@ -450,7 +460,14 @@ def foreach_batch_codebook_admit_probe(
     against the generation's persisted PQ codebook and their codes
     bucket-appended (order fine -> codes -> members; the members append
     stays the commit point), and the replay-repair path purges the
-    batch's uncommitted codes rows alongside the orphan fine rows."""
+    batch's uncommitted codes rows alongside the orphan fine rows.
+    ``cap`` binds the admission's rank-chunking to the GENERATION'S
+    fine-cell capacity (round 16: the quality-triggered refit escalates
+    it); None keeps the registered fixture default."""
+    from awsbatch_mapreduce_spark.plans.wave11 import _CAP
+
+    if cap is None:
+        cap = _CAP
     watermark_path = os.path.join(out_dir, "_ADMITTED_WATERMARK")
     intent_path = os.path.join(out_dir, "_ADMIT_INTENT")
 
@@ -525,7 +542,7 @@ def foreach_batch_codebook_admit_probe(
         _write_marker(intent_path, batch_id)  # admission window opens
         _admit_batch(
             spark, new, coarse_tbl, fine_tbl, mem_tbl,
-            codes_tbl=codes_tbl, pqcb_tbl=pqcb_tbl,
+            codes_tbl=codes_tbl, pqcb_tbl=pqcb_tbl, cap=cap,
         )
         _write_marker(watermark_path, batch_id)  # admission committed
         os.remove(intent_path)

@@ -177,6 +177,8 @@ def admit_probe_with_cadence(
     recall_max_nprobe: int = 4,
     codes_tbl: str | None = None,
     pqcb_tbl: str | None = None,
+    cap: int | None = None,
+    can_escalate_cap: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """The supervised per-batch function: the round-14 replay-safe
     admission, then the cadence check.  The ``RefitDueSignal`` raise
@@ -205,18 +207,32 @@ def admit_probe_with_cadence(
 
     ``codes_tbl``/``pqcb_tbl`` bind the admission to a PQ-carrying
     generation (codes appended per batch — the ADC candidate set stays
-    complete between refits)."""
+    complete between refits).  ``cap`` binds the admission's
+    rank-chunking to the generation's fitted capacity.
+
+    ``can_escalate_cap`` arms the CAP side of the actuator (round 16):
+    when the incarnation's recall snapshot lands below the floor AND
+    the nprobe actuator cannot step further (already at
+    ``recall_max_nprobe``), the cheap knob is exhausted — the next
+    lever is a refit at a LARGER cap (the wave-14 sweep's other axis).
+    The closure then writes the ``_REFIT_DUE`` marker with reason
+    ``recall`` and quiesces at the batch boundary exactly like the
+    growth trigger; the supervisor reads the reason and refits at the
+    escalated cap.  One quality signal per incarnation (the snapshot
+    is one-shot), so escalation is stepwise and re-measured per
+    generation, never a jump to the maximum."""
     from awsbatch_mapreduce_spark.plans.iterative import _quantize
 
     inner = foreach_batch_codebook_admit_probe(
         coarse_tbl, fine_tbl, mem_tbl, out_dir,
-        codes_tbl=codes_tbl, pqcb_tbl=pqcb_tbl,
+        codes_tbl=codes_tbl, pqcb_tbl=pqcb_tbl, cap=cap,
     )
     wm_path = os.path.join(out_dir, "_ADMITTED_WATERMARK")
     intent_path = os.path.join(out_dir, "_ADMIT_INTENT")
     snap_path = os.path.join(out_dir, "_RECALL_SNAPSHOTS.jsonl")
     measured: list[int] = []
     counter: dict[str, int | None] = {"n": None}
+    quality_breach: list[int] = []
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -250,6 +266,17 @@ def admit_probe_with_cadence(
                 snap["vec_recall_bp"], recall_nprobe, recall_floor_bp,
                 recall_max_nprobe,
             )
+            if (
+                can_escalate_cap
+                and recall_floor_bp > 0
+                and snap["vec_recall_bp"] < recall_floor_bp
+                and snap["recommended_nprobe"] == recall_nprobe
+            ):
+                # below floor with the nprobe knob exhausted: signal a
+                # quality refit AFTER this batch commits (the raise
+                # happens post-admission, at the boundary)
+                quality_breach.append(batch_id)
+                snap["cap_escalation_signalled"] = True
             os.makedirs(out_dir, exist_ok=True)  # first batch: the
             # probe-partition write has not created the sink dir yet
             with open(snap_path, "a") as fh:
@@ -266,16 +293,29 @@ def admit_probe_with_cadence(
             # it does not filter), so the increment is the batch size
             counter["n"] += batch_df.count()
         n_now = counter["n"]
-        if refit_due(n_now, n_fit, tolerated_inflation):
+
+        def _signal(reason: str, detail: str) -> None:
             tmp = _marker_path(out_dir) + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(json.dumps({"batch_id": batch_id, "n_now": n_now,
-                                     "n_fit": n_fit}))
+                                     "n_fit": n_fit, "reason": reason}))
             os.replace(tmp, _marker_path(out_dir))
             raise RefitDueSignal(
-                f"refit due after batch {batch_id}: members {n_now} >"
-                f" {tolerated_inflation}x fit-time {n_fit} — quiescing"
+                f"refit due after batch {batch_id}: {detail} — quiescing"
                 " for automatic refit"
+            )
+
+        if refit_due(n_now, n_fit, tolerated_inflation):
+            _signal(
+                "growth",
+                f"members {n_now} > {tolerated_inflation}x fit-time"
+                f" {n_fit}",
+            )
+        if quality_breach:
+            _signal(
+                "recall",
+                f"recall below floor {recall_floor_bp} bp with nprobe"
+                f" at its max ({recall_nprobe}) — cap escalation",
             )
 
     return fn
@@ -334,25 +374,31 @@ def recover_generations(
 
 def bootstrap_generation(
     spark, sf_dir: str, pointer_path: str, seed, gen_prefix: str,
-    with_pq: bool = False,
+    with_pq: bool = False, cap: int | None = None,
 ) -> str:
     """Fit generation ``{gen_prefix}0000`` over a raw (vec_id,
     embedding) seed corpus and cut the pointer over with its fit-time
     size — the supervisor's day-zero step.  ``with_pq`` additionally
     builds the generation's codes + PQ-codebook tables and records the
     ``pq`` flag, arming the ADC path (and every automatic refit
-    inherits it)."""
+    inherits it).  ``cap`` sets the fine-cell capacity (default the
+    registered fixture cap) and is recorded on the pointer so
+    admissions and quality escalations read it back."""
     from awsbatch_mapreduce_spark.plans.wave11 import (
+        _CAP,
         _index_tables,
         _mod_centroid_init,
         _persist_two_level,
     )
     from awsbatch_mapreduce_spark.plans.wave13 import cutover_generation
 
+    if cap is None:
+        cap = _CAP
     kind = f"{gen_prefix}0000"
     base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(spark, sf_dir, kind)
     _persist_two_level(
-        spark, seed, _mod_centroid_init, base, coarse_tbl, fine_tbl, mem_tbl
+        spark, seed, lambda s: _mod_centroid_init(s, cap=cap),
+        base, coarse_tbl, fine_tbl, mem_tbl, cap=cap,
     )
     if with_pq:
         from awsbatch_mapreduce_spark.plans.wave14 import (
@@ -364,7 +410,8 @@ def bootstrap_generation(
         _persist_pq_codes(spark, mem_tbl, base, codes_tbl, pqcb_tbl)
     n_fit = spark.table(mem_tbl).count()
     cutover_generation(
-        spark, sf_dir, pointer_path, kind, n_fit=n_fit, with_pq=with_pq
+        spark, sf_dir, pointer_path, kind, n_fit=n_fit, with_pq=with_pq,
+        cap=cap,
     )
     return kind
 
@@ -388,6 +435,8 @@ def run_supervised_admission(
     recall_nprobe: int = 2,
     recall_floor_bp: int = 0,
     recall_max_nprobe: int = 4,
+    recall_cap_step: int = 4,
+    recall_cap_max: int = 512,
 ) -> dict:
     """Drive streaming admission with AUTOMATIC refits until the
     source drains (``available_now=True``), the wall budget
@@ -414,8 +463,16 @@ def run_supervised_admission(
     the snapshot line as ``recommended_nprobe`` and APPLIED to the next
     stream incarnation's QA probe — the loop that measured its own
     quality recovery (r15: 0.66 -> 0.84 -> 0.91 across refits) now
-    steps its own knob when a generation lands below target."""
+    steps its own knob when a generation lands below target.  When the
+    nprobe knob is EXHAUSTED (already at max) and the snapshot is still
+    below the floor, the supervisor escalates the OTHER axis the
+    wave-14 sweep priced: a quality-triggered refit at ``cap *
+    recall_cap_step`` (bounded by ``recall_cap_max``), recorded in the
+    refit entry as ``reason: recall`` with the old/new caps; the new
+    cap rides the generation pointer so subsequent admissions
+    rank-chunk at the capacity the index was fitted with."""
     from awsbatch_mapreduce_spark.plans.wave13 import (
+        read_generation_cap,
         read_generation_flags,
         read_generation_meta,
         refit_and_cutover,
@@ -466,8 +523,10 @@ def run_supervised_admission(
                 spark, sf_dir, pointer_path, kind, n_fit=n_fit,
                 # preserve capability flags: a pq-flagged pointer with
                 # no n_fit (manual fit+cutover without a count) must
-                # not lose its ADC path in the baseline rewrite
+                # not lose its ADC path — or its fitted cap — in the
+                # baseline rewrite
                 with_pq="pq" in read_generation_flags(pointer_path),
+                cap=read_generation_cap(pointer_path),
             )
         # a PQ-carrying generation admits WITH codes, so the ADC path
         # keeps serving a complete candidate set between refits; the
@@ -476,6 +535,7 @@ def run_supervised_admission(
         codes_tbl = pqcb_tbl = None
         if "pq" in read_generation_flags(pointer_path):
             codes_tbl, pqcb_tbl = _pq_generation_names(sf_dir, kind)
+        cur_cap = read_generation_cap(pointer_path)
         fn = admit_probe_with_cadence(
             *_generation_names(sf_dir, kind),
             out_dir,
@@ -487,6 +547,10 @@ def run_supervised_admission(
             recall_max_nprobe=recall_max_nprobe,
             codes_tbl=codes_tbl,
             pqcb_tbl=pqcb_tbl,
+            cap=cur_cap,
+            can_escalate_cap=(
+                recall_floor_bp > 0 and cur_cap < recall_cap_max
+            ),
         )
         writer = source_df.writeStream.foreachBatch(fn).option(
             "checkpointLocation", ckpt_dir
@@ -548,14 +612,27 @@ def run_supervised_admission(
             os.remove(marker)
             if refits < max_refits and not budget_stop:
                 new_kind = _next_kind(gen_prefix, kind)
+                reason = due_info.get("reason", "growth")
+                # quality refits escalate the cap (the sweep's other
+                # recall axis); growth refits inherit it
+                new_cap = (
+                    min(cur_cap * recall_cap_step, recall_cap_max)
+                    if reason == "recall"
+                    else None
+                )
                 t0 = time.perf_counter()
-                old = refit_and_cutover(spark, sf_dir, pointer_path, new_kind)
+                old = refit_and_cutover(
+                    spark, sf_dir, pointer_path, new_kind, cap=new_cap
+                )
                 refit_sec = round(time.perf_counter() - t0, 2)
                 vacuum_generation(spark, sf_dir, pointer_path, old)
                 report["refits"].append(
                     {
                         "old": old,
                         "new": new_kind,
+                        "reason": reason,
+                        "cap_before": cur_cap,
+                        "cap_after": read_generation_cap(pointer_path),
                         "refit_sec": refit_sec,
                         "n_fit_before": n_fit,
                         "n_fit_after": due_info["n_now"],

@@ -149,6 +149,12 @@ EXTENDED = [
     # codes): the delta prices owning the codes as a generation
     # artifact
     "codebook_pointer_lifecycle_adc",
+    # round 16 (wave 15): the quality-triggered cap escalation — the
+    # same fit/admit/refit skeleton as codebook_pointer_lifecycle but
+    # the refit lands at cap=64; read next to it: the delta prices the
+    # escalated fit (fewer, larger cells — usually CHEAPER, the sweep's
+    # measured cap-vs-fit-cost slope)
+    "codebook_quality_refit_lifecycle",
 ]
 
 # Heavy-query rep discipline (VERDICT r13 #3): the two LONGEST

@@ -813,6 +813,12 @@ _REGISTRY_BROADCAST_BUDGET = {
     # fit/codes/admit/refit/cutover/vacuum sequence executes eagerly
     # inside the builder before this plan is captured)
     "codebook_pointer_lifecycle_adc": 4,
+    # wave 15 (round 16): the quality-escalation refit returns the
+    # shared wave-11 probe plan against the cap-64 generation the
+    # pointer names — the identical 2 bounded coarse-book sites as
+    # codebook_pointer_lifecycle (cap changes table contents, not the
+    # probe plan shape)
+    "codebook_quality_refit_lifecycle": 2,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites

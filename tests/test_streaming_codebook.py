@@ -701,6 +701,61 @@ def test_streaming_admissions_then_refit_cutover(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_adc_probe_equals_batch_adc_probe(
+    spark, emb_chunks, tmp_path
+):
+    """Round 16: the pointer-resolving streaming reader's ADC path —
+    N micro-batches probed through `probe_current_generation(adc=True)`
+    union to exactly the one-shot batch ADC probe (per-row independence
+    given a static PQ generation), and the reader REFUSES an unflagged
+    generation at the batch boundary instead of silently falling back
+    to the full-vector join."""
+    from awsbatch_mapreduce_spark.plans.wave13 import cutover_generation
+    from awsbatch_mapreduce_spark.plans.wave14 import (
+        _persist_pq_codes,
+        _pq_rerank_probe,
+        _pq_tables,
+    )
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir
+    from awsbatch_mapreduce_spark.streaming.codebook import (
+        foreach_batch_codebook_probe_current,
+    )
+
+    emb, mid, q3, coarse, fine, mem = _build_index(spark, "sadc")
+    base = _scratch_dir("awsbatch_semdedup_sadc_idx", SF_DIR)
+    codes, pqcb = _pq_tables(spark, SF_DIR, "sadc")
+    _persist_pq_codes(spark, mem, base, codes, pqcb)
+    pointer = str(tmp_path / "ptr")
+
+    # unflagged generation: the ADC reader must fail the batch loudly
+    cutover_generation(spark, SF_DIR, pointer, "sadc")
+    out_refuse = str(tmp_path / "out_refuse")
+    fn = foreach_batch_codebook_probe_current(
+        SF_DIR, pointer, out_refuse, adc=True
+    )
+    batch0, _ = _two_batches(emb, mid, q3)
+    with pytest.raises(RuntimeError, match="no 'pq' flag"):
+        fn(batch0, 0)
+
+    # flagged generation: stream == batch, byte-identical
+    cutover_generation(spark, SF_DIR, pointer, "sadc", with_pq=True)
+    out = str(tmp_path / "out")
+    _drain(
+        spark,
+        emb_chunks,
+        foreach_batch_codebook_probe_current(SF_DIR, pointer, out, adc=True),
+        str(tmp_path / "ckpt"),
+    )
+    got = _rows(spark.read.parquet(out))
+    new = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    want = _rows(
+        _pq_rerank_probe(spark, new, coarse, fine, mem, codes, pqcb)
+    )
+    assert got == want and len(got) > 0
+
+
 def test_stream_probe_pointer_cutover_mid_stream(spark, tmp_path):
     """The zero-downtime reader loop: a pointer-resolving streaming
     probe picks up a `cutover_generation` at the NEXT micro-batch with

@@ -292,7 +292,7 @@ def test_supervised_admission_pq_keeps_adc_serving(
         "svq",
         with_pq=True,
     )
-    assert read_generation_flags(pointer) == frozenset({"pq"})
+    assert "pq" in read_generation_flags(pointer)
 
     report = _run(spark, four_chunks, tmp_path, pointer, gen_prefix="svq")
     assert len(report["refits"]) >= 2, report["refits"]
@@ -301,7 +301,7 @@ def test_supervised_admission_pq_keeps_adc_serving(
     # generation's codes cover EVERY member (fit-time and admitted:
     # one row per member per subspace), superseded codes are gone
     kind, _ = read_generation_meta(pointer)
-    assert read_generation_flags(pointer) == frozenset({"pq"})
+    assert "pq" in read_generation_flags(pointer)
     codes_tbl, pqcb_tbl = _pq_generation_names(SF_DIR, kind)
     _, _, mem_tbl = _generation_names(SF_DIR, kind)
     n_members = spark.table(mem_tbl).count()
@@ -489,7 +489,7 @@ def test_legacy_pointer_baseline_rewrite_preserves_pq_flag(
     # baseline recorded AND the pq capability survived the rewrite
     kind_after, n_fit_after = read_generation_meta(pointer)
     assert kind_after == kind and n_fit_after is not None
-    assert read_generation_flags(pointer) == frozenset({"pq"})
+    assert "pq" in read_generation_flags(pointer)
     # the admitted batch's codes landed (admission ran codes-bound)
     spark.catalog.refreshTable(codes)
     n_subspaces = spark.table(pqcb).select("sm").distinct().count()
@@ -549,6 +549,76 @@ def test_recall_actuator_steps_nprobe(spark, four_chunks, tmp_path):
     assert stepped, snaps  # at least one step actually fired
 
 
+def test_quality_breach_escalates_cap(spark, four_chunks, tmp_path):
+    """Round 16 (cap side of the actuator): with the floor unreachable
+    and the nprobe knob already exhausted (max_nprobe == starting
+    nprobe), every below-floor snapshot triggers a QUALITY refit at an
+    escalated cap (x4, bounded), recorded with reason 'recall' and the
+    old/new caps; escalation stops by itself once the snapshot clears
+    the floor (a big-enough cap makes the bounded-k0 fixture probe
+    exhaustive) or the cap bound is hit.  The <= cap bound holds in
+    the final generation at ITS OWN cap — admissions rank-chunk at the
+    pointer's recorded capacity."""
+    from awsbatch_mapreduce_spark.plans.wave13 import read_generation_cap
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svqc",
+    )
+    assert read_generation_cap(pointer) == 16
+    report = run_supervised_admission(
+        spark,
+        _source(spark, four_chunks),
+        SF_DIR,
+        pointer,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=100.0,  # growth can never trigger
+        gen_prefix="svqc",
+        recall_panel=16,
+        recall_nprobe=1,
+        recall_floor_bp=10000,  # unreachable until the probe is exhaustive
+        recall_max_nprobe=1,  # nprobe knob exhausted from the start
+    )
+    refits = report["refits"]
+    assert len(refits) >= 1, report
+    assert all(r["reason"] == "recall" for r in refits), refits
+    caps = [refits[0]["cap_before"]] + [r["cap_after"] for r in refits]
+    assert caps[0] == 16
+    assert all(b < a <= 512 for b, a in zip(caps, caps[1:])), caps
+    assert read_generation_cap(pointer) == caps[-1]
+    # escalation stopped for a reason: either the last snapshot cleared
+    # the floor (exhaustive probe at the escalated cap) or cap maxed
+    snaps = report.get("recall", [])
+    last = snaps[-1]
+    assert last["vec_recall_bp"] == 10000 or caps[-1] == 512, snaps
+    # every signalling snapshot is marked, the final one is not
+    assert all(
+        s.get("cap_escalation_signalled", False) for s in snaps[:-1]
+    ), snaps
+    assert not last.get("cap_escalation_signalled", False), snaps
+    # the <= cap bound holds in the final generation AT ITS OWN cap
+    kind, _ = read_generation_meta(pointer)
+    _, _, mem_tbl = _generation_names(SF_DIR, kind)
+    spark.catalog.refreshTable(mem_tbl)
+    mx = (
+        spark.table(mem_tbl)
+        .groupBy("cell", "sub")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    assert mx <= caps[-1], (mx, caps)
+    assert spark.table(mem_tbl).count() == emb.count()
+
+
 def test_supervisor_recovers_from_crash_during_refit(
     spark, four_chunks, tmp_path, monkeypatch
 ):
@@ -574,12 +644,12 @@ def test_supervisor_recovers_from_crash_during_refit(
     real_refit = w13.refit_from_members
     crashed = []
 
-    def crash_once(spark_, src_mem, base, coarse, fine, mem):
+    def crash_once(spark_, src_mem, base, coarse, fine, mem, **kw):
         if not crashed:
             crashed.append(True)
             # leave a half-built generation behind: fine+members missing
             raise RuntimeError("injected crash mid refit")
-        return real_refit(spark_, src_mem, base, coarse, fine, mem)
+        return real_refit(spark_, src_mem, base, coarse, fine, mem, **kw)
 
     monkeypatch.setattr(w13, "refit_from_members", crash_once)
     with pytest.raises(RuntimeError, match="injected crash mid refit"):
