@@ -276,7 +276,7 @@ def _admit_batch(
     spark, batch, coarse_tbl, fine_tbl, mem_tbl,
     codes_tbl: str | None = None, pqcb_tbl: str | None = None,
     cap: int = _CAP,
-) -> None:
+) -> int:
     """Admit one quantized batch (vec_id, vq) into the persisted
     two-level index WITHOUT a refit: coarse-assign via the broadcast
     codebook (d_fp is the chunk-rank key, exactly as the build
@@ -342,6 +342,10 @@ def _admit_batch(
     if codes_tbl is not None:
         _append_codes(spark, app_members, codes_tbl, pqcb_tbl)
     _append_members(app_members, mem_tbl)
+    # the admitted row count, from the already-materialized checkpoint
+    # (one cached-partition pass, no source re-scan) — the supervisor's
+    # running cadence counter consumes it (VERDICT r16 hygiene #3)
+    return app_members.count()
 
 
 def _append_fine(app_members: DataFrame, fine_tbl: str) -> None:

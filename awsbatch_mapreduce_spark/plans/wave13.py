@@ -314,37 +314,22 @@ _MULTIPROBE_ORACLE = (
 )
 
 
-def _multiprobe_batch(
+def _assign_fine_multi(
     spark: SparkSession,
     new,
     coarse_tbl: str,
     fine_tbl: str,
-    mem_tbl: str,
-    nprobe: int = _NPROBE,
+    nprobe: int,
 ) -> DataFrame:
-    """nprobe=k PROBE over a fitted two-level index: coarse-assign each
-    batch vector to its k nearest coarse cells, fine-argmin within
-    each, exact membership cosine against the union of the (up to) k
-    fine cells' <= cap members, report dup stats over the union with
-    the PRIMARY (rank-1) cell/sub.  Generalized from the fixed
-    nprobe=2 of round 14 (VERDICT r14 #2) — the registered
-    ``semdedup_codebook_multiprobe`` keeps ``_NPROBE`` (2); the
-    wave-14 recall/cost sweep probes 1/2/4.
-
-    Scale shape matches ``wave11._probe_batch``: rank r is the r-th
-    struct-min aggregate over a re-evaluation of the bounded k0 coarse
-    distances with the ranks-(1..r-1) cells excluded (r x the
-    broadcast-side compute, ZERO extra exchange, one row per vector
-    crossing each aggregate) — not a row_number window over the
-    |batch| x k0 candidate blow-up, the exchange the
-    argmin-as-aggregate discipline exists to avoid.  Ties match the
-    oracle's ROW_NUMBER(ORDER BY dfp, cell): each struct-min takes the
-    lexicographically smallest (d_fp, cell) of the remaining cells.
-    The growing fine book and members sides stay
-    `never_broadcast`-pinned sort-merge joins reading their bucket
-    specs.  With fewer than nprobe coarse cells the exclusion filter
-    empties and the higher ranks contribute no rows — matching the
-    oracle's rnk <= nprobe."""
+    """The multiprobe ASSIGNMENT half, extracted from
+    ``_multiprobe_batch`` in round 17 so the ADC path
+    (``wave14._pq_rerank_probe``) shares the identical rank-k plan:
+    coarse-assign each (vec_id, vq) batch vector to its ``nprobe``
+    nearest coarse cells (rank r = the r-th struct-min aggregate over
+    the broadcast k0 book with ranks 1..r-1 excluded — zero extra
+    exchange, see ``_multiprobe_batch``), then fine-argmin per
+    (vec_id, rank).  Returns (vec_id, rnk, cell, sub, vq, nn_n) —
+    ``_assign_fine``'s shape keyed one level wider."""
     coarse = spark.table(coarse_tbl)
     a1 = assign_to_cells(new, coarse)
     probes = a1.select(
@@ -394,7 +379,7 @@ def _multiprobe_batch(
             )
     # fine argmin per (vec_id, rank) — the same struct-min aggregate as
     # the single-probe plan, keyed one level wider
-    assigned = (
+    return (
         probes.join(never_broadcast(spark.table(fine_tbl)), "cell")
         .select(
             "vec_id",
@@ -421,6 +406,40 @@ def _multiprobe_batch(
             ).alias("nn_n"),
         )
     )
+
+
+def _multiprobe_batch(
+    spark: SparkSession,
+    new,
+    coarse_tbl: str,
+    fine_tbl: str,
+    mem_tbl: str,
+    nprobe: int = _NPROBE,
+) -> DataFrame:
+    """nprobe=k PROBE over a fitted two-level index: coarse-assign each
+    batch vector to its k nearest coarse cells, fine-argmin within
+    each, exact membership cosine against the union of the (up to) k
+    fine cells' <= cap members, report dup stats over the union with
+    the PRIMARY (rank-1) cell/sub.  Generalized from the fixed
+    nprobe=2 of round 14 (VERDICT r14 #2) — the registered
+    ``semdedup_codebook_multiprobe`` keeps ``_NPROBE`` (2); the
+    wave-14 recall/cost sweep probes 1/2/4.
+
+    Scale shape matches ``wave11._probe_batch``: rank r is the r-th
+    struct-min aggregate over a re-evaluation of the bounded k0 coarse
+    distances with the ranks-(1..r-1) cells excluded (r x the
+    broadcast-side compute, ZERO extra exchange, one row per vector
+    crossing each aggregate) — not a row_number window over the
+    |batch| x k0 candidate blow-up, the exchange the
+    argmin-as-aggregate discipline exists to avoid.  Ties match the
+    oracle's ROW_NUMBER(ORDER BY dfp, cell): each struct-min takes the
+    lexicographically smallest (d_fp, cell) of the remaining cells.
+    The growing fine book and members sides stay
+    `never_broadcast`-pinned sort-merge joins reading their bucket
+    specs.  With fewer than nprobe coarse cells the exclusion filter
+    empties and the higher ranks contribute no rows — matching the
+    oracle's rnk <= nprobe."""
+    assigned = _assign_fine_multi(spark, new, coarse_tbl, fine_tbl, nprobe)
     members = spark.table(mem_tbl)
     dot = F.aggregate(
         F.zip_with(F.col("vq"), F.col("vq_s"), lambda x, y: x * y),
@@ -822,6 +841,38 @@ def read_generation_pointer(pointer_path: str) -> str | None:
     return read_generation_meta(pointer_path)[0]
 
 
+def read_generation_state(
+    pointer_path: str,
+) -> tuple[str | None, int | None, frozenset[str]]:
+    """ONE snapshot read of the pointer file -> (kind, n_fit, flags).
+    The pointer is a single atomically-renamed file precisely so that
+    every property of the current generation is consistent with every
+    other; a reader that opens the file once per property (ADVICE r16:
+    ``probe_current_generation(adc=True)`` read it twice) can pair one
+    generation's kind with another's flags when a cutover lands between
+    the opens — a spurious refusal or a missing-codes-table error.  All
+    the single-property readers below derive from this one snapshot.
+
+    Line format: line 1 = kind, line 2 = n_fit (may be empty; pointers
+    written before round 15 have no second line), line 3 =
+    space-separated flag tokens (``pq``, ``cap=N``, ``nprobe=N``;
+    pointers written before round 16 have no flag line)."""
+    try:
+        with open(pointer_path) as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        return None, None, frozenset()
+    kind = lines[0].strip() if lines else ""
+    if not kind:
+        return None, None, frozenset()
+    try:
+        n_fit = int(lines[1].strip())
+    except (IndexError, ValueError):
+        n_fit = None
+    flags = frozenset(lines[2].split()) if len(lines) >= 3 else frozenset()
+    return kind, n_fit, flags
+
+
 def read_generation_meta(pointer_path: str) -> tuple[str | None, int | None]:
     """(kind, n_fit) of the current generation — ``n_fit`` is the
     members count at fit/cutover time (the denominator of the
@@ -831,18 +882,8 @@ def read_generation_meta(pointer_path: str) -> tuple[str | None, int | None]:
     swap and the marker write).  Pointers written before round 15 have
     no second line — n_fit comes back None and callers fall back to a
     live count."""
-    try:
-        with open(pointer_path) as fh:
-            lines = fh.read().splitlines()
-    except OSError:
-        return None, None
-    kind = lines[0].strip() if lines else ""
-    if not kind:
-        return None, None
-    try:
-        return kind, int(lines[1].strip())
-    except (IndexError, ValueError):
-        return kind, None
+    kind, n_fit, _ = read_generation_state(pointer_path)
+    return kind, n_fit
 
 
 def read_generation_flags(pointer_path: str) -> frozenset[str]:
@@ -851,16 +892,22 @@ def read_generation_flags(pointer_path: str) -> frozenset[str]:
     kind and n_fit.  ``pq`` means the generation carries codes +
     PQ-codebook tables, so ``probe_current_generation(adc=True)`` may
     serve from it; ``cap=N`` records the generation's fine-cell
-    capacity (``read_generation_cap`` parses it).  Pointers written
+    capacity (``read_generation_cap`` parses it); ``nprobe=N`` the
+    serving probe width (``read_generation_nprobe``).  Pointers written
     before round 16 have no flag line — an empty set comes back."""
-    try:
-        with open(pointer_path) as fh:
-            lines = fh.read().splitlines()
-    except OSError:
-        return frozenset()
-    if len(lines) < 3:
-        return frozenset()
-    return frozenset(lines[2].split())
+    return read_generation_state(pointer_path)[2]
+
+
+def _int_flag(flags: frozenset[str], prefix: str, default: int) -> int:
+    """Parse a ``name=N`` token out of one flag snapshot (so callers
+    that already hold a snapshot never re-open the pointer)."""
+    for tok in flags:
+        if tok.startswith(prefix):
+            try:
+                return int(tok[len(prefix):])
+            except ValueError:
+                pass
+    return default
 
 
 def read_generation_cap(pointer_path: str) -> int:
@@ -873,13 +920,51 @@ def read_generation_cap(pointer_path: str) -> int:
     registered fixture default."""
     from awsbatch_mapreduce_spark.plans.wave11 import _CAP
 
-    for tok in read_generation_flags(pointer_path):
-        if tok.startswith("cap="):
-            try:
-                return int(tok[4:])
-            except ValueError:
-                pass
-    return _CAP
+    return _int_flag(read_generation_flags(pointer_path), "cap=", _CAP)
+
+
+def read_generation_nprobe(pointer_path: str) -> int:
+    """The current generation's SERVING probe width, from the pointer's
+    ``nprobe=N`` flag token (round 17, VERDICT r16 #1): the recall
+    actuator's step must reach what production actually serves, so the
+    knob rides the pointer's atomic rename exactly like ``cap=N`` —
+    ``probe_current_generation`` (full-vector AND ADC) and the
+    streaming pointer readers honor it, and ``set_generation_nprobe``
+    is the actuator's write side.  Pointers without the token serve
+    single-probe (nprobe=1), the pre-round-17 behavior."""
+    return _int_flag(read_generation_flags(pointer_path), "nprobe=", 1)
+
+
+def set_generation_nprobe(pointer_path: str, nprobe: int) -> None:
+    """The recall actuator's WRITE side (round 17, VERDICT r16 #1):
+    record ``nprobe=N`` on the current generation's pointer — same
+    single-file atomic rename as every other pointer mutation, with the
+    kind, n_fit, and every other flag token carried over from one
+    snapshot read.  Takes effect on the NEXT pointer resolution: the
+    next ``probe_current_generation`` call, the next micro-batch of a
+    pointer-following stream (they re-resolve per batch), the next
+    QA snapshot — no stream restart, no refit.  The knob is serving
+    metadata, not index structure, which is why stepping it is the
+    CHEAP recall lever (probe cost ~x nprobe, zero extra exchange,
+    measured by the wave-14 sweep) and why it must never require the
+    refit machinery."""
+    import os as _os
+
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    kind, n_fit, flags = read_generation_state(pointer_path)
+    if kind is None:
+        raise RuntimeError(
+            f"no current generation under {pointer_path!r}: nothing to"
+            " set nprobe on — fit and cut over first"
+        )
+    kept = sorted(t for t in flags if not t.startswith("nprobe="))
+    lines = [kind, "" if n_fit is None else str(n_fit),
+             " ".join(kept + [f"nprobe={nprobe}"])]
+    tmp = f"{pointer_path}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines))
+    _os.replace(tmp, pointer_path)
 
 
 def cutover_generation(
@@ -890,6 +975,7 @@ def cutover_generation(
     n_fit: int | None = None,
     with_pq: bool = False,
     cap: int | None = None,
+    nprobe: int | None = None,
 ) -> str | None:
     """Atomically repoint readers at generation ``kind``: verify all
     tables of the target generation exist (a half-written generation
@@ -908,7 +994,11 @@ def cutover_generation(
     ``cap`` records the generation's fine-cell capacity as a ``cap=N``
     token on the same line — the quality-triggered refit escalates it,
     and the admission path must rank-chunk at the generation's own cap
-    to preserve the <= cap bound (``read_generation_cap``)."""
+    to preserve the <= cap bound (``read_generation_cap``).
+    ``nprobe`` (round 17) records the SERVING probe width as an
+    ``nprobe=N`` token — the knob the recall actuator steps
+    (``set_generation_nprobe``) and every pointer-resolving probe
+    honors (``read_generation_nprobe``)."""
     import os as _os
 
     required = list(_generation_names(sf_dir, kind))
@@ -924,8 +1014,10 @@ def cutover_generation(
     _os.makedirs(_os.path.dirname(pointer_path) or ".", exist_ok=True)
     tmp = f"{pointer_path}.tmp"
     lines = [kind]
-    flags = (["pq"] if with_pq else []) + (
-        [f"cap={cap}"] if cap is not None else []
+    flags = (
+        (["pq"] if with_pq else [])
+        + ([f"cap={cap}"] if cap is not None else [])
+        + ([f"nprobe={nprobe}"] if nprobe is not None else [])
     )
     if n_fit is not None or flags:
         lines.append("" if n_fit is None else str(n_fit))
@@ -1022,14 +1114,19 @@ def refit_and_cutover(
     triggered one inherits.  The cap rides the pointer as a ``cap=N``
     token so admissions into the new generation rank-chunk at the cap
     it was fitted with."""
-    current, cur_n_fit = read_generation_meta(pointer_path)
+    # one pointer snapshot: kind/n_fit/flags must be mutually consistent
+    # (the same single-read discipline as probe_current_generation)
+    current, cur_n_fit, cur_flags = read_generation_state(pointer_path)
     if current is None:
         raise RuntimeError(
             f"no current generation under {pointer_path!r}: nothing to"
             " refit from — fit and cut over a first generation directly"
         )
-    cur_flags = read_generation_flags(pointer_path)
-    cur_cap = read_generation_cap(pointer_path)
+    cur_cap = _int_flag(cur_flags, "cap=", _CAP)
+    # the serving nprobe is INHERITED verbatim (round 17): a refit
+    # changes index structure, not the actuator-owned serving knob —
+    # a generation swap must never silently reset production recall
+    cur_nprobe = _int_flag(cur_flags, "nprobe=", 0) or None
     if with_pq is None:
         with_pq = "pq" in cur_flags
     if cap is None:
@@ -1080,7 +1177,7 @@ def refit_and_cutover(
     # it in the pointer's atomic write (the refit_due denominator)
     cutover_generation(
         spark, sf_dir, pointer_path, new_kind, n_fit=n_snapshot,
-        with_pq=with_pq, cap=cap,
+        with_pq=with_pq, cap=cap, nprobe=cur_nprobe,
     )
     n_after = _recount()
     if n_after != n_snapshot:
@@ -1089,7 +1186,7 @@ def refit_and_cutover(
         # generation is intact — nothing vacuumed yet) and refuse
         cutover_generation(
             spark, sf_dir, pointer_path, current, n_fit=cur_n_fit,
-            with_pq="pq" in cur_flags, cap=cur_cap,
+            with_pq="pq" in cur_flags, cap=cur_cap, nprobe=cur_nprobe,
         )
         _refuse(n_after)
     return current
@@ -1109,17 +1206,34 @@ def probe_current_generation(
     top-rerank survivors only — and REFUSES loudly when the pointer
     does not carry the ``pq`` flag: a generation without codes must
     never silently fall back to the full-vector membership join an ADC
-    reader chose this path to avoid."""
-    kind = read_generation_pointer(pointer_path)
+    reader chose this path to avoid.
+
+    The SERVING probe width is the pointer's ``nprobe=N`` token (round
+    17, VERDICT r16 #1): both paths honor it — full-vector via the
+    rank-k multiprobe program, ADC via its multiprobe generalization —
+    so the recall actuator's ``set_generation_nprobe`` step changes
+    what production serves, not just what the QA snapshot measures.
+    Probe cost ~x nprobe on the broadcast-side coarse compute, zero
+    extra exchange (the wave-14 sweep's measured price)."""
+    # ONE pointer snapshot (ADVICE r16): kind, flags, and the serving
+    # nprobe must come from the same atomic file read, or a cutover
+    # landing between two opens pairs one generation's kind with
+    # another's flags
+    kind, _, flags = read_generation_state(pointer_path)
     if kind is None:
         raise RuntimeError(
             f"no current generation under {pointer_path!r}: run a fit"
             " and cut over before probing"
         )
+    nprobe = _int_flag(flags, "nprobe=", 1)
     coarse_tbl, fine_tbl, mem_tbl = _generation_names(sf_dir, kind)
     if not adc:
-        return _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
-    if "pq" not in read_generation_flags(pointer_path):
+        if nprobe == 1:
+            return _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+        return _multiprobe_batch(
+            spark, new, coarse_tbl, fine_tbl, mem_tbl, nprobe=nprobe
+        )
+    if "pq" not in flags:
         raise RuntimeError(
             f"ADC probe refused: generation {kind!r} under"
             f" {pointer_path!r} carries no 'pq' flag — fit or refit it"
@@ -1129,5 +1243,6 @@ def probe_current_generation(
 
     codes_tbl, pqcb_tbl = _pq_generation_names(sf_dir, kind)
     return _pq_rerank_probe(
-        spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl
+        spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl,
+        nprobe=nprobe,
     )

@@ -625,7 +625,8 @@ def _persist_pq_codes(
 
 
 def _pq_rerank_probe(
-    spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl
+    spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Two-stage PQ probe: the shared coarse+fine assignment, an ADC
     pass over the assigned fine cell's CODES (<= cap * subspaces
@@ -637,10 +638,33 @@ def _pq_rerank_probe(
     and the equality filter selects the <= rerank survivors from the
     <= cap joined members).  The PQ codebook is the PERSISTED bounded
     table — the probe never recomputes it from the members.  Output
-    schema matches the probe family."""
-    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+    schema matches the probe family.
 
-    assigned = _assign_fine(spark, new, coarse_tbl, fine_tbl)
+    ``nprobe`` (round 17, VERDICT r16 #1): > 1 runs the ADC over the
+    UNION of the nprobe nearest coarse cells' assigned fine cells (the
+    shared ``wave13._assign_fine_multi`` rank-k assignment — the same
+    zero-extra-exchange struct-min plan as the full-vector multiprobe),
+    with the top-rerank cut and the exact verify unchanged over the
+    union and the PRIMARY (rank-1) cell/sub reported — exactly FAISS's
+    IVFPQ nprobe on this layout.  A seen member lives in exactly one
+    (cell, sub) and one vector's probed cells are distinct by
+    construction, so no candidate pair is counted twice."""
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+    from awsbatch_mapreduce_spark.plans.wave13 import _assign_fine_multi
+
+    if nprobe == 1:
+        a1 = _assign_fine(spark, new, coarse_tbl, fine_tbl)
+        primary = a1.select("vec_id", "cell", "sub")
+        probed = primary
+        vecs = a1.select("vec_id", "vq", "nn_n")
+    else:
+        am = _assign_fine_multi(spark, new, coarse_tbl, fine_tbl, nprobe)
+        primary = am.filter(F.col("rnk") == 1).select(
+            "vec_id", "cell", "sub"
+        )
+        probed = am.select("vec_id", "cell", "sub")
+        # vq/nn_n are constant across a vector's ranks — one row each
+        vecs = am.filter(F.col("rnk") == 1).select("vec_id", "vq", "nn_n")
     pcb = spark.table(pqcb_tbl)  # k x subspaces x dims rows: bounded
     psub = new.select(
         "vec_id", F.posexplode("vq").alias("pos", "v")
@@ -660,7 +684,7 @@ def _pq_rerank_probe(
         )
     )
     adc = (
-        assigned.select("vec_id", "cell", "sub")
+        probed
         .join(never_broadcast(spark.table(codes_tbl)), ["cell", "sub"])
         .join(pdist, ["vec_id", "sm", "code"])
         .groupBy(
@@ -702,9 +726,7 @@ def _pq_rerank_probe(
         # the join fans <= cap x rerank rows per probed vector before
         # filtering
         .filter((F.col("seen_id") - F.col("id_seen")) == F.lit(0))
-        .join(
-            assigned.select("vec_id", "vq", "nn_n"), "vec_id"
-        )
+        .join(vecs, "vec_id")
         .filter((F.col("nn_n") > 0) & (F.col("nn_s") > 0))
         .select(
             "vec_id",
@@ -726,7 +748,7 @@ def _pq_rerank_probe(
     from awsbatch_mapreduce_spark.plans.wave9 import _NO_PEER_BP
 
     return (
-        assigned.select("vec_id", "cell", "sub")
+        primary
         .join(never_broadcast(hits), "vec_id", "left")
         .select(
             F.col("vec_id").cast("bigint").alias("vec_id"),

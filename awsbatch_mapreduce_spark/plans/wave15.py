@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 from awsbatch_mapreduce_spark.plans.iterative import _kmeans_cte, _quantize
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.plans.wave11 import (
+    _CAP,
     _index_tables,
     _mod_centroid_init,
     _persist_two_level,
@@ -199,7 +200,10 @@ def codebook_pointer_lifecycle_adc(
 # a from-scratch oracle at the larger cap.
 # ---------------------------------------------------------------------------
 
-_ESCALATED_CAP = 64  # 16 * the supervisor's default recall_cap_step
+# the registered fixture cap x the supervisor's default recall_cap_step
+# (ADVICE r16: derived from _CAP, not hardcoded, so the query tracks the
+# fixture cap and admission always rank-chunks at the fitted capacity)
+_ESCALATED_CAP = _CAP * 4
 
 
 def _k0_grown_sql(cap: int) -> str:
@@ -278,7 +282,7 @@ def codebook_quality_refit_lifecycle(
         fine_a,
         mem_a,
     )
-    cutover_generation(spark, sf_dir, pointer, "qra", cap=16)
+    cutover_generation(spark, sf_dir, pointer, "qra", cap=_CAP)
 
     # yesterday's batch, rank-chunked at the generation's OWN cap
     batch = emb.filter(
@@ -304,6 +308,6 @@ def codebook_quality_refit_lifecycle(
 
 codebook_quality_refit_lifecycle.__doc__ = (
     codebook_quality_refit_lifecycle.__doc__.format(
-        cap0=16, cap1=_ESCALATED_CAP
+        cap0=_CAP, cap1=_ESCALATED_CAP
     )
 )

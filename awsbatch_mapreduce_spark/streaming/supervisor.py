@@ -179,6 +179,8 @@ def admit_probe_with_cadence(
     pqcb_tbl: str | None = None,
     cap: int | None = None,
     can_escalate_cap: bool = False,
+    pointer_path: str | None = None,
+    recall_every: int = 0,
 ) -> Callable[[DataFrame, int], None]:
     """The supervised per-batch function: the round-14 replay-safe
     admission, then the cadence check.  The ``RefitDueSignal`` raise
@@ -218,9 +220,27 @@ def admit_probe_with_cadence(
     The closure then writes the ``_REFIT_DUE`` marker with reason
     ``recall`` and quiesces at the batch boundary exactly like the
     growth trigger; the supervisor reads the reason and refits at the
-    escalated cap.  One quality signal per incarnation (the snapshot
-    is one-shot), so escalation is stepwise and re-measured per
-    generation, never a jump to the maximum."""
+    escalated cap.  One quality signal per snapshot, so escalation is
+    stepwise and re-measured per generation, never a jump to the
+    maximum.
+
+    ``pointer_path`` (round 17, VERDICT r16 #1) closes the actuator's
+    serving gap: each snapshot probes at the POINTER'S ``nprobe=N``
+    token (falling back to ``recall_nprobe`` when the pointer carries
+    none) — the exact configuration production probes serve — and a
+    step recommendation is APPLIED to the pointer immediately
+    (``set_generation_nprobe``, atomic rename, no stream restart, no
+    refit), so every pointer-resolving reader serves the stepped width
+    from its next resolution.  Without a pointer the closure degrades
+    to the round-16 QA-only behavior.
+
+    ``recall_every > 0`` (round 17, VERDICT r16 #3) re-arms the
+    snapshot every N further FRESH batches after the first — the
+    one-shot snapshot left a long-lived generation unmeasured between
+    refits, invisible recall degradation exactly when the growth
+    trigger is quiet.  Each re-snapshot is the same panel-sized cost
+    and feeds the same actuator, so a mid-generation degradation steps
+    nprobe (or signals a quality refit) without waiting for growth."""
     from awsbatch_mapreduce_spark.plans.iterative import _quantize
 
     inner = foreach_batch_codebook_admit_probe(
@@ -231,15 +251,38 @@ def admit_probe_with_cadence(
     intent_path = os.path.join(out_dir, "_ADMIT_INTENT")
     snap_path = os.path.join(out_dir, "_RECALL_SNAPSHOTS.jsonl")
     measured: list[int] = []
-    counter: dict[str, int | None] = {"n": None}
+    counter: dict[str, int | None] = {"n": None, "fresh_since_snap": 0}
     quality_breach: list[int] = []
+
+    def _serving_nprobe() -> int:
+        """The nprobe the snapshot must measure: the pointer's token
+        when a pointer is bound (what production serves), else the
+        closure's ``recall_nprobe`` (the QA-only round-16 behavior)."""
+        if pointer_path is not None:
+            from awsbatch_mapreduce_spark.plans.wave13 import (
+                _int_flag,
+                read_generation_flags,
+            )
+
+            tok = _int_flag(
+                read_generation_flags(pointer_path), "nprobe=", 0
+            )
+            if tok:
+                return tok
+        return recall_nprobe
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         wm_before = _read_marker(wm_path)
         if (
             recall_panel > 0
-            and not measured
+            and (
+                not measured
+                or (
+                    recall_every > 0
+                    and counter["fresh_since_snap"] >= recall_every
+                )
+            )
             and batch_id > wm_before
             # ADVICE r15: a live intent for THIS batch means a previous
             # attempt crashed inside the admission window — the members
@@ -251,26 +294,54 @@ def admit_probe_with_cadence(
             and not batch_df.isEmpty()
         ):
             measured.append(batch_id)
+            counter["fresh_since_snap"] = 0
+            cur_np = _serving_nprobe()
             new = batch_df.select(
                 "vec_id", _quantize(F.col("embedding")).alias("vq")
             )
             snap = _recall_snapshot(
                 spark, new, coarse_tbl, fine_tbl, mem_tbl,
-                recall_panel, recall_nprobe,
+                recall_panel, cur_np,
             )
             # the actuator's read (VERDICT r15 #3): a snapshot below
             # the floor recommends one nprobe step, logged next to the
             # measurement; the supervisor applies it to the NEXT
-            # incarnation's QA probe
-            snap["recommended_nprobe"] = recommend_nprobe(
-                snap["vec_recall_bp"], recall_nprobe, recall_floor_bp,
-                recall_max_nprobe,
-            )
+            # incarnation's QA probe.  A ZERO-TRUTH snapshot is
+            # NO-SIGNAL, not a breach (ADVICE r16): _recall_snapshot
+            # reports vec_recall_bp=0 when the sampled panel has no
+            # true duplicates, and duplicate-free traffic must hold
+            # the current knobs, never step nprobe or escalate cap on
+            # a recall number that measured nothing.
+            if snap["n_truth_vecs"] == 0:
+                snap["recommended_nprobe"] = cur_np
+                snap["no_signal"] = True
+            else:
+                snap["recommended_nprobe"] = recommend_nprobe(
+                    snap["vec_recall_bp"], cur_np, recall_floor_bp,
+                    recall_max_nprobe,
+                )
+            if (
+                pointer_path is not None
+                and snap["recommended_nprobe"] != cur_np
+            ):
+                # the actuator's step lands on the POINTER (round 17):
+                # every serving probe resolves it from the next batch /
+                # call on — the loop's output reaches production, not
+                # just the next QA snapshot
+                from awsbatch_mapreduce_spark.plans.wave13 import (
+                    set_generation_nprobe,
+                )
+
+                set_generation_nprobe(
+                    pointer_path, snap["recommended_nprobe"]
+                )
+                snap["nprobe_applied"] = True
             if (
                 can_escalate_cap
                 and recall_floor_bp > 0
+                and snap["n_truth_vecs"] > 0
                 and snap["vec_recall_bp"] < recall_floor_bp
-                and snap["recommended_nprobe"] == recall_nprobe
+                and snap["recommended_nprobe"] == cur_np
             ):
                 # below floor with the nprobe knob exhausted: signal a
                 # quality refit AFTER this batch commits (the raise
@@ -281,17 +352,27 @@ def admit_probe_with_cadence(
             # probe-partition write has not created the sink dir yet
             with open(snap_path, "a") as fh:
                 fh.write(json.dumps({"batch_id": batch_id, **snap}) + "\n")
-        inner(batch_df, batch_id)
+        admitted = inner(batch_df, batch_id)
         if counter["n"] is None:
             # the one authoritative count of this incarnation: taken
             # AFTER the first batch's inner() so a replay repair (or
             # watermark fast-forward) is already folded in
             spark.catalog.refreshTable(mem_tbl)
             counter["n"] = spark.table(mem_tbl).count()
-        elif batch_id > wm_before and not batch_df.isEmpty():
+        else:
             # a fresh batch admits every row (the novelty flag reports,
-            # it does not filter), so the increment is the batch size
-            counter["n"] += batch_df.count()
+            # it does not filter); the increment is inner()'s own
+            # admitted count — already materialized by the admission's
+            # checkpoint, never a re-count of the micro-batch source
+            # (VERDICT r16 hygiene #3); replays/empties return 0
+            counter["n"] += admitted or 0
+        if (
+            recall_panel > 0
+            and recall_every > 0
+            and batch_id > wm_before
+            and not batch_df.isEmpty()
+        ):
+            counter["fresh_since_snap"] += 1
         n_now = counter["n"]
 
         def _signal(reason: str, detail: str) -> None:
@@ -437,6 +518,7 @@ def run_supervised_admission(
     recall_max_nprobe: int = 4,
     recall_cap_step: int = 4,
     recall_cap_max: int = 512,
+    recall_every: int = 0,
 ) -> dict:
     """Drive streaming admission with AUTOMATIC refits until the
     source drains (``available_now=True``), the wall budget
@@ -472,6 +554,7 @@ def run_supervised_admission(
     cap rides the generation pointer so subsequent admissions
     rank-chunk at the capacity the index was fitted with."""
     from awsbatch_mapreduce_spark.plans.wave13 import (
+        _int_flag,
         read_generation_cap,
         read_generation_flags,
         read_generation_meta,
@@ -517,7 +600,16 @@ def run_supervised_admission(
             from awsbatch_mapreduce_spark.plans.wave13 import (
                 cutover_generation,
             )
+            from awsbatch_mapreduce_spark.streaming.codebook import (
+                _complete_pending_swap,
+            )
 
+            # ADVICE r16: this count runs BEFORE any repair batch, so a
+            # prior crash inside a members _swap_rewrite would read the
+            # missing table root as an EMPTY scan and permanently write
+            # n_fit=0 into the pointer — complete-or-refuse first, the
+            # same entry discipline as the repair paths
+            _complete_pending_swap(spark, mem_tbl)
             n_fit = spark.table(mem_tbl).count()
             cutover_generation(
                 spark, sf_dir, pointer_path, kind, n_fit=n_fit,
@@ -533,9 +625,17 @@ def run_supervised_admission(
         # automatic refit below inherits the flag (refit_and_cutover's
         # with_pq=None default) and rebuilds codes per new generation
         codes_tbl = pqcb_tbl = None
-        if "pq" in read_generation_flags(pointer_path):
+        gen_flags = read_generation_flags(pointer_path)
+        if "pq" in gen_flags:
             codes_tbl, pqcb_tbl = _pq_generation_names(sf_dir, kind)
-        cur_cap = read_generation_cap(pointer_path)
+        from awsbatch_mapreduce_spark.plans.wave11 import _CAP as _cap_default
+
+        cur_cap = _int_flag(gen_flags, "cap=", _cap_default)
+        # the pointer's serving nprobe wins over the loop's local value
+        # (round 17): the actuator writes its steps onto the pointer, so
+        # after a restart — or a step applied mid-incarnation — the QA
+        # probe measures exactly what production serves
+        cur_nprobe = _int_flag(gen_flags, "nprobe=", 0) or cur_nprobe
         fn = admit_probe_with_cadence(
             *_generation_names(sf_dir, kind),
             out_dir,
@@ -551,6 +651,8 @@ def run_supervised_admission(
             can_escalate_cap=(
                 recall_floor_bp > 0 and cur_cap < recall_cap_max
             ),
+            pointer_path=pointer_path,
+            recall_every=recall_every,
         )
         writer = source_df.writeStream.foreachBatch(fn).option(
             "checkpointLocation", ckpt_dir
@@ -597,8 +699,12 @@ def run_supervised_admission(
             }
         )
         if recall_floor_bp > 0 and os.path.exists(snap_path):
-            # apply the latest snapshot's recommendation to the next
-            # incarnation's QA probe (the actuator's write side)
+            # seed the next incarnation's fallback from the latest
+            # recommendation.  The AUTHORITATIVE write is on the
+            # pointer (round 17: the closure applies steps via
+            # set_generation_nprobe, and incarnation start reads the
+            # token back) — this local update only covers the
+            # no-token-yet window
             with open(snap_path) as fh:
                 lines = [ln for ln in fh if ln.strip()]
             if lines:

@@ -50,6 +50,11 @@ RECALL_PANEL = int(os.environ.get("AUTOREFIT_RECALL_PANEL", "64"))
 # end); AUTOREFIT_RECALL_FLOOR_BP > 0 arms the nprobe actuator
 WITH_PQ = os.environ.get("AUTOREFIT_PQ", "0") == "1"
 RECALL_FLOOR_BP = int(os.environ.get("AUTOREFIT_RECALL_FLOOR_BP", "0"))
+# round 17: AUTOREFIT_RECALL_EVERY > 0 re-arms the recall snapshot
+# every N fresh batches (the mid-generation QA cadence, VERDICT r16
+# #3) — the per-batch (rows, ms) pairs then PRICE the re-snapshot:
+# compare segment marginals against a recall_every=0 run
+RECALL_EVERY = int(os.environ.get("AUTOREFIT_RECALL_EVERY", "0"))
 
 _FLOOR_MS = 6000.0  # the measured round-14 per-batch fixed floor
 
@@ -122,6 +127,7 @@ def main() -> None:
                 "run_secs": RUN_SECS,
                 "with_pq": WITH_PQ,
                 "recall_floor_bp": RECALL_FLOOR_BP,
+                "recall_every": RECALL_EVERY,
             }
         ),
         flush=True,
@@ -141,6 +147,7 @@ def main() -> None:
         await_secs=RUN_SECS + 120,
         recall_panel=RECALL_PANEL,
         recall_floor_bp=RECALL_FLOOR_BP,
+        recall_every=RECALL_EVERY,
     )
 
     for seg in report["segments"]:
@@ -170,6 +177,8 @@ def main() -> None:
                 ),
             }
         )
+    from awsbatch_mapreduce_spark.plans.wave13 import read_generation_nprobe
+
     print(
         json.dumps(
             {
@@ -177,6 +186,8 @@ def main() -> None:
                 "n_refits": len(report["refits"]),
                 "recovered": report["recovered"],
                 "segment_marginals": marginals,
+                "n_snapshots": len(report.get("recall", [])),
+                "serving_nprobe": read_generation_nprobe(pointer),
             }
         ),
         flush=True,

@@ -75,6 +75,26 @@ def test_queries_md_proven_column_never_stale():
     assert not stale, f"driver-green queries shown pending: {stale}"
 
 
+def test_queries_md_no_false_greens():
+    """The dual invariant (VERDICT r16 #4): a row may claim ``yes``
+    ONLY if the name is in the union of driver ``CORRECTNESS_r*.json``
+    records — the board can never show a green the driver did not
+    grade.  Together with the pending-row check above, the proven
+    column is exactly the driver record, both directions."""
+    from awsbatch_mapreduce_spark.plans.registry import _driver_proven
+    from gen_queries_md import render
+
+    proven = _driver_proven()
+    claimed = {
+        m.group(1)
+        for m in re.finditer(r"^\| (\S+) \|.*\| yes \|$", render(), re.M)
+    }
+    false_greens = claimed - set(proven)
+    assert not false_greens, (
+        f"rows claim driver-green without a record: {sorted(false_greens)}"
+    )
+
+
 def test_queries_md_covers_every_query():
     from awsbatch_mapreduce_spark.plans import QUERIES
     from gen_queries_md import render

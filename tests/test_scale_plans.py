@@ -819,6 +819,27 @@ _REGISTRY_BROADCAST_BUDGET = {
     # codebook_pointer_lifecycle (cap changes table contents, not the
     # probe plan shape)
     "codebook_quality_refit_lifecycle": 2,
+    # wave 16 (round 17): the pointer-served rank-2 multiprobe — the
+    # shared coarse-book sites of the single-probe plan (direct
+    # probe-scan subtree + k0-row coarse book) + the rank-2 exclusion
+    # pass's 2 further coarse-book sites (the struct-min re-evaluation
+    # broadcasts the SAME bounded k0 book; see wave13._assign_fine_multi
+    # — r x broadcast-side compute, zero extra exchange); fine/members
+    # stay pinned sort-merge
+    "codebook_pointer_nprobe_serving": 4,
+    # wave 16 (round 17): the rank-2 ADC path = the 4 bounded
+    # multiprobe-assignment sites above + the PERSISTED bounded PQ
+    # codebook at its distance-table site + the bounded per-vector
+    # distance-table frame (the same 2 PQ sites as
+    # codebook_pq_rerank_probe); codes/members exchange-free off their
+    # bucket specs
+    "codebook_pointer_adc_multiprobe": 6,
+    # wave 16 (round 17): the escalated-cap ADC probe returns the
+    # shared single-probe PQ re-rank plan against the cap-64 pq
+    # generation the pointer names — the identical 4 bounded sites as
+    # codebook_pq_rerank_probe (cap changes table contents, not plan
+    # shape; the lifecycle executes eagerly inside the builder)
+    "codebook_adc_escalated_refit": 4,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites

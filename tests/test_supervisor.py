@@ -686,3 +686,257 @@ def test_supervisor_recovers_from_crash_during_refit(
         map(tuple, _probe_batch(spark, probe, coarse_s, fine_s, mem_s).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_actuator_step_reaches_serving_probe(spark, four_chunks, tmp_path):
+    """Round 17 (VERDICT r16 #1): a live actuator step lands on the
+    POINTER, so the SERVING probe's output changes — after a supervised
+    run whose snapshots stepped nprobe, ``probe_current_generation``
+    returns the driver-proven rank-k multiprobe output at the stepped
+    width (frame-identical to ``_multiprobe_batch``), not the
+    single-probe rows the pre-round-17 readers were stuck on."""
+    from awsbatch_mapreduce_spark.plans.wave13 import (
+        _multiprobe_batch,
+        read_generation_nprobe,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svsp",
+    )
+    assert read_generation_nprobe(pointer) == 1  # pre-step serving
+    report = _run(
+        spark,
+        four_chunks,
+        tmp_path,
+        pointer,
+        gen_prefix="svsp",
+        recall_panel=16,
+        recall_nprobe=1,
+        recall_floor_bp=10000,  # unreachable: every snapshot steps
+        recall_cap_max=16,  # cap side disarmed: isolate the nprobe arm
+    )
+    snaps = report.get("recall", [])
+    assert any(s.get("nprobe_applied") for s in snaps), snaps
+    served = read_generation_nprobe(pointer)
+    assert served >= 2  # the step is ON the pointer
+    # the serving probe now RUNS the rank-k program
+    kind, _ = read_generation_meta(pointer)
+    coarse, fine, mem = _generation_names(SF_DIR, kind)
+    probe = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    got = sorted(
+        map(
+            tuple,
+            probe_current_generation(spark, SF_DIR, pointer, probe).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            _multiprobe_batch(
+                spark, probe, coarse, fine, mem, nprobe=served
+            ).collect(),
+        )
+    )
+    single = sorted(
+        map(tuple, _probe_batch(spark, probe, coarse, fine, mem).collect())
+    )
+    assert got == want and len(got) > 0
+    assert got != single  # the step changed production output
+
+
+def test_periodic_resnapshot_actuates_without_refit(
+    spark, four_chunks, tmp_path
+):
+    """Round 17 (VERDICT r16 #3): with ``recall_every=1`` the snapshot
+    re-arms every fresh batch, so a below-floor generation is measured
+    AND actuated MID-INCARNATION — multiple snapshots land inside one
+    stream segment, each running at the width the previous one applied
+    to the pointer, with ZERO refits having occurred (growth trigger
+    off, cap escalation disarmed)."""
+    from awsbatch_mapreduce_spark.plans.wave13 import read_generation_nprobe
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svpr",
+    )
+    report = run_supervised_admission(
+        spark,
+        _source(spark, four_chunks),
+        SF_DIR,
+        pointer,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=100.0,  # growth can never trigger
+        gen_prefix="svpr",
+        recall_panel=16,
+        recall_nprobe=1,
+        recall_floor_bp=10000,  # unreachable: every snapshot steps
+        recall_cap_max=16,  # cap side disarmed
+        recall_every=1,
+    )
+    assert report["refits"] == []  # the actuator fired WITHOUT a refit
+    assert len(report["segments"]) == 1
+    snaps = report.get("recall", [])
+    assert len(snaps) >= 3, snaps  # re-armed mid-incarnation
+    # the closed mid-generation loop: each snapshot RAN at the width
+    # the previous one applied to the pointer
+    expect = 1
+    for s in snaps:
+        assert s["nprobe"] == expect, snaps
+        expect = s["recommended_nprobe"]
+    assert read_generation_nprobe(pointer) == expect
+    assert expect > 1  # at least one live step, no refit anywhere
+
+
+def test_quality_breach_escalates_cap_with_pq(spark, four_chunks, tmp_path):
+    """Round 17 (VERDICT r16 #2): the quality escalation DRIVEN on a
+    PQ-FLAGGED generation — recall-reason refits at escalated caps
+    inherit the ``pq`` flag, rebuild the codes at each new cell
+    geometry, and the ADC reader keeps serving through the pointer
+    after every escalation."""
+    from awsbatch_mapreduce_spark.plans.wave13 import (
+        _pq_generation_names,
+        read_generation_cap,
+        read_generation_flags,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svqp",
+        with_pq=True,
+    )
+    report = run_supervised_admission(
+        spark,
+        _source(spark, four_chunks),
+        SF_DIR,
+        pointer,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=100.0,  # growth can never trigger
+        gen_prefix="svqp",
+        recall_panel=16,
+        recall_nprobe=1,
+        recall_floor_bp=10000,
+        recall_max_nprobe=1,  # nprobe knob exhausted from the start
+    )
+    refits = report["refits"]
+    assert len(refits) >= 1, report
+    assert all(r["reason"] == "recall" for r in refits), refits
+    caps = [refits[0]["cap_before"]] + [r["cap_after"] for r in refits]
+    assert all(b < a <= 512 for b, a in zip(caps, caps[1:])), caps
+    # the pq capability survived every escalated refit
+    assert "pq" in read_generation_flags(pointer)
+    assert read_generation_cap(pointer) == caps[-1]
+    kind, _ = read_generation_meta(pointer)
+    _, _, mem_tbl = _generation_names(SF_DIR, kind)
+    codes_tbl, _ = _pq_generation_names(SF_DIR, kind)
+    # codes rebuilt COMPLETE at the escalated geometry: 1:1 with the
+    # final generation's members on (seen_id, cell, sub).  Refresh
+    # first: the admissions committed through the micro-batch's cloned
+    # session, so this session's cached file listings can predate the
+    # last batch's appends
+    spark.catalog.refreshTable(mem_tbl)
+    spark.catalog.refreshTable(codes_tbl)
+    mem = spark.table(mem_tbl)
+    mk = mem.select("seen_id", "cell", "sub")
+    ck = spark.table(codes_tbl).select("seen_id", "cell", "sub").distinct()
+    assert mk.count() == ck.count() == emb.count()
+    assert mk.join(ck, ["seen_id", "cell", "sub"], "anti").count() == 0
+    # and the ADC reader serves through the pointer at the new cap
+    probe = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", _quantize(F.col("embedding")).alias("vq")
+    )
+    res = probe_current_generation(spark, SF_DIR, pointer, probe, adc=True)
+    assert res.count() == probe.count()
+
+
+def test_zero_truth_snapshot_is_no_signal(spark, tmp_path, monkeypatch):
+    """ADVICE r16 (medium): a snapshot whose sampled panel has NO true
+    duplicates measured nothing — duplicate-free traffic must hold the
+    current knobs, never step nprobe (no pointer write) and never
+    signal a cap-escalation refit on vec_recall_bp=0."""
+    import awsbatch_mapreduce_spark.streaming.supervisor as sup
+    from awsbatch_mapreduce_spark.plans.wave13 import read_generation_nprobe
+    from awsbatch_mapreduce_spark.streaming.supervisor import (
+        admit_probe_with_cadence,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    base, coarse, fine, mem = _index_tables(spark, SF_DIR, "svzt")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base,
+        coarse,
+        fine,
+        mem,
+    )
+    n_fit = spark.table(mem).count()
+    pointer = str(tmp_path / "ptr")
+    with open(pointer, "w") as fh:
+        fh.write("svzt")
+
+    def zero_truth(*a, **kw):
+        return {
+            "nprobe": kw.get("nprobe", a[-1] if a else 1),
+            "panel": 4,
+            "n_truth_vecs": 0,
+            "n_truth_pairs": 0,
+            "n_detected_vecs": 0,
+            "n_detected_pairs": 0,
+            "vec_recall_bp": 0,
+            "pair_recall_bp": 0,
+        }
+
+    monkeypatch.setattr(sup, "_recall_snapshot", zero_truth)
+    fn = admit_probe_with_cadence(
+        coarse,
+        fine,
+        mem,
+        str(tmp_path / "out"),
+        n_fit,
+        tolerated_inflation=100.0,
+        recall_panel=4,
+        recall_nprobe=1,
+        recall_floor_bp=10000,  # armed — but zero truth is no-signal
+        can_escalate_cap=True,
+        pointer_path=pointer,
+    )
+    batch = emb.filter(F.col("vec_id") > F.lit(mid)).select(
+        "vec_id", "embedding"
+    )
+    fn(batch, 0)  # must NOT raise RefitDueSignal (no recall breach)
+    import json as _json
+
+    with open(str(tmp_path / "out" / "_RECALL_SNAPSHOTS.jsonl")) as fh:
+        snap = _json.loads(fh.readline())
+    assert snap["no_signal"] is True
+    assert snap["recommended_nprobe"] == 1  # knob held
+    assert not snap.get("cap_escalation_signalled", False)
+    assert not snap.get("nprobe_applied", False)
+    assert read_generation_nprobe(pointer) == 1  # no pointer write
