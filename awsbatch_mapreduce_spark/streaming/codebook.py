@@ -448,6 +448,7 @@ def foreach_batch_codebook_admit_probe(
     codes_tbl: str | None = None,
     pqcb_tbl: str | None = None,
     cap: int | None = None,
+    pointer_path: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Probe-then-admit streaming lifecycle: the micro-batch is probed
     against the index as of all PREVIOUSLY admitted batches, then
@@ -463,7 +464,15 @@ def foreach_batch_codebook_admit_probe(
     batch's uncommitted codes rows alongside the orphan fine rows.
     ``cap`` binds the admission's rank-chunking to the GENERATION'S
     fine-cell capacity (round 16: the quality-triggered refit escalates
-    it); None keeps the registered fixture default."""
+    it); None keeps the registered fixture default.
+
+    ``pointer_path`` (round 17, VERDICT r16 #1): when given, each
+    batch's NOVELTY PROBE runs at the pointer's current ``nprobe=N``
+    token (re-read per batch, like the pointer-following readers) —
+    the admission-time probe was the last serving surface stuck at
+    nprobe=1 after the actuator stepped the knob.  The ADMISSION
+    arithmetic is nprobe-independent (rank-chunking reads only the
+    coarse assignment); only the reported novelty verdicts widen."""
     from awsbatch_mapreduce_spark.plans.wave11 import _CAP
 
     if cap is None:
@@ -541,7 +550,23 @@ def foreach_batch_codebook_admit_probe(
         # _admit_batch handles the offset snapshot, but `new` itself is
         # recomputed per consumer (cheap: one projection over the
         # micro-batch)
-        res = _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+        np_ = 1
+        if pointer_path is not None:
+            from awsbatch_mapreduce_spark.plans.wave13 import (
+                read_generation_nprobe,
+            )
+
+            np_ = read_generation_nprobe(pointer_path)
+        if np_ == 1:
+            res = _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+        else:
+            from awsbatch_mapreduce_spark.plans.wave13 import (
+                _multiprobe_batch,
+            )
+
+            res = _multiprobe_batch(
+                spark, new, coarse_tbl, fine_tbl, mem_tbl, nprobe=np_
+            )
         _write_probe_partition(res, out_dir, batch_id)
         _write_marker(intent_path, batch_id)  # admission window opens
         n_admitted = _admit_batch(

@@ -246,6 +246,9 @@ def admit_probe_with_cadence(
     inner = foreach_batch_codebook_admit_probe(
         coarse_tbl, fine_tbl, mem_tbl, out_dir,
         codes_tbl=codes_tbl, pqcb_tbl=pqcb_tbl, cap=cap,
+        # the admission-time novelty probe serves the pointer's nprobe
+        # too (round 17) — the last probe surface the actuator reaches
+        pointer_path=pointer_path,
     )
     wm_path = os.path.join(out_dir, "_ADMITTED_WATERMARK")
     intent_path = os.path.join(out_dir, "_ADMIT_INTENT")

@@ -155,6 +155,22 @@ EXTENDED = [
     # escalated fit (fewer, larger cells — usually CHEAPER, the sweep's
     # measured cap-vs-fit-cost slope)
     "codebook_quality_refit_lifecycle",
+    # round 17 (wave 16): the pointer-SERVED rank-2 multiprobe — fit,
+    # cutover, set_generation_nprobe(2) (the actuator's write), probe
+    # through the pointer; read next to semdedup_codebook_multiprobe
+    # (the identical fit + rank-2 program without the pointer): the
+    # delta prices serving through the pointer, which should be ~zero
+    "codebook_pointer_nprobe_serving",
+    # round 17 (wave 16): the ADC path at nprobe=2 through the pointer;
+    # read next to codebook_pq_rerank_probe (same fit + PQ build,
+    # nprobe=1, no pointer): the delta prices the rank-2 ADC union
+    "codebook_pointer_adc_multiprobe",
+    # round 17 (wave 16): the quality escalation ON a pq generation —
+    # fit+codes at 16, admit-with-codes, refit at 64 with codes
+    # rebuilt, vacuum, ADC probe via pointer; read next to
+    # codebook_quality_refit_lifecycle (same skeleton, no PQ): the
+    # delta prices carrying the codes through an escalated re-chunk
+    "codebook_adc_escalated_refit",
 ]
 
 # Heavy-query rep discipline (VERDICT r13 #3): the two LONGEST
@@ -181,6 +197,8 @@ _NO_WARMUP_REPS = {"dedup_prefix_filter": 3, "semdedup_codebook_refit": 2}
 _EXTRA_WARMUP = {
     "codebook_pointer_lifecycle": 2,
     "codebook_pointer_lifecycle_adc": 2,
+    # round 17: the escalated PQ refit is the same two-fit shape
+    "codebook_adc_escalated_refit": 2,
 }
 
 

@@ -271,3 +271,58 @@ def test_escalated_pq_refit_rekeys_codes(spark, tmp_path):
     )
     res = probe_current_generation(spark, SF_DIR, pointer, probe, adc=True)
     assert res.count() == probe.count()
+
+
+def test_admission_probe_serves_pointer_nprobe(spark, tmp_path):
+    """The ADMISSION-TIME novelty probe — the last serving surface the
+    round-16 actuator could not reach — honors the pointer's nprobe
+    (re-read per batch): each admitted batch's probe partition is
+    frame-identical to the rank-2 multiprobe twin computed against the
+    pre-admission index, across two consecutive admissions."""
+    from awsbatch_mapreduce_spark.streaming.codebook import (
+        foreach_batch_codebook_admit_probe,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    q3 = (mid + hi) // 2
+    base, coarse, fine, mem = _index_tables(spark, SF_DIR, "w16s")
+    _persist_two_level(
+        spark,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        _mod_centroid_init,
+        base,
+        coarse,
+        fine,
+        mem,
+    )
+    pointer = str(tmp_path / "ptr")
+    cutover_generation(spark, SF_DIR, pointer, "w16s", nprobe=2)
+    out = str(tmp_path / "out")
+    fn = foreach_batch_codebook_admit_probe(
+        coarse, fine, mem, out, pointer_path=pointer
+    )
+    b0 = emb.filter(
+        (F.col("vec_id") > F.lit(mid)) & (F.col("vec_id") <= F.lit(q3))
+    )
+    b1 = emb.filter(F.col("vec_id") > F.lit(q3))
+    for batch_id, batch in ((0, b0), (1, b1)):
+        q = batch.select("vec_id", _quantize(F.col("embedding")).alias("vq"))
+        # the twin runs the rank-2 program against the PRE-admission
+        # index — collect BEFORE fn mutates the tables
+        want = _rows(_multiprobe_batch(spark, q, coarse, fine, mem, nprobe=2))
+        fn(batch.select("vec_id", "embedding"), batch_id)
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(out)
+                .filter(F.col("batch_id") == batch_id)
+                .drop("batch_id")
+                .select(
+                    "vec_id", "cell", "sub", "n_seen_dups", "max_cos_bp",
+                    "is_novel",
+                )
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0, batch_id
