@@ -1071,6 +1071,7 @@ def refit_and_cutover(
     new_kind: str,
     with_pq: bool | None = None,
     cap: int | None = None,
+    nprobe: int | None = None,
 ) -> str:
     """The guarded refit->cutover sequence: refit a fresh generation
     ``new_kind`` from the CURRENT generation's members table, then cut
@@ -1113,7 +1114,14 @@ def refit_and_cutover(
     quality-triggered refit passes an ESCALATED cap, the growth-
     triggered one inherits.  The cap rides the pointer as a ``cap=N``
     token so admissions into the new generation rank-chunk at the cap
-    it was fitted with."""
+    it was fitted with.
+
+    ``nprobe`` (round 17): the new generation's SERVING probe width —
+    None inherits the current pointer's ``nprobe=N`` token (a routine
+    refit must never silently reset production recall); the
+    supervisor's quality-escalated refit passes its configured BASE,
+    because the cap escalation structurally fixes what the nprobe
+    steps were papering over (body comment)."""
     # one pointer snapshot: kind/n_fit/flags must be mutually consistent
     # (the same single-read discipline as probe_current_generation)
     current, cur_n_fit, cur_flags = read_generation_state(pointer_path)
@@ -1123,10 +1131,18 @@ def refit_and_cutover(
             " refit from — fit and cut over a first generation directly"
         )
     cur_cap = _int_flag(cur_flags, "cap=", _CAP)
-    # the serving nprobe is INHERITED verbatim (round 17): a refit
-    # changes index structure, not the actuator-owned serving knob —
-    # a generation swap must never silently reset production recall
-    cur_nprobe = _int_flag(cur_flags, "nprobe=", 0) or None
+    # the serving nprobe is INHERITED by default (round 17): a routine
+    # refit changes index structure, not the actuator-owned serving
+    # knob — a generation swap must never silently reset production
+    # recall.  An EXPLICIT ``nprobe`` overrides: the supervisor's
+    # quality-escalated refit passes the configured base, because the
+    # cap escalation is the STRUCTURAL fix for the recall the nprobe
+    # steps were papering over — serving the escalated generation at
+    # the stopgap width would pay max-nprobe x probe cost forever on
+    # an index that no longer needs it (the next snapshot re-converges
+    # the knob from base if the new geometry still falls short).
+    old_nprobe = _int_flag(cur_flags, "nprobe=", 0) or None
+    new_nprobe = nprobe if nprobe is not None else old_nprobe
     if with_pq is None:
         with_pq = "pq" in cur_flags
     if cap is None:
@@ -1177,16 +1193,18 @@ def refit_and_cutover(
     # it in the pointer's atomic write (the refit_due denominator)
     cutover_generation(
         spark, sf_dir, pointer_path, new_kind, n_fit=n_snapshot,
-        with_pq=with_pq, cap=cap, nprobe=cur_nprobe,
+        with_pq=with_pq, cap=cap, nprobe=new_nprobe,
     )
     n_after = _recount()
     if n_after != n_snapshot:
         # an admission slipped into the old generation between the
         # first recount and the swap: roll the pointer back (the old
-        # generation is intact — nothing vacuumed yet) and refuse
+        # generation is intact — nothing vacuumed yet) and refuse.
+        # The rollback restores the OLD generation's own nprobe, not
+        # the override meant for the generation that never went live.
         cutover_generation(
             spark, sf_dir, pointer_path, current, n_fit=cur_n_fit,
-            with_pq="pq" in cur_flags, cap=cur_cap, nprobe=cur_nprobe,
+            with_pq="pq" in cur_flags, cap=cur_cap, nprobe=old_nprobe,
         )
         _refuse(n_after)
     return current

@@ -723,18 +723,31 @@ def run_supervised_admission(
                 new_kind = _next_kind(gen_prefix, kind)
                 reason = due_info.get("reason", "growth")
                 # quality refits escalate the cap (the sweep's other
-                # recall axis); growth refits inherit it
+                # recall axis) AND reset the nprobe arm to the
+                # configured base (round 17): the escalation is the
+                # STRUCTURAL fix for the recall the nprobe steps were
+                # papering over — serving the escalated generation at
+                # the stopgap width would pay max-nprobe x probe cost
+                # forever; the next incarnation's snapshot re-converges
+                # the knob from base if the new geometry still falls
+                # short.  Growth refits inherit both knobs.
                 new_cap = (
                     min(cur_cap * recall_cap_step, recall_cap_max)
                     if reason == "recall"
                     else None
                 )
+                reset_nprobe = (
+                    recall_nprobe if reason == "recall" else None
+                )
                 t0 = time.perf_counter()
                 old = refit_and_cutover(
-                    spark, sf_dir, pointer_path, new_kind, cap=new_cap
+                    spark, sf_dir, pointer_path, new_kind, cap=new_cap,
+                    nprobe=reset_nprobe,
                 )
                 refit_sec = round(time.perf_counter() - t0, 2)
                 vacuum_generation(spark, sf_dir, pointer_path, old)
+                if reset_nprobe is not None:
+                    cur_nprobe = reset_nprobe
                 report["refits"].append(
                     {
                         "old": old,
@@ -742,6 +755,10 @@ def run_supervised_admission(
                         "reason": reason,
                         "cap_before": cur_cap,
                         "cap_after": read_generation_cap(pointer_path),
+                        "nprobe_after": _int_flag(
+                            read_generation_flags(pointer_path),
+                            "nprobe=", 0,
+                        ) or cur_nprobe,
                         "refit_sec": refit_sec,
                         "n_fit_before": n_fit,
                         "n_fit_after": due_info["n_now"],

@@ -940,3 +940,62 @@ def test_zero_truth_snapshot_is_no_signal(spark, tmp_path, monkeypatch):
     assert not snap.get("cap_escalation_signalled", False)
     assert not snap.get("nprobe_applied", False)
     assert read_generation_nprobe(pointer) == 1  # no pointer write
+
+
+def test_cap_escalation_resets_nprobe_arm(spark, four_chunks, tmp_path):
+    """Round 17 follow-on: a QUALITY refit resets the nprobe arm to the
+    configured base — the cap escalation is the structural fix for the
+    recall the nprobe steps were papering over, so the escalated
+    generation must not keep paying max-nprobe probe cost forever.
+    With both knobs armed (base 1, max 2, floor unreachable,
+    re-snapshot every batch) the loop alternates: step 1 -> 2, exhaust,
+    escalate cap + reset to 1, re-step — every recall refit records
+    nprobe_after == base and the pointer ends at the base width."""
+    from awsbatch_mapreduce_spark.plans.wave13 import (
+        read_generation_cap,
+        read_generation_nprobe,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    bootstrap_generation(
+        spark,
+        SF_DIR,
+        pointer,
+        emb.filter(F.col("vec_id") <= F.lit(mid)),
+        "svnr",
+    )
+    report = run_supervised_admission(
+        spark,
+        _source(spark, four_chunks),
+        SF_DIR,
+        pointer,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=100.0,  # growth can never trigger
+        gen_prefix="svnr",
+        recall_panel=16,
+        recall_nprobe=1,
+        recall_floor_bp=10000,  # unreachable: both arms keep firing
+        recall_max_nprobe=2,
+        recall_every=1,
+    )
+    refits = report["refits"]
+    assert len(refits) >= 1, report
+    assert all(r["reason"] == "recall" for r in refits), refits
+    # every quality refit reset the serving width to the base
+    assert all(r["nprobe_after"] == 1 for r in refits), refits
+    assert read_generation_nprobe(pointer) == 1
+    assert read_generation_cap(pointer) > 16  # and the cap escalated
+    # the snapshots show the alternation: each ran either at base (a
+    # fresh/reset generation) or at the one step above it, never stuck
+    snaps = report.get("recall", [])
+    assert len(snaps) >= 3, snaps
+    assert {s["nprobe"] for s in snaps} <= {1, 2}, snaps
+    assert any(s["nprobe"] == 2 for s in snaps), snaps  # the step fired
+    # a signalling snapshot is always at the exhausted width
+    for s in snaps:
+        if s.get("cap_escalation_signalled"):
+            assert s["nprobe"] == 2, s
