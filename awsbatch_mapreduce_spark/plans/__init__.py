@@ -50,5 +50,6 @@ from awsbatch_mapreduce_spark.plans import wave13  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave14  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave15  # noqa: F401
 from awsbatch_mapreduce_spark.plans import wave16  # noqa: F401
+from awsbatch_mapreduce_spark.plans import wave17  # noqa: F401
 
 __all__ = ["QUERIES", "QuerySpec", "grading_order", "query"]

@@ -42,14 +42,23 @@ _SH_SQL = """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles per doc (Spark side of ``_SH_SQL``).
+    """Distinct 3-token shingles per doc of the ``documents`` fixture
+    (Spark side of ``_SH_SQL``) — the corpus-shaped wrapper of
+    ``_shingles_of``."""
+    return _shingles_of(load_table(spark, sf_dir, "documents"))
+
+
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct 3-token shingles of any (doc_id, text) frame — split
+    out in round 18 so the streaming LSH admission can shingle a
+    micro-batch (``streaming/lsh.py``) with the exact arithmetic every
+    batch consumer uses.
 
     The token array is materialized in its own projection first —
     inlining ``split(text, ' ')`` into the transform lambda makes
     Catalyst re-evaluate the split per element (O(tokens^2) per doc;
     measured 4x slower at sf0.1).
     """
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     return (
         toks.select(

@@ -64,6 +64,8 @@ generation is immutable during the refit).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -125,6 +127,7 @@ def refit_from_members(
     fine_tbl: str,
     mem_tbl: str,
     cap: int = _CAP,
+    tombs_tbl: str | None = None,
 ) -> None:
     """Rebuild the three-table two-level index as a NEW generation from
     an existing members table alone (no raw-corpus re-read): k0 is
@@ -139,7 +142,17 @@ def refit_from_members(
     sweep priced: cap 16 -> 512 moved vec-recall 0.37 -> 0.996 at
     nprobe=1), and since the fit reads only (vec_id, vq) the
     escalation costs nothing beyond the refit already running."""
-    grown = spark.table(src_mem_tbl).select(
+    src = spark.table(src_mem_tbl)
+    if tombs_tbl is not None and spark.catalog.tableExists(tombs_tbl):
+        # DELETION becomes structural here (round 18): tombstoned
+        # members are excluded from the new generation's fit — k0 and
+        # every centroid are computed as if they never existed.  The
+        # anti-join broadcasts the bounded tombstone set; the members
+        # scan keeps its distribution.
+        src = src.join(
+            F.broadcast(spark.table(tombs_tbl)), "seen_id", "left_anti"
+        )
+    grown = src.select(
         F.col("seen_id").alias("vec_id"), F.col("vq_s").alias("vq")
     )
     _persist_two_level(
@@ -935,6 +948,34 @@ def read_generation_nprobe(pointer_path: str) -> int:
     return _int_flag(read_generation_flags(pointer_path), "nprobe=", 1)
 
 
+@_contextlib.contextmanager
+def _pointer_write_lock(pointer_path: str):
+    """Serialize pointer read-modify-write cycles (VERDICT r17 wrong
+    #3): the rename is atomic but the RMW around it is not — two
+    concurrent writers can lose an update (both read the same snapshot,
+    last rename wins, the other's token vanishes) or collide on the
+    fixed ``pointer_path + ".tmp"`` sibling (one ``os.replace`` steals
+    the other's tmp file -> FileNotFoundError).  Today the supervisor
+    is the single writer, but that contract was implicit; an exclusive
+    ``flock`` on a ``.lock`` sibling makes it enforced instead of
+    assumed, at the cost of one syscall per mutation (pointer writes
+    are O(refits + actuator steps) per run — never hot).  Readers stay
+    lock-free: they only ever open the complete, atomically-renamed
+    pointer file."""
+    import fcntl
+    import os as _os
+
+    lock_path = f"{pointer_path}.lock"
+    _os.makedirs(_os.path.dirname(lock_path) or ".", exist_ok=True)
+    fd = _os.open(lock_path, _os.O_CREAT | _os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        _os.close(fd)
+
+
 def set_generation_nprobe(pointer_path: str, nprobe: int) -> None:
     """The recall actuator's WRITE side (round 17, VERDICT r16 #1):
     record ``nprobe=N`` on the current generation's pointer — same
@@ -952,19 +993,20 @@ def set_generation_nprobe(pointer_path: str, nprobe: int) -> None:
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    kind, n_fit, flags = read_generation_state(pointer_path)
-    if kind is None:
-        raise RuntimeError(
-            f"no current generation under {pointer_path!r}: nothing to"
-            " set nprobe on — fit and cut over first"
-        )
-    kept = sorted(t for t in flags if not t.startswith("nprobe="))
-    lines = [kind, "" if n_fit is None else str(n_fit),
-             " ".join(kept + [f"nprobe={nprobe}"])]
-    tmp = f"{pointer_path}.tmp"
-    with open(tmp, "w") as fh:
-        fh.write("\n".join(lines))
-    _os.replace(tmp, pointer_path)
+    with _pointer_write_lock(pointer_path):
+        kind, n_fit, flags = read_generation_state(pointer_path)
+        if kind is None:
+            raise RuntimeError(
+                f"no current generation under {pointer_path!r}: nothing"
+                " to set nprobe on — fit and cut over first"
+            )
+        kept = sorted(t for t in flags if not t.startswith("nprobe="))
+        lines = [kind, "" if n_fit is None else str(n_fit),
+                 " ".join(kept + [f"nprobe={nprobe}"])]
+        tmp = f"{pointer_path}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines))
+        _os.replace(tmp, pointer_path)
 
 
 def cutover_generation(
@@ -1010,22 +1052,22 @@ def cutover_generation(
             f"cutover to generation {kind!r} refused: tables {missing}"
             " do not exist (refit incomplete or not run)"
         )
-    prev = read_generation_pointer(pointer_path)
-    _os.makedirs(_os.path.dirname(pointer_path) or ".", exist_ok=True)
-    tmp = f"{pointer_path}.tmp"
-    lines = [kind]
-    flags = (
-        (["pq"] if with_pq else [])
-        + ([f"cap={cap}"] if cap is not None else [])
-        + ([f"nprobe={nprobe}"] if nprobe is not None else [])
-    )
-    if n_fit is not None or flags:
-        lines.append("" if n_fit is None else str(n_fit))
-    if flags:
-        lines.append(" ".join(flags))
-    with open(tmp, "w") as fh:
-        fh.write("\n".join(lines))
-    _os.replace(tmp, pointer_path)
+    with _pointer_write_lock(pointer_path):
+        prev = read_generation_pointer(pointer_path)
+        tmp = f"{pointer_path}.tmp"
+        lines = [kind]
+        flags = (
+            (["pq"] if with_pq else [])
+            + ([f"cap={cap}"] if cap is not None else [])
+            + ([f"nprobe={nprobe}"] if nprobe is not None else [])
+        )
+        if n_fit is not None or flags:
+            lines.append("" if n_fit is None else str(n_fit))
+        if flags:
+            lines.append(" ".join(flags))
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines))
+        _os.replace(tmp, pointer_path)
     return prev
 
 
@@ -1049,9 +1091,16 @@ def vacuum_generation(spark, sf_dir: str, pointer_path: str, kind: str) -> int:
     dropped = 0
     # codes + pqcb vacuumed WITH the generation (round 16, VERDICT r15
     # #1): dropped unconditionally — a generation without a PQ path
-    # simply has neither table and the loop no-ops over them
-    tables = _generation_names(sf_dir, kind) + _pq_generation_names(
-        sf_dir, kind
+    # simply has neither table and the loop no-ops over them.  The
+    # tombstone table (round 18) dies with its generation the same way
+    # (its data lives under the generation's scratch base, so the
+    # rmtree below reclaims the files).
+    from awsbatch_mapreduce_spark.plans.wave17 import _tombstone_name
+
+    tables = (
+        _generation_names(sf_dir, kind)
+        + _pq_generation_names(sf_dir, kind)
+        + (_tombstone_name(sf_dir, kind),)
     )
     for t in tables:
         if spark.catalog.tableExists(t):
@@ -1155,11 +1204,32 @@ def refit_and_cutover(
     # exactly this in the round-15 supervisor tests)
     spark.catalog.refreshTable(src_mem)
     n_snapshot = spark.table(src_mem).count()
+    # DELETION propagates at refit (round 18, VERDICT r17 #2): the
+    # current generation's tombstones (if any) are excluded from the
+    # new fit, and the new generation starts with NO tombstone table —
+    # the clear is structural.  The tombstone count joins the quiesce
+    # guard below: a delete landing mid-refit would be cleared WITHOUT
+    # being excluded (silent resurrection), so it refuses the cutover
+    # exactly like a concurrent admission.
+    from awsbatch_mapreduce_spark.plans.wave17 import _tombstone_name
+
+    tombs_tbl = _tombstone_name(sf_dir, current)
+    has_tombs = spark.catalog.tableExists(tombs_tbl)
+    n_tombs_snapshot = (
+        spark.table(tombs_tbl).count() if has_tombs else 0
+    )
     base, coarse_tbl, fine_tbl, mem_tbl = _index_tables(
         spark, sf_dir, new_kind
     )
     refit_from_members(
-        spark, src_mem, base, coarse_tbl, fine_tbl, mem_tbl, cap=cap
+        spark, src_mem, base, coarse_tbl, fine_tbl, mem_tbl, cap=cap,
+        tombs_tbl=tombs_tbl if has_tombs else None,
+    )
+    # the NEW generation's fit-time size is the SURVIVOR count (what
+    # it actually fitted) — the refit_due denominator must price the
+    # fitted set, not the pre-deletion source
+    n_fit_new = (
+        spark.table(mem_tbl).count() if has_tombs else n_snapshot
     )
     if with_pq:
         # codes + PQ codebook are per-generation artifacts: rebuilt
@@ -1173,30 +1243,39 @@ def refit_and_cutover(
 
         _persist_pq_codes(spark, mem_tbl, base, codes_tbl, pqcb_tbl)
 
-    def _recount() -> int:
+    def _recount() -> tuple[int, int]:
         spark.catalog.refreshTable(src_mem)
-        return spark.table(src_mem).count()
+        n_t = 0
+        if spark.catalog.tableExists(tombs_tbl):
+            spark.catalog.refreshTable(tombs_tbl)
+            n_t = spark.table(tombs_tbl).count()
+        return spark.table(src_mem).count(), n_t
 
-    def _refuse(n_now: int) -> None:
+    def _refuse(n_now: int, n_t_now: int) -> None:
+        what = (
+            f"grew from {n_snapshot} to {n_now} members"
+            if n_now != n_snapshot
+            else f"tombstones moved {n_tombs_snapshot} -> {n_t_now}"
+        )
         raise RuntimeError(
             f"cutover to {new_kind!r} refused: generation {current!r}"
-            f" grew from {n_snapshot} to {n_now} members while the refit"
-            " ran — those admissions exist only in the old generation"
-            " and would be lost at vacuum. Quiesce admissions into the"
-            " current generation and re-run."
+            f" {what} while the refit ran — those mutations exist only"
+            " in the old generation and would be lost (or silently"
+            " resurrected) at vacuum. Quiesce admissions and deletions"
+            " into the current generation and re-run."
         )
 
-    n_now = _recount()
-    if n_now != n_snapshot:
-        _refuse(n_now)
-    # the new generation's fit-time size IS the snapshot count — record
+    n_now, n_t_now = _recount()
+    if n_now != n_snapshot or n_t_now != n_tombs_snapshot:
+        _refuse(n_now, n_t_now)
+    # the new generation's fit-time size IS what it fitted — record
     # it in the pointer's atomic write (the refit_due denominator)
     cutover_generation(
-        spark, sf_dir, pointer_path, new_kind, n_fit=n_snapshot,
+        spark, sf_dir, pointer_path, new_kind, n_fit=n_fit_new,
         with_pq=with_pq, cap=cap, nprobe=new_nprobe,
     )
-    n_after = _recount()
-    if n_after != n_snapshot:
+    n_after, n_t_after = _recount()
+    if n_after != n_snapshot or n_t_after != n_tombs_snapshot:
         # an admission slipped into the old generation between the
         # first recount and the swap: roll the pointer back (the old
         # generation is intact — nothing vacuumed yet) and refuse.
@@ -1206,7 +1285,7 @@ def refit_and_cutover(
             spark, sf_dir, pointer_path, current, n_fit=cur_n_fit,
             with_pq="pq" in cur_flags, cap=cur_cap, nprobe=old_nprobe,
         )
-        _refuse(n_after)
+        _refuse(n_after, n_t_after)
     return current
 
 
@@ -1245,6 +1324,17 @@ def probe_current_generation(
         )
     nprobe = _int_flag(flags, "nprobe=", 1)
     coarse_tbl, fine_tbl, mem_tbl = _generation_names(sf_dir, kind)
+    # DELETION reaches every serving path (round 18, VERDICT r17 #2):
+    # when the generation carries tombstones, the probes read the LIVE
+    # members (and codes) view — members minus the tombstone set, a
+    # broadcast anti-join bounded by deletion volume that preserves
+    # the big side's bucket distribution (zero new exchange)
+    from awsbatch_mapreduce_spark.plans.wave17 import (
+        live_codes_name,
+        live_members_name,
+    )
+
+    mem_tbl = live_members_name(spark, sf_dir, kind, mem_tbl)
     if not adc:
         if nprobe == 1:
             return _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
@@ -1260,6 +1350,7 @@ def probe_current_generation(
     from awsbatch_mapreduce_spark.plans.wave14 import _pq_rerank_probe
 
     codes_tbl, pqcb_tbl = _pq_generation_names(sf_dir, kind)
+    codes_tbl = live_codes_name(spark, sf_dir, kind, codes_tbl)
     return _pq_rerank_probe(
         spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl,
         nprobe=nprobe,

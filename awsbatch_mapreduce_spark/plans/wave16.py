@@ -104,6 +104,20 @@ from awsbatch_mapreduce_spark.sources.tables import load_table
 # single-probe default, the first value the actuator recommends.
 _SERVE_NPROBE = 2
 
+# The pointer queries grade against wave13's _MULTIPROBE_ORACLE, whose
+# rank cut is baked to wave13._NPROBE; the agreement is a COUPLING, not
+# a coincidence (ADVICE r17 low) — if either constant moves, the oracle
+# must be re-derived (parameterized CTE like _pq_multiprobe_ctes), not
+# silently diverge.  Import-time assert makes the coupling loud.
+from awsbatch_mapreduce_spark.plans.wave13 import _NPROBE as _W13_NPROBE
+
+assert _SERVE_NPROBE == _W13_NPROBE, (
+    "codebook_pointer_nprobe_serving grades against wave13's"
+    " _MULTIPROBE_ORACLE (rank cut = wave13._NPROBE ="
+    f" {_W13_NPROBE}) but probes at _SERVE_NPROBE = {_SERVE_NPROBE};"
+    " re-derive the oracle before changing either constant"
+)
+
 
 @query("codebook_pointer_nprobe_serving", oracle=_MULTIPROBE_ORACLE, wave=17)
 def codebook_pointer_nprobe_serving(

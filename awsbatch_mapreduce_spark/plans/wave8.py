@@ -512,7 +512,20 @@ def band_keys_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted index — shares one band space).  Un-persisted: callers
     decide (persist for multi-branch plans, write for the persisted
     index)."""
-    sh = _shingles(spark, sf_dir)
+    from awsbatch_mapreduce_spark.sources.tables import load_table
+
+    return band_keys_of(load_table(spark, sf_dir, "documents"))
+
+
+def band_keys_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, bk) band keys of any (doc_id, text) frame — the
+    batch-shaped half of ``band_keys_frame`` (round 18: the streaming
+    LSH admission signatures each micro-batch with the exact constants
+    of the whole dedup ladder, so the persisted band index stays one
+    band space across batch and stream writers)."""
+    from awsbatch_mapreduce_spark.plans.llm_text import _shingles_of
+
+    sh = _shingles_of(docs)
     aggs = [
         F.min(
             F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)

@@ -346,7 +346,12 @@ def _complete_pending_swap(spark, tbl: str) -> None:
 
 
 def _swap_rewrite(
-    spark, tbl: str, kept: DataFrame, bucket_cols: list[str]
+    spark,
+    tbl: str,
+    kept: DataFrame,
+    bucket_cols: list[str] | None,
+    sort_cols: tuple[str, ...] = ("cell", "sub"),
+    n_buckets: int = 8,
 ) -> None:
     """Crash-safe rewrite of a bucketed external table with the kept
     rows: write them to a SIBLING directory, then swap directories with
@@ -372,10 +377,15 @@ def _swap_rewrite(
     shutil.rmtree(old_loc, ignore_errors=True)
     tmp_tbl = f"{tbl}__rp"
     spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    # ``bucket_cols=None`` rewrites an UNBUCKETED table (round 18: the
+    # tombstone set and the LSH band index reuse this protocol);
+    # ``sort_cols`` parameterizes the bucketed layout's sort key (the
+    # codebook tables sort on (cell, sub), the band index on bk)
+    writer = kept.write
+    if bucket_cols:
+        writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(*sort_cols)
     (
-        kept.write.bucketBy(8, *bucket_cols)
-        .sortBy("cell", "sub")
-        .option("path", repair_loc)
+        writer.option("path", repair_loc)
         .mode("overwrite")
         .saveAsTable(tmp_tbl)
     )
@@ -449,6 +459,7 @@ def foreach_batch_codebook_admit_probe(
     pqcb_tbl: str | None = None,
     cap: int | None = None,
     pointer_path: str | None = None,
+    tombs_tbl: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Probe-then-admit streaming lifecycle: the micro-batch is probed
     against the index as of all PREVIOUSLY admitted batches, then
@@ -557,15 +568,25 @@ def foreach_batch_codebook_admit_probe(
             )
 
             np_ = read_generation_nprobe(pointer_path)
+        # the NOVELTY PROBE serves the live member set (round 18):
+        # tombstoned members must stop matching at the admission
+        # surface too.  The ADMISSION below keeps the raw mem_tbl —
+        # sub-cell offsets are physical-row accounting and deleted
+        # members still occupy their slots until the next refit.
+        probe_mem = mem_tbl
+        if tombs_tbl is not None:
+            from awsbatch_mapreduce_spark.plans.wave17 import _live_view
+
+            probe_mem = _live_view(spark, mem_tbl, tombs_tbl, "live")
         if np_ == 1:
-            res = _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
+            res = _probe_batch(spark, new, coarse_tbl, fine_tbl, probe_mem)
         else:
             from awsbatch_mapreduce_spark.plans.wave13 import (
                 _multiprobe_batch,
             )
 
             res = _multiprobe_batch(
-                spark, new, coarse_tbl, fine_tbl, mem_tbl, nprobe=np_
+                spark, new, coarse_tbl, fine_tbl, probe_mem, nprobe=np_
             )
         _write_probe_partition(res, out_dir, batch_id)
         _write_marker(intent_path, batch_id)  # admission window opens

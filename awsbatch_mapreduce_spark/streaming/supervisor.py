@@ -181,6 +181,7 @@ def admit_probe_with_cadence(
     can_escalate_cap: bool = False,
     pointer_path: str | None = None,
     recall_every: int = 0,
+    tombs_tbl: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The supervised per-batch function: the round-14 replay-safe
     admission, then the cadence check.  The ``RefitDueSignal`` raise
@@ -249,18 +250,28 @@ def admit_probe_with_cadence(
         # the admission-time novelty probe serves the pointer's nprobe
         # too (round 17) — the last probe surface the actuator reaches
         pointer_path=pointer_path,
+        # ...and the generation's tombstones (round 18): a deleted
+        # member stops matching at the admission surface immediately
+        tombs_tbl=tombs_tbl,
     )
     wm_path = os.path.join(out_dir, "_ADMITTED_WATERMARK")
     intent_path = os.path.join(out_dir, "_ADMIT_INTENT")
     snap_path = os.path.join(out_dir, "_RECALL_SNAPSHOTS.jsonl")
     measured: list[int] = []
     counter: dict[str, int | None] = {"n": None, "fresh_since_snap": 0}
-    quality_breach: list[int] = []
+    quality_breach: list[tuple[int, int]] = []  # (batch_id, nprobe@breach)
 
     def _serving_nprobe() -> int:
         """The nprobe the snapshot must measure: the pointer's token
         when a pointer is bound (what production serves), else the
-        closure's ``recall_nprobe`` (the QA-only round-16 behavior)."""
+        closure's ``recall_nprobe`` (the QA-only round-16 behavior).
+        A bound pointer with NO token serves single-probe — every
+        serving path (``read_generation_nprobe``, the pointer probes,
+        the admission probe) defaults to 1 there, so the QA snapshot
+        must measure 1 too (ADVICE r17: falling back to a configured
+        ``recall_nprobe`` > 1 would measure a width production does
+        not serve, clear the floor on it, and never write the token —
+        re-opening the QA-vs-serving gap)."""
         if pointer_path is not None:
             from awsbatch_mapreduce_spark.plans.wave13 import (
                 _int_flag,
@@ -270,8 +281,7 @@ def admit_probe_with_cadence(
             tok = _int_flag(
                 read_generation_flags(pointer_path), "nprobe=", 0
             )
-            if tok:
-                return tok
+            return tok if tok else 1
         return recall_nprobe
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -302,8 +312,19 @@ def admit_probe_with_cadence(
             new = batch_df.select(
                 "vec_id", _quantize(F.col("embedding")).alias("vq")
             )
+            # QA measures what production serves (round 18): the
+            # snapshot's probe AND its brute-force truth both read the
+            # LIVE member set when tombstones exist — recall over
+            # deleted members is not a number anyone serves
+            snap_mem = mem_tbl
+            if tombs_tbl is not None:
+                from awsbatch_mapreduce_spark.plans.wave17 import (
+                    _live_view,
+                )
+
+                snap_mem = _live_view(spark, mem_tbl, tombs_tbl, "live")
             snap = _recall_snapshot(
-                spark, new, coarse_tbl, fine_tbl, mem_tbl,
+                spark, new, coarse_tbl, fine_tbl, snap_mem,
                 recall_panel, cur_np,
             )
             # the actuator's read (VERDICT r15 #3): a snapshot below
@@ -349,7 +370,7 @@ def admit_probe_with_cadence(
                 # below floor with the nprobe knob exhausted: signal a
                 # quality refit AFTER this batch commits (the raise
                 # happens post-admission, at the boundary)
-                quality_breach.append(batch_id)
+                quality_breach.append((batch_id, cur_np))
                 snap["cap_escalation_signalled"] = True
             os.makedirs(out_dir, exist_ok=True)  # first batch: the
             # probe-partition write has not created the sink dir yet
@@ -396,10 +417,16 @@ def admit_probe_with_cadence(
                 f" {n_fit}",
             )
         if quality_breach:
+            # report the width the snapshot ACTUALLY exhausted (ADVICE
+            # r17: after pointer-applied steps the serving width is the
+            # snapshot's cur_np, bounded by recall_max_nprobe — not the
+            # closure's base recall_nprobe)
+            _, breach_np = quality_breach[-1]
             _signal(
                 "recall",
                 f"recall below floor {recall_floor_bp} bp with nprobe"
-                f" at its max ({recall_nprobe}) — cap escalation",
+                f" exhausted at {breach_np}"
+                f" (max {recall_max_nprobe}) — cap escalation",
             )
 
     return fn
@@ -614,14 +641,21 @@ def run_supervised_admission(
             # same entry discipline as the repair paths
             _complete_pending_swap(spark, mem_tbl)
             n_fit = spark.table(mem_tbl).count()
+            base_flags = read_generation_flags(pointer_path)
+            base_np = _int_flag(base_flags, "nprobe=", 0)
             cutover_generation(
                 spark, sf_dir, pointer_path, kind, n_fit=n_fit,
                 # preserve capability flags: a pq-flagged pointer with
                 # no n_fit (manual fit+cutover without a count) must
                 # not lose its ADC path — or its fitted cap — in the
-                # baseline rewrite
-                with_pq="pq" in read_generation_flags(pointer_path),
+                # baseline rewrite.  nprobe= rides along too (ADVICE
+                # r17 medium): a serving width set via
+                # set_generation_nprobe after a manual fit+cutover must
+                # survive this rewrite — a pointer rewrite never
+                # silently resets production recall (the r17 invariant)
+                with_pq="pq" in base_flags,
                 cap=read_generation_cap(pointer_path),
+                nprobe=base_np or None,
             )
         # a PQ-carrying generation admits WITH codes, so the ADC path
         # keeps serving a complete candidate set between refits; the
@@ -639,6 +673,8 @@ def run_supervised_admission(
         # after a restart — or a step applied mid-incarnation — the QA
         # probe measures exactly what production serves
         cur_nprobe = _int_flag(gen_flags, "nprobe=", 0) or cur_nprobe
+        from awsbatch_mapreduce_spark.plans.wave17 import _tombstone_name
+
         fn = admit_probe_with_cadence(
             *_generation_names(sf_dir, kind),
             out_dir,
@@ -656,6 +692,11 @@ def run_supervised_admission(
             ),
             pointer_path=pointer_path,
             recall_every=recall_every,
+            # deletions against this generation reach the admission
+            # probe + QA snapshot the moment they commit (round 18);
+            # the segment-boundary refit excludes and clears them
+            # (wave13.refit_and_cutover)
+            tombs_tbl=_tombstone_name(sf_dir, kind),
         )
         writer = source_df.writeStream.foreachBatch(fn).option(
             "checkpointLocation", ckpt_dir

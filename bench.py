@@ -229,6 +229,69 @@ def _calibration_sec(spark) -> float:
     return round(best, 3)
 
 
+def _calibration_io_sec(spark, sf_dir: str) -> float:
+    """I/O-shaped host probe (VERDICT r17 missing #3): full-width scan +
+    hash-agg of the largest fixture table, min-of-5 after one untimed
+    warm-up.  The round-17 regression was invisible to the pure-CPU
+    probe (it read FAST, 0.357 s, while every query ran 1.15-1.6x slow)
+    because the contention was I/O / memory-bandwidth shaped.  This
+    probe exercises parquet decode + shuffle-free agg over real bytes,
+    so a slow-disk / saturated-memory-bus host shows up HERE even when
+    codegen throughput is nominal.  Read the two probes together: CPU
+    fast + IO slow == the r17 signature."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    cols = spark.read.parquet(path).columns  # full width — every byte
+
+    def run() -> None:
+        # pmod keeps the sum inside int64 under ANSI mode, same as the
+        # CPU probe
+        spark.read.parquet(path).agg(
+            F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000))).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up (footer + page-cache population is part of the
+    # steady state the queries themselves run under)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+# Host-noise self-flag threshold (VERDICT r17 missing #3): fraction of
+# headline queries whose rep spread exceeds half their min.  On a quiet
+# host the min-of-3 spread is a small fraction of the min (r16: 2 of 18
+# above 0.5); on the r17 jittery host, 9 of 18 were (q1 spread 0.957 on
+# a 0.615 min).  0.33 splits those two observed regimes cleanly.
+_NOISE_FRACTION_GATE = 0.33
+
+
+def _drift_gate(measured: dict, reference: dict) -> tuple[dict, list]:
+    """(raw_ratios, flagged_names).  The >2.0 gate compares the RAW
+    ratio — round only for display.  r17's `round(t/ref, 2) > 2.0`
+    variant swallowed ann_ivf_topk's real 2.0015 flag (VERDICT r17
+    wrong #1); tests/test_bench_gate.py pins the boundary."""
+    raw = {
+        name: t / reference[name]["reference_sec"]
+        for name, t in measured.items()
+        if name in reference
+    }
+    return raw, sorted(n for n, d in raw.items() if d > 2.0)
+
+
+def _host_noise(timings: dict, spread: dict) -> tuple[bool, float]:
+    """(suspected, noisy_fraction): fraction of headline queries with
+    spread/min > 0.5, gated at _NOISE_FRACTION_GATE."""
+    ratios = [spread[n] / t for n, t in timings.items() if t > 0]
+    if not ratios:
+        return False, 0.0
+    frac = sum(1 for r in ratios if r > 0.5) / len(ratios)
+    return frac > _NOISE_FRACTION_GATE, round(frac, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -248,6 +311,7 @@ def main() -> None:
     # page cache) enough to inflate headline minima, which must stay
     # comparable with prior rounds' headline-only runs.
     calibration = _calibration_sec(spark)
+    calibration_io = _calibration_io_sec(spark, sf_dir)
 
     samples: dict[str, list[float]] = {
         name: [] for name in HEADLINE + EXTENDED
@@ -319,18 +383,16 @@ def main() -> None:
     # was the largest un-gated number in the repo), and the flagged list
     # is emitted explicitly so an empty list is a checked claim.
     here = os.path.dirname(os.path.abspath(__file__))
-    drift: dict[str, float] = {}
+    drift_raw: dict[str, float] = {}
     try:
         with open(os.path.join(here, "BASELINE_QUERIES.json")) as fh:
             reference = json.load(fh)["queries"]
-        drift = {
-            name: round(t / reference[name]["reference_sec"], 2)
-            for name, t in {**timings, **extended}.items()
-            if name in reference
-        }
+        drift_raw, drift_flagged = _drift_gate(
+            {**timings, **extended}, reference
+        )
     except (OSError, KeyError, ValueError):
-        pass  # table absent/malformed: full payload simply omits drift
-    drift_flagged = sorted(n for n, d in drift.items() if d > 2.0)
+        drift_flagged = []  # table absent/malformed: payload omits drift
+    drift = {name: round(d, 2) for name, d in drift_raw.items()}
 
     full = {
         "metric": "headline_queries_total_sec",
@@ -345,8 +407,11 @@ def main() -> None:
         "sf": sf,
         # host-speed calibration (VERDICT r6 #5): divide any
         # cross-round headline comparison by the probe ratio
-        # before calling it a regression
+        # before calling it a regression.  Two probes since r18: the
+        # CPU probe misses I/O / memory-bandwidth contention (r17 read
+        # 0.357 s fast while every query ran 1.15-1.6x slow).
         "calibration_sec": calibration,
+        "calibration_io_sec": calibration_io,
         "normalized": {
             name: round(t / calibration, 2) for name, t in timings.items()
         },
@@ -354,6 +419,16 @@ def main() -> None:
         "drift_vs_reference": drift,
         "drift_flagged": drift_flagged,
     }
+    noise_suspected, noisy_fraction = _host_noise(timings, spread)
+    full["host_noise_suspected"] = noise_suspected
+    full["noisy_fraction"] = noisy_fraction
+    if noise_suspected:
+        # the line a human (or the next round's builder) acts on:
+        # re-run idle min-of-3 before reading any drift as real
+        full["host_noise_note"] = (
+            "spread/min > 0.5 on too many headline queries — "
+            "host-noise suspected; adjudicate idle before trusting drift"
+        )
     # Full payload goes to a sidecar file + an EARLY stdout line: the
     # driver captures only the final ~2 KB of stdout and BENCH_r07.json
     # came back parsed:null because the single metric line outgrew that
@@ -371,6 +446,8 @@ def main() -> None:
         "sf": sf,
         "reps": _REPS,
         "calibration_sec": calibration,
+        "calibration_io_sec": calibration_io,
+        "host_noise_suspected": noise_suspected,
         "normalized_total": full["normalized_total"],
         "extended_total_sec": full["extended_total_sec"],
         "full_report": "BENCH_FULL.json",

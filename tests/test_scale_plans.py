@@ -840,6 +840,22 @@ _REGISTRY_BROADCAST_BUDGET = {
     # codebook_pq_rerank_probe (cap changes table contents, not plan
     # shape; the lifecycle executes eagerly inside the builder)
     "codebook_adc_escalated_refit": 4,
+    # wave 17 (round 18): deletion WITHOUT refit — the single-probe
+    # plan's 2 bounded coarse-book sites + the TOMBSTONE anti-join's
+    # broadcast (bounded by deletion-request volume, the one small
+    # side this family allows; members keep their bucket distribution
+    # — a broadcast join preserves the streamed child's partitioning)
+    "codebook_tombstone_probe": 3,
+    # wave 17 (round 18): deletion THEN refit — the refit cleared the
+    # tombstones, so the probe is the plain single-probe plan (2
+    # bounded coarse-book sites, no anti-join left in the plan)
+    "codebook_tombstone_refit": 2,
+    # wave 17 (round 18): the greedy LSH gate returns a union of
+    # localCheckpoint()'d per-batch verdicts (the lifecycle executes
+    # eagerly inside the builder, the codebook_adc_escalated_refit
+    # precedent); the band/membership joins inside each stage are
+    # data-scaled x data-scaled and pinned sort-merge
+    "lsh_admission_gate": 0,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites
