@@ -55,6 +55,13 @@ RECALL_FLOOR_BP = int(os.environ.get("AUTOREFIT_RECALL_FLOOR_BP", "0"))
 # #3) — the per-batch (rows, ms) pairs then PRICE the re-snapshot:
 # compare segment marginals against a recall_every=0 run
 RECALL_EVERY = int(os.environ.get("AUTOREFIT_RECALL_EVERY", "0"))
+# round 18: AUTOREFIT_DELETE_MOD=N tombstones every Nth member of the
+# bootstrap generation BEFORE the stream starts (the takedown verb at
+# load): every admission-batch novelty probe serves the deletion from
+# batch 0, and the first automatic refit applies it structurally —
+# the summary records that the final generation holds zero tombstoned
+# ids and its tombstone table is gone
+DELETE_MOD = int(os.environ.get("AUTOREFIT_DELETE_MOD", "0"))
 
 _FLOOR_MS = 6000.0  # the measured round-14 per-batch fixed floor
 
@@ -116,6 +123,18 @@ def main() -> None:
         "aref",
         with_pq=WITH_PQ,
     )
+    n_tombstoned = 0
+    if DELETE_MOD > 0:
+        from awsbatch_mapreduce_spark.plans.wave13 import _generation_names
+        from awsbatch_mapreduce_spark.plans.wave17 import tombstone_members
+
+        _, _, mem0 = _generation_names(SF_DIR, kind0)
+        doomed = (
+            spark.table(mem0)
+            .filter(F.pmod(F.col("seen_id"), F.lit(DELETE_MOD)) == 0)
+            .select("seen_id")
+        )
+        n_tombstoned = tombstone_members(spark, SF_DIR, pointer, doomed)
     print(
         json.dumps(
             {
@@ -128,6 +147,8 @@ def main() -> None:
                 "with_pq": WITH_PQ,
                 "recall_floor_bp": RECALL_FLOOR_BP,
                 "recall_every": RECALL_EVERY,
+                "delete_mod": DELETE_MOD,
+                "n_tombstoned": n_tombstoned,
             }
         ),
         flush=True,
@@ -179,19 +200,38 @@ def main() -> None:
         )
     from awsbatch_mapreduce_spark.plans.wave13 import read_generation_nprobe
 
-    print(
-        json.dumps(
-            {
-                "phase": "summary",
-                "n_refits": len(report["refits"]),
-                "recovered": report["recovered"],
-                "segment_marginals": marginals,
-                "n_snapshots": len(report.get("recall", [])),
-                "serving_nprobe": read_generation_nprobe(pointer),
-            }
-        ),
-        flush=True,
-    )
+    summary = {
+        "phase": "summary",
+        "n_refits": len(report["refits"]),
+        "recovered": report["recovered"],
+        "segment_marginals": marginals,
+        "n_snapshots": len(report.get("recall", [])),
+        "serving_nprobe": read_generation_nprobe(pointer),
+    }
+    if DELETE_MOD > 0 and report["refits"]:
+        # the takedown contract at load: after >= 1 automatic refit the
+        # final generation must hold ZERO tombstoned bootstrap members
+        # and carry no tombstone table (cleared structurally)
+        from awsbatch_mapreduce_spark.plans.wave13 import (
+            _generation_names,
+            read_generation_pointer,
+        )
+        from awsbatch_mapreduce_spark.plans.wave17 import _tombstone_name
+
+        kind_f = read_generation_pointer(pointer)
+        _, _, mem_f = _generation_names(SF_DIR, kind_f)
+        leaked = (
+            spark.table(mem_f)
+            .filter(F.col("seen_id") < F.lit(10**9))  # bootstrap ids only
+            .filter(F.pmod(F.col("seen_id"), F.lit(DELETE_MOD)) == 0)
+            .count()
+        )
+        summary["n_tombstoned"] = n_tombstoned
+        summary["tombstoned_in_final_generation"] = leaked
+        summary["tombstone_table_final"] = spark.catalog.tableExists(
+            _tombstone_name(SF_DIR, kind_f)
+        )
+    print(json.dumps(summary), flush=True)
 
     if WITH_PQ:
         # the ADC path must still serve through the pointer after the
