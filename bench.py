@@ -171,6 +171,21 @@ EXTENDED = [
     # codebook_quality_refit_lifecycle (same skeleton, no PQ): the
     # delta prices carrying the codes through an escalated re-chunk
     "codebook_adc_escalated_refit",
+    # round 18 (wave 17): deletion WITHOUT refit — fit, cutover,
+    # tombstone every 5th member, probe through the pointer; read next
+    # to codebook_pointer_lifecycle's fit+probe half: the delta prices
+    # the tombstone write + the broadcast anti-join on the probe
+    "codebook_tombstone_probe",
+    # round 18 (wave 17): deletion THEN refit — the same setup plus
+    # the guarded refit (excludes + clears) and vacuum; read next to
+    # semdedup_codebook_refit (two fits, no deletion): the delta
+    # prices the tombstone exclusion inside a refit already running
+    "codebook_tombstone_refit",
+    # round 18 (wave 17): the greedy LSH admission gate — 4 quartile
+    # batches, probe-then-admit-if-novel against the persisted band
+    # index; read next to lsh_band_index_lifecycle (admit-all, one
+    # probe): the delta prices the 4-stage sequential gate
+    "lsh_admission_gate",
 ]
 
 # Heavy-query rep discipline (VERDICT r13 #3): the two LONGEST
