@@ -461,6 +461,14 @@ def test_legacy_pointer_baseline_rewrite_preserves_pq_flag(
     _persist_pq_codes(spark, mem, base, codes, pqcb)
     cutover_generation(spark, SF_DIR, pointer, kind, with_pq=True)  # no n_fit
     assert read_generation_meta(pointer) == (kind, None)
+    # ...and a serving width set by the actuator after that manual
+    # cutover must ALSO survive the rewrite (ADVICE r17 medium: the
+    # baseline rewrite preserved pq/cap but silently reset nprobe to
+    # 1 — a pointer rewrite must never silently reset production
+    # recall)
+    from awsbatch_mapreduce_spark.plans.wave13 import set_generation_nprobe
+
+    set_generation_nprobe(pointer, 3)
 
     chunks = tmp_path / "chunks"
     chunks.mkdir()
@@ -489,7 +497,10 @@ def test_legacy_pointer_baseline_rewrite_preserves_pq_flag(
     # baseline recorded AND the pq capability survived the rewrite
     kind_after, n_fit_after = read_generation_meta(pointer)
     assert kind_after == kind and n_fit_after is not None
-    assert "pq" in read_generation_flags(pointer)
+    flags_after = read_generation_flags(pointer)
+    assert "pq" in flags_after
+    # the serving width survived too (ADVICE r17 medium)
+    assert "nprobe=3" in flags_after
     # the admitted batch's codes landed (admission ran codes-bound)
     spark.catalog.refreshTable(codes)
     n_subspaces = spark.table(pqcb).select("sm").distinct().count()
