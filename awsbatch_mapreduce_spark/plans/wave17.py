@@ -446,7 +446,9 @@ def _gate_stage(k: int, prior: str) -> str:
         AND t.doc_id NOT IN (SELECT doc_id FROM h{k}))"""
 
 
-_LSH_GATE_ORACLE = (
+# Shared prefix (stages 1-3) and tail of both gate oracles — the plain
+# gate and the takedown variant differ ONLY in batch 4's seen side.
+_GATE_ORACLE_PREFIX = (
     f"""
     WITH {_SH_SQL},
     e AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) * 1 // 4 AS q1,
@@ -469,8 +471,9 @@ _LSH_GATE_ORACLE = (
     + _gate_stage(3, "adm12")
     + """,
     adm123 AS (SELECT doc_id FROM adm12 UNION ALL SELECT doc_id FROM adm3)"""
-    + _gate_stage(4, "adm123")
-    + """,
+)
+
+_GATE_ORACLE_TAIL = """,
     nn AS (
       SELECT doc_id, COUNT(*) AS n_seen_nbrs FROM (
         SELECT * FROM h2
@@ -484,6 +487,22 @@ _LSH_GATE_ORACLE = (
              AS is_admitted
     FROM tagged t LEFT JOIN nn ON nn.doc_id = t.doc_id
 """
+
+_LSH_GATE_ORACLE = (
+    _GATE_ORACLE_PREFIX + _gate_stage(4, "adm123") + _GATE_ORACLE_TAIL
+)
+
+# Takedown variant: after batch 3, every admitted doc with
+# doc_id % {mod} == 0 is REMOVED from the band index; batch 4 gates
+# against the survivors only.
+_TAKEDOWN_MOD = 7
+
+_LSH_TAKEDOWN_ORACLE = (
+    _GATE_ORACLE_PREFIX
+    + f""",
+    kept AS (SELECT doc_id FROM adm123 WHERE doc_id % {_TAKEDOWN_MOD} <> 0)"""
+    + _gate_stage(4, "kept")
+    + _GATE_ORACLE_TAIL
 )
 
 
@@ -510,13 +529,9 @@ def lsh_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Idempotent per run: the gate table is dropped and rebuilt, scratch
     under the per-fixture dir, stale tags swept."""
-    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
     from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
     from awsbatch_mapreduce_spark.plans.wave8 import band_keys_of
-    from awsbatch_mapreduce_spark.streaming.lsh import (
-        create_band_index,
-        probe_band_index,
-    )
+    from awsbatch_mapreduce_spark.streaming.lsh import create_band_index
 
     docs = load_table(spark, sf_dir, "documents")
     b = docs.agg(
@@ -536,44 +551,10 @@ def lsh_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_band_index(spark, base, tbl)
 
     bands = band_keys_of(docs).persist()
-    verdicts = []
-    for k in range(1, _N_GATE_BATCHES + 1):
-        lo_ex, hi_in = edges[k - 1], edges[k]
-        batch_docs = docs.filter(
-            (F.col("doc_id") > F.lit(lo_ex)) & (F.col("doc_id") <= F.lit(hi_in))
-        ).select("doc_id")
-        batch_bands = bands.filter(
-            (F.col("doc_id") > F.lit(lo_ex)) & (F.col("doc_id") <= F.lit(hi_in))
-        )
-        banded = probe_band_index(spark, batch_bands, tbl)
-        bandless = batch_docs.join(
-            never_broadcast(banded.select("doc_id")), "doc_id", "left_anti"
-        ).select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.lit(0).cast("bigint").alias("n_seen_nbrs"),
-            F.lit(1).cast("bigint").alias("is_admitted"),
-        )
-        # MATERIALIZE the verdict before the append mutates the index
-        # it reads (the _admit_batch offset-snapshot discipline)
-        v = (
-            banded.unionByName(bandless)
-            .withColumn("batch_k", F.lit(k).cast("bigint"))
-            .localCheckpoint()
-        )
-        verdicts.append(v)
-        admitted_bands = batch_bands.join(
-            never_broadcast(
-                v.filter(F.col("is_admitted") == 1).select("doc_id")
-            ),
-            "doc_id",
-            "semi",
-        )
-        (
-            admitted_bands.write.bucketBy(16, "bk")
-            .sortBy("bk")
-            .mode("append")
-            .saveAsTable(tbl)
-        )
+    verdicts = [
+        _gate_one_batch(spark, tbl, docs, bands, edges[k - 1], edges[k], k)
+        for k in range(1, _N_GATE_BATCHES + 1)
+    ]
     out = verdicts[0]
     for v in verdicts[1:]:
         out = out.unionByName(v)
@@ -581,6 +562,128 @@ def lsh_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "batch_k", "n_seen_nbrs", "is_admitted")
 
 
+def _gate_one_batch(
+    spark, tbl: str, docs, bands, lo_ex: int, hi_in: int, k: int
+):
+    """One gate stage: probe batch k against the current index, emit
+    its verdicts (MATERIALIZED before the append mutates the index the
+    probe reads — the _admit_batch offset-snapshot discipline), append
+    the admitted docs' bands.  Shared by the plain gate and the
+    takedown variant."""
+    from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+    from awsbatch_mapreduce_spark.streaming.lsh import probe_band_index
+
+    batch_docs = docs.filter(
+        (F.col("doc_id") > F.lit(lo_ex)) & (F.col("doc_id") <= F.lit(hi_in))
+    ).select("doc_id")
+    batch_bands = bands.filter(
+        (F.col("doc_id") > F.lit(lo_ex)) & (F.col("doc_id") <= F.lit(hi_in))
+    )
+    banded = probe_band_index(spark, batch_bands, tbl)
+    bandless = batch_docs.join(
+        never_broadcast(banded.select("doc_id")), "doc_id", "left_anti"
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(0).cast("bigint").alias("n_seen_nbrs"),
+        F.lit(1).cast("bigint").alias("is_admitted"),
+    )
+    v = (
+        banded.unionByName(bandless)
+        .withColumn("batch_k", F.lit(k).cast("bigint"))
+        .localCheckpoint()
+    )
+    admitted_bands = batch_bands.join(
+        never_broadcast(
+            v.filter(F.col("is_admitted") == 1).select("doc_id")
+        ),
+        "doc_id",
+        "semi",
+    )
+    (
+        admitted_bands.write.bucketBy(16, "bk")
+        .sortBy("bk")
+        .mode("append")
+        .saveAsTable(tbl)
+    )
+    return v
+
+
 lsh_admission_gate.__doc__ = lsh_admission_gate.__doc__.format(
     k=_N_GATE_BATCHES
+)
+
+
+@query("lsh_gate_takedown", oracle=_LSH_TAKEDOWN_ORACLE, wave=18)
+def lsh_gate_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEXT index's takedown verb, driver-gated (the deletion
+    symmetry of ``codebook_tombstone_probe``): run the greedy gate for
+    batches 1-3, then REMOVE every admitted doc with
+    ``doc_id % {mod} == 0`` from the band index
+    (``streaming.lsh.remove_docs_from_band_index`` — crash-safe
+    sibling-swap anti-join, idempotent), then gate batch 4 against the
+    SURVIVORS.  Removed docs stop gating immediately: a batch-4 near
+    duplicate of removed content is admissible again — the documented
+    takedown semantics (stop HOLDING the content; a regime that must
+    keep rejecting it tombstones verdicts instead).
+
+    Oracle: the gate program with batch 4's seen side filtered to the
+    kept admitted set — batches 1-3's verdicts are byte-identical to
+    the plain gate's (removal happens after them), so the hash proves
+    exactly and only the removal's effect on stage 4.
+
+    Scale shape: the gate's (see ``lsh_admission_gate``) plus ONE
+    anti-join rewrite of the bands-only index (small next to the
+    corpus; broadcast side = the bounded removal request).
+
+    Idempotent per run: own table + scratch, stale tags swept."""
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
+    from awsbatch_mapreduce_spark.plans.wave8 import band_keys_of
+    from awsbatch_mapreduce_spark.streaming.lsh import (
+        create_band_index,
+        remove_docs_from_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    edges = [b.lo - 1] + [
+        b.lo + (b.hi - b.lo) * k // 4 for k in range(1, _N_GATE_BATCHES)
+    ] + [b.hi]
+
+    tag = _scratch_tag(sf_dir)
+    base = _scratch_dir("awsbatch_lsh_takedown", sf_dir)
+    tbl = f"lsh_take_idx_{tag}"
+    for t in spark.catalog.listTables():
+        if t.name.startswith("lsh_take_idx_") and not t.name.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    create_band_index(spark, base, tbl)
+
+    bands = band_keys_of(docs).persist()
+    verdicts = [
+        _gate_one_batch(spark, tbl, docs, bands, edges[k - 1], edges[k], k)
+        for k in range(1, _N_GATE_BATCHES)  # batches 1-3
+    ]
+    # the takedown: every admitted doc with doc_id % {mod} == 0 — the
+    # request may name any id (absent ids no-op in the anti-join), so
+    # the %-filtered id range suffices and matches the oracle's kept
+    doomed = docs.filter(
+        (F.col("doc_id") <= F.lit(edges[3]))
+        & (F.pmod(F.col("doc_id"), F.lit(_TAKEDOWN_MOD)) == 0)
+    ).select("doc_id")
+    remove_docs_from_band_index(spark, tbl, doomed)
+    verdicts.append(
+        _gate_one_batch(
+            spark, tbl, docs, bands, edges[3], edges[4], _N_GATE_BATCHES
+        )
+    )
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    bands.unpersist()
+    return out.select("doc_id", "batch_k", "n_seen_nbrs", "is_admitted")
+
+
+lsh_gate_takedown.__doc__ = lsh_gate_takedown.__doc__.format(
+    mod=_TAKEDOWN_MOD
 )

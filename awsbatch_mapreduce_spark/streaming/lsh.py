@@ -112,22 +112,54 @@ def probe_band_index(spark, bands_new: DataFrame, band_tbl: str) -> DataFrame:
     )
 
 
-def _purge_batch_bands(spark, batch_ids: DataFrame, band_tbl: str) -> None:
-    """Restore the pre-batch index on an intent-marked replay: drop
-    every band row belonging to the batch's docs (none/partial/all may
-    have landed before the crash), via the crash-safe sibling swap.
-    The zero-row probe is one bounded semi-join; the rewrite runs only
-    when batch bands actually landed."""
+def _purge_batch_bands(spark, batch_ids: DataFrame, band_tbl: str) -> int:
+    """Drop every band row belonging to ``batch_ids``' docs via the
+    crash-safe sibling swap; returns the number of band rows removed
+    (0 short-circuits without a rewrite).  Two callers: the
+    intent-marked replay repair (restore the pre-batch index —
+    none/partial/all of the batch's bands may have landed before the
+    crash) and the public takedown verb below.  The zero-row probe is
+    one bounded semi-join; the rewrite runs only when rows exist."""
     ids = batch_ids.select("doc_id")
     tbl = spark.table(band_tbl)
     n_in = tbl.join(F.broadcast(ids), "doc_id", "semi").count()
     if n_in == 0:
-        return
+        return 0
     kept = tbl.join(F.broadcast(ids), "doc_id", "anti").localCheckpoint()
     _swap_rewrite(
         spark, band_tbl, kept, ["bk"], sort_cols=("bk",),
         n_buckets=_N_BUCKETS,
     )
+    return n_in
+
+
+def remove_docs_from_band_index(
+    spark, band_tbl: str, ids: DataFrame
+) -> int:
+    """TAKEDOWN verb for the text band index (round 18 — the deletion
+    symmetry of ``wave17.tombstone_members``): drop every band row of
+    ``ids``' docs, so removed documents stop gating future admissions
+    the moment the swap commits.  Returns the number of band rows
+    removed; idempotent (a replayed removal finds zero rows and
+    no-ops).  Crash-safe: the kept set is fully written to a
+    ``__repair`` sibling before the two renames; a crash between them
+    is completed by ``_complete_pending_swap`` at the next index
+    mutation or removal.
+
+    Semantics choice, documented: unlike the codebook (where deletion
+    means "this vector must stop MATCHING"), removing a doc's bands
+    means a FUTURE near-duplicate of the removed content becomes
+    admissible again.  That is the right default for licensing/opt-out
+    (the obligation is to stop HOLDING the content, not to remember it
+    forever); a compliance regime that must keep rejecting the content
+    should tombstone the doc_id in its verdict pipeline instead of
+    removing the bands — both primitives now exist.
+
+    The band index is SMALL next to the corpus (bands only, no text),
+    so the anti-join rewrite is cheap; the broadcast side is the
+    bounded removal request."""
+    _complete_pending_swap(spark, band_tbl)
+    return _purge_batch_bands(spark, ids, band_tbl)
 
 
 def foreach_batch_lsh_admit(

@@ -856,6 +856,10 @@ _REGISTRY_BROADCAST_BUDGET = {
     # precedent); the band/membership joins inside each stage are
     # data-scaled x data-scaled and pinned sort-merge
     "lsh_admission_gate": 0,
+    # wave 17 (round 18): the takedown variant — same eager
+    # checkpointed-verdict shape; the removal's anti-join runs inside
+    # remove_docs_from_band_index's rewrite, not in the returned plan
+    "lsh_gate_takedown": 0,
     # wave 9 (round 8): the kmeans codebook lineage (identical to
     # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
     # cell-size frame re-planned at each of m's 3 consumption sites

@@ -223,3 +223,48 @@ def test_purge_restores_pre_batch_index(spark, doc_chunks, tmp_path):
 
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_takedown_verb_removes_bands_idempotently(spark, tmp_path):
+    """remove_docs_from_band_index: removed docs' bands vanish via the
+    crash-safe swap, the removal is idempotent (second call finds zero
+    rows and no-ops), untouched docs' bands survive bit-exact, and a
+    subsequent probe no longer collides with the removed docs."""
+    from awsbatch_mapreduce_spark.streaming.lsh import (
+        remove_docs_from_band_index,
+    )
+
+    docs, edges = _edges(spark)
+    tbl = _fresh_index(spark, "tk")
+    b0 = docs.filter(
+        (F.col("doc_id") > edges[0]) & (F.col("doc_id") <= edges[1])
+    )
+    bands0 = band_keys_of(b0.select("doc_id", "text"))
+    (
+        bands0.write.bucketBy(16, "bk").sortBy("bk")
+        .mode("append").saveAsTable(tbl)
+    )
+    doomed = b0.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        "doc_id"
+    )
+    kept_before = _rows(
+        spark.table(tbl).join(F.broadcast(doomed), "doc_id", "left_anti")
+    )
+    n = remove_docs_from_band_index(spark, tbl, doomed)
+    assert n > 0
+    # removed docs' bands gone; survivors bit-exact
+    assert (
+        spark.table(tbl).join(F.broadcast(doomed), "doc_id", "semi").count()
+        == 0
+    )
+    assert _rows(spark.table(tbl)) == kept_before
+    # idempotent
+    assert remove_docs_from_band_index(spark, tbl, doomed) == 0
+    # the removed docs stop gating: probing their OWN bands now yields
+    # strictly fewer collisions than before the removal (each used to
+    # at least self-match)
+    doomed_bands = bands0.join(F.broadcast(doomed), "doc_id", "semi")
+    res = probe_band_index(spark, doomed_bands, tbl)
+    assert res.filter(
+        (F.col("n_seen_nbrs") == 0) & (F.col("is_admitted") == 1)
+    ).count() > 0
