@@ -1334,7 +1334,9 @@ def probe_current_generation(
         live_members_name,
     )
 
-    mem_tbl = live_members_name(spark, sf_dir, kind, mem_tbl)
+    mem_tbl = live_members_name(
+        spark, sf_dir, kind, mem_tbl, pointer_path=pointer_path
+    )
     if not adc:
         if nprobe == 1:
             return _probe_batch(spark, new, coarse_tbl, fine_tbl, mem_tbl)
@@ -1350,7 +1352,9 @@ def probe_current_generation(
     from awsbatch_mapreduce_spark.plans.wave14 import _pq_rerank_probe
 
     codes_tbl, pqcb_tbl = _pq_generation_names(sf_dir, kind)
-    codes_tbl = live_codes_name(spark, sf_dir, kind, codes_tbl)
+    codes_tbl = live_codes_name(
+        spark, sf_dir, kind, codes_tbl, pointer_path=pointer_path
+    )
     return _pq_rerank_probe(
         spark, new, coarse_tbl, fine_tbl, mem_tbl, codes_tbl, pqcb_tbl,
         nprobe=nprobe,

@@ -183,19 +183,53 @@ def tombstone_members(
         return spark.table(tombs_tbl).count()
 
 
-def _live_view(spark, tbl: str, tombs_tbl: str | None, suffix: str) -> str:
+def _live_view(
+    spark,
+    tbl: str,
+    tombs_tbl: str | None,
+    suffix: str,
+    pointer_path: str | None = None,
+) -> str:
     """Register (and return the name of) a temp view of ``tbl`` minus
     tombstoned ``seen_id`` rows; ``tbl`` itself when no tombstones
     exist.  The anti-join broadcasts the tombstone side — bounded by
     deletion volume, small by nature — so the big side KEEPS its
     bucket distribution (broadcast joins preserve the streamed child's
     partitioning): the probes' (cell, sub) bucket joins still run with
-    zero exchange on the members/codes side."""
+    zero exchange on the members/codes side.
+
+    Swap-safety (round-18 follow-on): a ``tombstone_members`` sibling
+    swap leaves the table root MISSING for an instant, and Spark reads
+    a missing root as an EMPTY scan — a probe built in that window
+    would silently serve WITHOUT the deletions (the r15 trap class).
+    When ``pointer_path`` is given, the tombstone read happens under
+    the pointer write lock (serialized against the verb), completes a
+    crash-pending swap first, and is PINNED eagerly
+    (``localCheckpoint`` of the bounded set) — so the view's deletion
+    set is a consistent snapshot immune to swaps that land after plan
+    build.  Without a pointer the behavior degrades to the plain read
+    (single-writer callers that own their lifecycle)."""
     if tombs_tbl is None or not spark.catalog.tableExists(tombs_tbl):
         return tbl
-    spark.catalog.refreshTable(tombs_tbl)
+
+    def _tomb_frame():
+        spark.catalog.refreshTable(tombs_tbl)
+        # eager pin of the bounded deletion set: the anti-join side is
+        # block-storage-backed from here, immune to later swaps
+        return spark.table(tombs_tbl).localCheckpoint()
+
+    if pointer_path is not None:
+        from awsbatch_mapreduce_spark.streaming.codebook import (
+            _complete_pending_swap,
+        )
+
+        with _pointer_write_lock(pointer_path):
+            _complete_pending_swap(spark, tombs_tbl)
+            tombs = _tomb_frame()
+    else:
+        tombs = _tomb_frame()
     live = spark.table(tbl).join(
-        F.broadcast(spark.table(tombs_tbl)), "seen_id", "left_anti"
+        F.broadcast(tombs), "seen_id", "left_anti"
     )
     name = f"{tbl}__{suffix}"
     live.createOrReplaceTempView(name)
@@ -203,27 +237,34 @@ def _live_view(spark, tbl: str, tombs_tbl: str | None, suffix: str) -> str:
 
 
 def live_members_name(
-    spark, sf_dir: str, kind: str, mem_tbl: str
+    spark, sf_dir: str, kind: str, mem_tbl: str,
+    pointer_path: str | None = None,
 ) -> str:
     """The members relation every SERVING path must read: the live
     view (members minus the generation's tombstones) when tombstones
     exist, the table itself otherwise.  Lazy-imported by
     ``wave13.probe_current_generation`` and the streaming admission's
     novelty probe so deletion reaches production the moment the
-    tombstone write commits."""
+    tombstone write commits.  ``pointer_path`` arms the swap-safe
+    snapshot read (see ``_live_view``)."""
     return _live_view(
-        spark, mem_tbl, _tombstone_name(sf_dir, kind), "live"
+        spark, mem_tbl, _tombstone_name(sf_dir, kind), "live",
+        pointer_path=pointer_path,
     )
 
 
-def live_codes_name(spark, sf_dir: str, kind: str, codes_tbl: str) -> str:
+def live_codes_name(
+    spark, sf_dir: str, kind: str, codes_tbl: str,
+    pointer_path: str | None = None,
+) -> str:
     """The ADC path's codes relation minus tombstones: a deleted
     member must not occupy a top-rerank candidate slot (it would be
     dropped at the exact verify anyway, but its slot would shadow a
     live candidate — the output must equal an index that never held
     the deleted member)."""
     return _live_view(
-        spark, codes_tbl, _tombstone_name(sf_dir, kind), "live"
+        spark, codes_tbl, _tombstone_name(sf_dir, kind), "live",
+        pointer_path=pointer_path,
     )
 
 

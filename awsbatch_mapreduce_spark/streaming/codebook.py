@@ -577,7 +577,10 @@ def foreach_batch_codebook_admit_probe(
         if tombs_tbl is not None:
             from awsbatch_mapreduce_spark.plans.wave17 import _live_view
 
-            probe_mem = _live_view(spark, mem_tbl, tombs_tbl, "live")
+            probe_mem = _live_view(
+                spark, mem_tbl, tombs_tbl, "live",
+                pointer_path=pointer_path,
+            )
         if np_ == 1:
             res = _probe_batch(spark, new, coarse_tbl, fine_tbl, probe_mem)
         else:

@@ -322,7 +322,10 @@ def admit_probe_with_cadence(
                     _live_view,
                 )
 
-                snap_mem = _live_view(spark, mem_tbl, tombs_tbl, "live")
+                snap_mem = _live_view(
+                    spark, mem_tbl, tombs_tbl, "live",
+                    pointer_path=pointer_path,
+                )
             snap = _recall_snapshot(
                 spark, new, coarse_tbl, fine_tbl, snap_mem,
                 recall_panel, cur_np,

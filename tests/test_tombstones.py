@@ -348,3 +348,39 @@ def test_supervisor_serves_and_structurally_applies_deletions(
 
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_live_view_is_swap_safe_snapshot(spark, tmp_path):
+    """The r15 trap class, closed for the tombstone read (round-18
+    follow-on): (a) a probe built while a tombstone sibling swap is
+    PENDING (root missing, __repair complete) must complete it and
+    serve the full deletion set — never silently read EMPTY tombstones
+    and resurrect every deleted member; (b) the view's deletion set is
+    an eager SNAPSHOT: a tombstone write landing after plan build does
+    not mutate an already-built view's output."""
+    from awsbatch_mapreduce_spark.plans.wave17 import _live_view
+
+    pointer = str(tmp_path / "ptr")
+    _, _, (coarse, fine, mem) = _build_gen(spark, "tsw", pointer)
+    tombs = _tombstone_name(SF_DIR, "tsw")
+    tombstone_members(spark, SF_DIR, pointer, _tomb_ids(spark, mem).limit(3))
+    tombstone_members(spark, SF_DIR, pointer, _tomb_ids(spark, mem).limit(4))
+    n_full = spark.table(mem).count()
+
+    # (a) simulate the mid-swap instant: root missing, __repair ready
+    loc = _table_location(spark, tombs)
+    os.rename(loc, f"{loc}__repair")
+    name = _live_view(spark, mem, tombs, "live", pointer_path=pointer)
+    spark.catalog.refreshTable(tombs)
+    assert spark.table(name).count() == n_full - 4  # completed + applied
+    assert os.path.isdir(loc)  # the pending swap was finished
+
+    # (b) snapshot isolation: more deletions after plan build do not
+    # change the already-built view
+    before = spark.table(name).count()
+    tombstone_members(spark, SF_DIR, pointer, _tomb_ids(spark, mem))
+    assert spark.table(name).count() == before
+    # a FRESH view sees the grown set
+    name2 = _live_view(spark, mem, tombs, "live2", pointer_path=pointer)
+    n_doomed = _tomb_ids(spark, mem).count()
+    assert spark.table(name2).count() == n_full - n_doomed
