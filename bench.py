@@ -186,6 +186,10 @@ EXTENDED = [
     # index; read next to lsh_band_index_lifecycle (admit-all, one
     # probe): the delta prices the 4-stage sequential gate
     "lsh_admission_gate",
+    # round 18 (wave 17): the gate plus a takedown between batches 3
+    # and 4 — read next to lsh_admission_gate: the delta prices the
+    # anti-join rewrite of the bands-only index (~free at sf0.1)
+    "lsh_gate_takedown",
 ]
 
 # Heavy-query rep discipline (VERDICT r13 #3): the two LONGEST
