@@ -258,8 +258,9 @@ _IVF_ORACLE = """
 """
 
 
-@query("ann_ivf_topk", oracle=_IVF_ORACLE)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, neighbor_lang: str | None = None
+) -> DataFrame:
     """IVF approximate nearest neighbor: coarse-quantize the corpus into
     cells (codebook = per-label centroids), probe the 2 nearest cells per
     query, exact top-5 cosine within the probed cells only.
@@ -269,6 +270,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells; each query then touches ~nprobe/ncells of the data instead of
     all of it.  Centroid values are quantized to 4 decimals and cell
     scores to 6 so the assignment argmax is engine-independent.
+
+    ``neighbor_lang`` arms FILTERED search (round 18): the metadata
+    predicate is pushed into the ASSIGNMENT relation — a vec_id
+    semi-join against the predicate-matching doc set — BEFORE the
+    probe join generates candidates, so the top-k ranks over exactly
+    the filtered corpus under the shared (unfiltered) cell geometry.
+    Post-filtering an unfiltered top-k instead would undercount k
+    whenever a query's nearest cells are dominated by excluded docs.
+    The filter side is data-scaled (a lang slice of a 100 TB corpus is
+    still huge), so it is pinned ``never_broadcast``: the semi-join
+    shuffles both sides on vec_id — linear, co-partitioned — and the
+    candidate bound stays nprobe x cell-cap per query.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     bits = emb.select(
@@ -299,6 +312,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     assign = scored.filter(F.col("rk") == 1).select("vec_id", "cell")
+    if neighbor_lang is not None:
+        flt = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("lang") == neighbor_lang)
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        assign = assign.join(never_broadcast(flt), "vec_id", "left_semi")
     probe = (
         scored.filter((F.col("vec_id") < 8) & (F.col("rk") <= 2))
         .select(F.col("vec_id").alias("query_id"), "cell")
@@ -329,6 +349,78 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w_rank).cast("bigint"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unfiltered IVF top-5 — the shared probe plan of
+    :func:`_ivf_probe_topk` over the whole corpus."""
+    return _ivf_probe_topk(spark, sf_dir)
+
+
+_IVF_FILTERED_ORACLE = """
+    WITH bits AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+    cent AS (SELECT label, i, FLOOR(AVG(v) * 10000.0 + 0.5) / 10000.0 AS cv
+             FROM bits GROUP BY label, i),
+    vnorm AS (SELECT vec_id, SQRT(SUM(v * v)) AS nv FROM bits GROUP BY vec_id),
+    cnorm AS (SELECT label, SQRT(SUM(cv * cv)) AS nc FROM cent GROUP BY label),
+    score AS (
+      SELECT b.vec_id, c.label,
+             FLOOR((SUM(b.v * c.cv) / (MAX(vn.nv) * MAX(cn.nc))) * 1000000.0 + 0.5)
+               / 1000000.0 AS s
+      FROM bits b
+      JOIN cent c ON c.i = b.i
+      JOIN vnorm vn ON vn.vec_id = b.vec_id
+      JOIN cnorm cn ON cn.label = c.label
+      GROUP BY b.vec_id, c.label),
+    flt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    assign AS (SELECT vec_id, label AS cell FROM (
+                 SELECT vec_id, label,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rk
+                 FROM score) WHERE rk = 1),
+    probe AS (SELECT vec_id AS query_id, label AS cell FROM (
+                 SELECT vec_id, label,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rk
+                 FROM score WHERE vec_id < 8) WHERE rk <= 2),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probe p
+             JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+             JOIN flt f ON f.doc_id = a.vec_id),
+    cos AS (
+      SELECT c.query_id, c.neighbor_id,
+             SUM(q.v * n.v) AS dot, SUM(q.v * q.v) AS qq, SUM(n.v * n.v) AS nn
+      FROM cand c
+      JOIN bits q ON q.vec_id = c.query_id
+      JOIN bits n ON n.vec_id = c.neighbor_id AND n.i = q.i
+      GROUP BY c.query_id, c.neighbor_id)
+    SELECT query_id, neighbor_id,
+           FLOOR((dot / (SQRT(qq) * SQRT(nn))) * 10000.0 + 0.5) / 10000.0 AS cosine,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY FLOOR((dot / (SQRT(qq) * SQRT(nn))) * 10000.0 + 0.5) / 10000.0 DESC,
+                         neighbor_id) AS BIGINT) AS rk
+    FROM cos
+    QUALIFY rk <= 5
+"""
+
+
+@query("ann_ivf_topk_filtered", oracle=_IVF_FILTERED_ORACLE, wave=18)
+def ann_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (round 18): IVF top-5 cosine restricted
+    to neighbors whose document metadata matches a predicate
+    (``documents.lang = 'en'``) — the retrieval shape every RAG /
+    curation pipeline needs ("nearest English docs"), served from the
+    SAME index as the unfiltered probe.  The predicate reaches the
+    candidate relation BEFORE ranking (a vec_id semi-join on the
+    assignment table — see :func:`_ivf_probe_topk`), so each query's
+    top-5 is exact over the filtered corpus within its probed cells;
+    post-filtering an unfiltered top-5 would return < 5 (or wrong)
+    neighbors wherever excluded docs crowd the cells.  Queries
+    themselves are NOT filtered — callers search with any vector
+    against the restricted corpus."""
+    return _ivf_probe_topk(spark, sf_dir, neighbor_lang="en")
 
 
 @query(

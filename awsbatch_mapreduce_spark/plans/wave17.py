@@ -87,6 +87,10 @@ from awsbatch_mapreduce_spark.plans.wave13 import (
     read_generation_pointer,
     refit_and_cutover,
 )
+from awsbatch_mapreduce_spark.plans.wave16 import (
+    _pq_multiprobe_ctes,
+    _SERVE_NPROBE,
+)
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
 # Every 5th member id is tombstoned in both driver queries — ~20% of
@@ -321,11 +325,17 @@ _TOMBSTONE_REFIT_ORACLE = (
 
 
 def _fit_cutover_tombstone(
-    spark: SparkSession, sf_dir: str, kind: str, scratch: str
+    spark: SparkSession, sf_dir: str, kind: str, scratch: str,
+    with_pq: bool = False,
 ) -> tuple[str, DataFrame]:
-    """Shared setup of both deletion queries: adaptive fit over the
+    """Shared setup of the deletion queries: adaptive fit over the
     seen half -> cutover -> tombstone every {mod}th member id via the
-    public verb.  Returns (pointer_path, quantized probe batch)."""
+    public verb.  ``with_pq`` additionally builds the generation's
+    codes + PQ codebook BEFORE the deletions land and records the
+    ``pq`` + ``nprobe=`` tokens at cutover — the ADC composition's
+    setup (codes are fit-time artifacts; deletion must mask them at
+    serve time, not rebuild them).  Returns (pointer_path, quantized
+    probe batch)."""
     from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -349,11 +359,22 @@ def _fit_cutover_tombstone(
         fine_tbl,
         mem_tbl,
     )
+    if with_pq:
+        from awsbatch_mapreduce_spark.plans.wave14 import (
+            _persist_pq_codes,
+            _pq_tables,
+        )
+
+        codes_tbl, pqcb_tbl = _pq_tables(spark, sf_dir, kind)
+        _persist_pq_codes(spark, mem_tbl, base, codes_tbl, pqcb_tbl)
     # a stale tombstone table from a prior run of this query would
     # double-delete: the fixture contract is one mutable generation
     # per (kind, fixture), so sweep it with the generation rebuild
     spark.sql(f"DROP TABLE IF EXISTS {_tombstone_name(sf_dir, kind)}")
-    cutover_generation(spark, sf_dir, pointer, kind)
+    cutover_generation(
+        spark, sf_dir, pointer, kind, with_pq=with_pq,
+        nprobe=_SERVE_NPROBE if with_pq else None,
+    )
 
     # the deletion request: every {mod}th member id, via the verb
     doomed = (
@@ -426,6 +447,72 @@ def codebook_tombstone_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 for _q in (codebook_tombstone_probe, codebook_tombstone_refit):
     _q.__doc__ = _q.__doc__.format(mod=_TOMB_MOD)
+
+
+# ---------------------------------------------------------------------------
+# DELETION x PQ/ADC composition: the ADC serving path reads the LIVE
+# codes view (a deleted member must not occupy a top-rerank candidate
+# slot — it would be dropped at the exact verify anyway, but its slot
+# would shadow a live candidate), pinned by
+# tests/test_tombstones.py::test_adc_serving_excludes_tombstoned_members
+# since the verb landed.  This query gives the composition the driver
+# hash: the oracle's ONE predicate insertion sits at the candidate-slot
+# join (the same `_PR_ANCHOR` the full-vector oracle uses), while the
+# PQ codebook CTEs train over ALL members — codes are fit-time
+# artifacts, so deletion masks them at serve time, never retrains.
+# ---------------------------------------------------------------------------
+
+
+def _pq_multiprobe_ctes_tombs(
+    boundary_sql: str, nprobe: int, tomb_mod: int
+) -> str:
+    base = _pq_multiprobe_ctes(boundary_sql, nprobe)
+    assert base.count(_PR_ANCHOR) == 1, "ADC probe CTE anchor drifted"
+    return base.replace(
+        _PR_ANCHOR,
+        _PR_ANCHOR + f" AND (s.vec_id % {tomb_mod}) <> 0",
+    )
+
+
+_TOMBSTONE_ADC_ORACLE = (
+    _kmeans_cte(
+        5,
+        source=_SEEN_SRC,
+        cell_expr=f"CAST(vec_id % {_K0_SQL} AS INT)",
+    )
+    + _SPLIT_CTES
+    + _pq_multiprobe_ctes_tombs(_MID_BOUNDARY, _SERVE_NPROBE, _TOMB_MOD)
+)
+
+
+@query("codebook_tombstone_adc", oracle=_TOMBSTONE_ADC_ORACLE, wave=18)
+def codebook_tombstone_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion reaches the ADC serving path (section comment): fit
+    the seen half WITH its PQ codes -> cutover recording ``pq`` +
+    ``nprobe={nprobe}`` -> ``tombstone_members`` deletes every {mod}th
+    member -> ADC-probe the new half THROUGH THE POINTER
+    (``probe_current_generation(adc=True)`` reads the live members AND
+    live codes views).  A deleted member must neither match at the
+    exact verify NOR hold one of the {rerank} ADC candidate slots —
+    slot-shadowing would change which LIVE members get verified, so
+    filtering only the verify would hash differently.
+
+    Oracle: the proven rank-{nprobe} ADC program with one predicate
+    insertion at the candidate-slot join and the PQ codebook trained
+    over ALL members (fit-time artifact — serving masks deleted codes,
+    it does not retrain).  Idempotent per run: pointer + generation +
+    codes + tombstones rebuilt from scratch."""
+    pointer, new = _fit_cutover_tombstone(
+        spark, sf_dir, "tba", "awsbatch_semdedup_tba_ptr", with_pq=True
+    )
+    return probe_current_generation(spark, sf_dir, pointer, new, adc=True)
+
+
+from awsbatch_mapreduce_spark.plans.wave14 import _PQ_RERANK as _ADC_RERANK
+
+codebook_tombstone_adc.__doc__ = codebook_tombstone_adc.__doc__.format(
+    mod=_TOMB_MOD, nprobe=_SERVE_NPROBE, rerank=_ADC_RERANK
+)
 
 
 # ---------------------------------------------------------------------------

@@ -182,6 +182,7 @@ def admit_probe_with_cadence(
     pointer_path: str | None = None,
     recall_every: int = 0,
     tombs_tbl: str | None = None,
+    max_deleted_fraction: float = 0.0,
 ) -> Callable[[DataFrame, int], None]:
     """The supervised per-batch function: the round-14 replay-safe
     admission, then the cadence check.  The ``RefitDueSignal`` raise
@@ -241,7 +242,23 @@ def admit_probe_with_cadence(
     refits, invisible recall degradation exactly when the growth
     trigger is quiet.  Each re-snapshot is the same panel-sized cost
     and feeds the same actuator, so a mid-generation degradation steps
-    nprobe (or signals a quality refit) without waiting for growth."""
+    nprobe (or signals a quality refit) without waiting for growth.
+
+    ``max_deleted_fraction > 0`` (round 18 follow-on) arms the THIRD
+    refit trigger, ``deletions``: takedowns accumulate in the
+    generation's tombstone table, and every probe pays the anti-join
+    against that set while the members table keeps serving dead rows —
+    structure the growth trigger cannot see (deletes never raise
+    ``n_now``) and the recall trigger may never see (recall is scored
+    over the LIVE set).  When tombstones exceed ``max_deleted_fraction
+    * n_now`` the closure signals a refit, which compacts: the new fit
+    EXCLUDES the tombstoned members and the new generation starts with
+    no tombstone table (the clear is structural —
+    ``wave17._tombstone_name``).  Cost: one count of the
+    bounded-by-deletion-volume tombstone table per micro-batch, only
+    while the knob is armed and the table exists; deletions land
+    out-of-band from the stream, so no incremental counter can track
+    them the way admitted rows track ``n_now``."""
     from awsbatch_mapreduce_spark.plans.iterative import _quantize
 
     inner = foreach_batch_codebook_admit_probe(
@@ -402,11 +419,12 @@ def admit_probe_with_cadence(
             counter["fresh_since_snap"] += 1
         n_now = counter["n"]
 
-        def _signal(reason: str, detail: str) -> None:
+        def _signal(reason: str, detail: str, **extra) -> None:
             tmp = _marker_path(out_dir) + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(json.dumps({"batch_id": batch_id, "n_now": n_now,
-                                     "n_fit": n_fit, "reason": reason}))
+                                     "n_fit": n_fit, "reason": reason,
+                                     **extra}))
             os.replace(tmp, _marker_path(out_dir))
             raise RefitDueSignal(
                 f"refit due after batch {batch_id}: {detail} — quiescing"
@@ -419,6 +437,24 @@ def admit_probe_with_cadence(
                 f"members {n_now} > {tolerated_inflation}x fit-time"
                 f" {n_fit}",
             )
+        if (
+            max_deleted_fraction > 0
+            and tombs_tbl is not None
+            and spark.catalog.tableExists(tombs_tbl)
+        ):
+            # out-of-band takedowns: one count of the bounded tombstone
+            # table (deletes cannot be folded into the running n_now
+            # counter the way admitted rows are — they land between
+            # batches, outside the stream)
+            spark.catalog.refreshTable(tombs_tbl)
+            n_tombs = spark.table(tombs_tbl).count()
+            if n_tombs > max_deleted_fraction * n_now:
+                _signal(
+                    "deletions",
+                    f"tombstones {n_tombs} > {max_deleted_fraction:g}x"
+                    f" members {n_now} — compacting refit",
+                    n_tombs=n_tombs,
+                )
         if quality_breach:
             # report the width the snapshot ACTUALLY exhausted (ADVICE
             # r17: after pointer-applied steps the serving width is the
@@ -552,6 +588,7 @@ def run_supervised_admission(
     recall_cap_step: int = 4,
     recall_cap_max: int = 512,
     recall_every: int = 0,
+    max_deleted_fraction: float = 0.0,
 ) -> dict:
     """Drive streaming admission with AUTOMATIC refits until the
     source drains (``available_now=True``), the wall budget
@@ -585,7 +622,17 @@ def run_supervised_admission(
     recall_cap_step`` (bounded by ``recall_cap_max``), recorded in the
     refit entry as ``reason: recall`` with the old/new caps; the new
     cap rides the generation pointer so subsequent admissions
-    rank-chunk at the capacity the index was fitted with."""
+    rank-chunk at the capacity the index was fitted with.
+
+    ``max_deleted_fraction > 0`` arms the deletions trigger (round 18
+    follow-on): when a generation's tombstone count exceeds that
+    fraction of its raw member rows, the cadence check signals reason
+    ``deletions`` and the SAME refit machinery compacts — the new fit
+    excludes the tombstoned members (``wave13.refit_and_cutover``) and
+    the new generation carries no tombstone table.  The refit entry
+    records ``n_tombs`` and its ``n_fit_after`` is the pointer's
+    post-refit read-back (the live count actually fitted), not the raw
+    counter."""
     from awsbatch_mapreduce_spark.plans.wave13 import (
         _int_flag,
         read_generation_cap,
@@ -700,6 +747,9 @@ def run_supervised_admission(
             # the segment-boundary refit excludes and clears them
             # (wave13.refit_and_cutover)
             tombs_tbl=_tombstone_name(sf_dir, kind),
+            # ...and when armed, enough of them TRIGGERS that refit
+            # (round 18 follow-on: the compaction trigger)
+            max_deleted_fraction=max_deleted_fraction,
         )
         writer = source_df.writeStream.foreachBatch(fn).option(
             "checkpointLocation", ckpt_dir
@@ -792,23 +842,33 @@ def run_supervised_admission(
                 vacuum_generation(spark, sf_dir, pointer_path, old)
                 if reset_nprobe is not None:
                     cur_nprobe = reset_nprobe
-                report["refits"].append(
-                    {
-                        "old": old,
-                        "new": new_kind,
-                        "reason": reason,
-                        "cap_before": cur_cap,
-                        "cap_after": read_generation_cap(pointer_path),
-                        "nprobe_after": _int_flag(
-                            read_generation_flags(pointer_path),
-                            "nprobe=", 0,
-                        ) or cur_nprobe,
-                        "refit_sec": refit_sec,
-                        "n_fit_before": n_fit,
-                        "n_fit_after": due_info["n_now"],
-                        "after_batch": due_info["batch_id"],
-                    }
-                )
+                entry = {
+                    "old": old,
+                    "new": new_kind,
+                    "reason": reason,
+                    "cap_before": cur_cap,
+                    "cap_after": read_generation_cap(pointer_path),
+                    "nprobe_after": _int_flag(
+                        read_generation_flags(pointer_path),
+                        "nprobe=", 0,
+                    ) or cur_nprobe,
+                    "refit_sec": refit_sec,
+                    "n_fit_before": n_fit,
+                    "n_fit_after": due_info["n_now"],
+                    "after_batch": due_info["batch_id"],
+                }
+                if reason == "deletions":
+                    # a compacting refit fits FEWER members than the
+                    # counter saw (the tombstoned rows are excluded):
+                    # the counter's n_now is the raw row count, so the
+                    # honest n_fit_after is the pointer's post-refit
+                    # read-back — the live count refit_and_cutover
+                    # actually fitted and recorded
+                    entry["n_fit_after"] = read_generation_meta(
+                        pointer_path
+                    )[1]
+                    entry["n_tombs"] = due_info.get("n_tombs")
+                report["refits"].append(entry)
                 refits += 1
                 continue  # resume admission on the new generation
         if exc is not None and not due:

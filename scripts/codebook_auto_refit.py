@@ -62,6 +62,13 @@ RECALL_EVERY = int(os.environ.get("AUTOREFIT_RECALL_EVERY", "0"))
 # the summary records that the final generation holds zero tombstoned
 # ids and its tombstone table is gone
 DELETE_MOD = int(os.environ.get("AUTOREFIT_DELETE_MOD", "0"))
+# round 18 follow-on: AUTOREFIT_DELETE_FRACTION > 0 arms the
+# deletion-fraction COMPACTION trigger — with DELETE_MOD tombstoning
+# ~1/MOD of the bootstrap generation, a fraction below that share
+# makes the FIRST batch's cadence check signal reason `deletions`
+# (before growth could), so the run shows a takedown-driven refit
+# under live admission load
+DELETE_FRACTION = float(os.environ.get("AUTOREFIT_DELETE_FRACTION", "0"))
 
 _FLOOR_MS = 6000.0  # the measured round-14 per-batch fixed floor
 
@@ -148,6 +155,7 @@ def main() -> None:
                 "recall_floor_bp": RECALL_FLOOR_BP,
                 "recall_every": RECALL_EVERY,
                 "delete_mod": DELETE_MOD,
+                "delete_fraction": DELETE_FRACTION,
                 "n_tombstoned": n_tombstoned,
             }
         ),
@@ -169,6 +177,7 @@ def main() -> None:
         recall_panel=RECALL_PANEL,
         recall_floor_bp=RECALL_FLOOR_BP,
         recall_every=RECALL_EVERY,
+        max_deleted_fraction=DELETE_FRACTION,
     )
 
     for seg in report["segments"]:

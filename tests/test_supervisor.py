@@ -1010,3 +1010,123 @@ def test_cap_escalation_resets_nprobe_arm(spark, four_chunks, tmp_path):
     for s in snaps:
         if s.get("cap_escalation_signalled"):
             assert s["nprobe"] == 2, s
+
+
+def test_deletion_fraction_triggers_compacting_refit(
+    spark, four_chunks, tmp_path
+):
+    """Round 18 follow-on — the COMPACTION trigger: takedowns that
+    tombstone more than ``max_deleted_fraction`` of a generation's
+    member rows signal reason ``deletions`` at the next batch
+    boundary, and the automatic refit compacts: the new generation
+    excludes every tombstoned member, carries no tombstone table, and
+    its recorded fit-time size is the LIVE count (pointer read-back,
+    not the raw counter).  Growth is silenced (inflation 100) so the
+    only trigger in play is the one under test; after the compaction
+    the tombstone table is gone, so later batches admit without
+    re-signalling."""
+    from awsbatch_mapreduce_spark.plans.wave17 import (
+        _tombstone_name,
+        tombstone_members,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    boot = emb.filter(F.col("vec_id") <= F.lit(mid))
+    n_boot = boot.count()
+    bootstrap_generation(spark, SF_DIR, pointer, boot, "svdel")
+    doomed = boot.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("seen_id")
+    )
+    doomed_ids = sorted(r.seen_id for r in doomed.collect())
+    n_doomed = tombstone_members(spark, SF_DIR, pointer, doomed)
+    assert n_doomed == len(doomed_ids) > 0
+
+    report = run_supervised_admission(
+        spark,
+        _source(spark, four_chunks),
+        SF_DIR,
+        pointer,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=100.0,  # growth can never trigger
+        gen_prefix="svdel",
+        max_deleted_fraction=0.2,
+    )
+    refits = report["refits"]
+    assert len(refits) == 1 and refits[0]["reason"] == "deletions", refits
+    assert refits[0]["n_tombs"] == n_doomed
+    # the compacted fit-time size is the live count at the signal:
+    # bootstrap + the one admitted batch (chunk-0 — the signalling
+    # batch's progress never reaches recentProgress, so read the
+    # fixture file), minus the tombstoned members
+    rows0 = pq.read_table(os.path.join(four_chunks, "chunk-0.parquet")).num_rows
+    assert refits[0]["n_fit_before"] == n_boot
+    assert refits[0]["n_fit_after"] == n_boot + rows0 - n_doomed
+    kind, n_fit = read_generation_meta(pointer)
+    assert kind == refits[0]["new"] and n_fit == refits[0]["n_fit_after"]
+    # the new generation carries no tombstone table (structural clear)
+    assert not spark.catalog.tableExists(_tombstone_name(SF_DIR, kind))
+    # compaction is real: the surviving index holds the whole upper
+    # half (batch 0's replay is a watermark no-op, batches 1-3 admit
+    # fresh) plus the bootstrap minus the tombstoned members
+    _, _, mem_tbl = _generation_names(SF_DIR, kind)
+    spark.catalog.refreshTable(mem_tbl)
+    mem = spark.table(mem_tbl)
+    upper = emb.filter(F.col("vec_id") > F.lit(mid)).count()
+    assert mem.count() == refits[0]["n_fit_after"] + upper - rows0
+    assert mem.filter(F.col("seen_id").isin(doomed_ids)).count() == 0
+
+
+def test_deletion_fraction_below_threshold_no_signal(
+    spark, four_chunks, tmp_path
+):
+    """The trigger's quiet side: a deletion volume UNDER the armed
+    fraction admits every batch with zero refits — the tombstone table
+    survives on the (unchanged) generation, the tombstoned members
+    stay excluded from the live view while remaining in the raw
+    members table (takedown semantics without compaction), and the
+    pointer never moves."""
+    from awsbatch_mapreduce_spark.plans.wave17 import (
+        _live_view,
+        _tombstone_name,
+        tombstone_members,
+    )
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    boot = emb.filter(F.col("vec_id") <= F.lit(mid))
+    bootstrap_generation(spark, SF_DIR, pointer, boot, "svdlo")
+    doomed = boot.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("seen_id")
+    )
+    n_doomed = tombstone_members(spark, SF_DIR, pointer, doomed)
+    assert n_doomed == 5
+
+    report = run_supervised_admission(
+        spark,
+        _source(spark, four_chunks),
+        SF_DIR,
+        pointer,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        tolerated_inflation=100.0,
+        gen_prefix="svdlo",
+        max_deleted_fraction=0.5,  # 5 tombstones can never reach 50%
+    )
+    assert report["refits"] == [], report["refits"]
+    kind, _ = read_generation_meta(pointer)
+    assert kind == "svdlo0000"  # pointer never moved
+    tombs_tbl = _tombstone_name(SF_DIR, kind)
+    assert spark.catalog.tableExists(tombs_tbl)
+    _, _, mem_tbl = _generation_names(SF_DIR, kind)
+    spark.catalog.refreshTable(mem_tbl)
+    raw = spark.table(mem_tbl)
+    live = spark.table(
+        _live_view(spark, mem_tbl, tombs_tbl, "t18", pointer_path=pointer)
+    )
+    assert raw.count() - live.count() == n_doomed
