@@ -420,6 +420,12 @@ def admit_probe_with_cadence(
         n_now = counter["n"]
 
         def _signal(reason: str, detail: str, **extra) -> None:
+            # the deletions trigger can fire on an EMPTY batch 0 (the
+            # tombstones predate the stream; compaction need not wait
+            # for fresh data), where the admission has not yet created
+            # the sink dir — the growth/recall reasons structurally
+            # cannot (both require admitted batches first)
+            os.makedirs(out_dir, exist_ok=True)
             tmp = _marker_path(out_dir) + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(json.dumps({"batch_id": batch_id, "n_now": n_now,

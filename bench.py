@@ -190,6 +190,15 @@ EXTENDED = [
     # and 4 — read next to lsh_admission_gate: the delta prices the
     # anti-join rewrite of the bands-only index (~free at sf0.1)
     "lsh_gate_takedown",
+    # round 18 (wave 18): filtered vector search — read next to the
+    # headline ann_ivf_topk: the delta prices the metadata semi-join
+    # pushed into the candidate relation (~0.1 s at sf0.1)
+    "ann_ivf_topk_filtered",
+    # round 18 (wave 18): the deletion x PQ composition — fit WITH
+    # codes + tombstone + ADC probe through the pointer; read next to
+    # codebook_tombstone_refit (deletion, no PQ) and
+    # codebook_pointer_lifecycle_adc (PQ, no deletion)
+    "codebook_tombstone_adc",
 ]
 
 # Heavy-query rep discipline (VERDICT r13 #3): the two LONGEST

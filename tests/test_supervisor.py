@@ -1130,3 +1130,51 @@ def test_deletion_fraction_below_threshold_no_signal(
         _live_view(spark, mem_tbl, tombs_tbl, "t18", pointer_path=pointer)
     )
     assert raw.count() - live.count() == n_doomed
+
+
+def test_deletion_signal_fires_on_empty_first_batch(spark, tmp_path):
+    """The deletions trigger fires on an EMPTY batch 0 (the tombstones
+    predate the stream — compaction need not wait for fresh data), a
+    position where the admission has not yet created the sink dir: the
+    signal must create it for the marker write (caught live by the
+    rate-source load run, whose first trigger tick is empty).  Growth
+    and recall structurally cannot fire there — both require admitted
+    batches first."""
+    from awsbatch_mapreduce_spark.plans.wave17 import tombstone_members
+    from awsbatch_mapreduce_spark.streaming.supervisor import (
+        _marker_path,
+        admit_probe_with_cadence,
+        RefitDueSignal,
+    )
+    from awsbatch_mapreduce_spark.plans.wave17 import _tombstone_name
+
+    emb, lo, hi = _bounds(spark)
+    mid = (lo + hi) // 2
+    pointer = str(tmp_path / "ptr")
+    boot = emb.filter(F.col("vec_id") <= F.lit(mid))
+    bootstrap_generation(spark, SF_DIR, pointer, boot, "svde")
+    doomed = boot.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("seen_id")
+    )
+    n_doomed = tombstone_members(spark, SF_DIR, pointer, doomed)
+
+    out_dir = str(tmp_path / "never_created_out")
+    fn = admit_probe_with_cadence(
+        *_generation_names(SF_DIR, "svde0000"),
+        out_dir,
+        boot.count(),
+        100.0,
+        pointer_path=pointer,
+        tombs_tbl=_tombstone_name(SF_DIR, "svde0000"),
+        max_deleted_fraction=0.2,
+    )
+    empty = boot.limit(0)
+    with pytest.raises(RefitDueSignal, match="tombstones"):
+        fn(empty, 0)
+    import json as _json
+
+    with open(_marker_path(out_dir)) as fh:
+        marker = _json.load(fh)
+    assert marker["reason"] == "deletions"
+    assert marker["n_tombs"] == n_doomed
+    assert marker["batch_id"] == 0
