@@ -650,6 +650,10 @@ _LADDER_BOUNDED_BROADCASTS = {
     "minhash_lsh_eval": 2,
     # centroids (one per label) + query batch (vec_id < 8)
     "ann_ivf_topk": 2,
+    # wave 18 (round 18): the filtered variant — identical 2 bounded
+    # sites (centroids + query batch); the metadata semi-join side is
+    # a lang slice of the corpus (data-scaled) and pinned sort-merge
+    "ann_ivf_topk_filtered": 2,
     # query band keys + query vectors (both vec_id < 8)
     "ann_lsh_topk": 2,
     # the 1-row mid scalar, cross-joined on both corpus halves
@@ -850,6 +854,13 @@ _REGISTRY_BROADCAST_BUDGET = {
     # tombstones, so the probe is the plain single-probe plan (2
     # bounded coarse-book sites, no anti-join left in the plan)
     "codebook_tombstone_refit": 2,
+    # wave 18 (round 18): deletion x PQ — the ADC probe's bounded
+    # coarse-book sites (5: the assignment + PQ sub-assignment consume
+    # the k0-row book at every re-evaluation site) + the bounded
+    # per-vector ADC distance-table frame (1) + the TOMBSTONE set at
+    # its 2 anti-join sites, members and codes (bounded by
+    # deletion-request volume, the one small side this family allows)
+    "codebook_tombstone_adc": 8,
     # wave 17 (round 18): the greedy LSH gate returns a union of
     # localCheckpoint()'d per-batch verdicts (the lifecycle executes
     # eagerly inside the builder, the codebook_adc_escalated_refit
