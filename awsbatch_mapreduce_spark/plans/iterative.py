@@ -181,17 +181,64 @@ def kmeans_fit(
         if quantized
         else corpus.select("vec_id", _quantize(F.col("embedding")).alias("vq"))
     )
+    spark = corpus.sparkSession
+    from pyspark.sql import types as T
+
+    # literal-codebook schema mirrors the init frame's cell dtype so
+    # the final assignment's schema is unchanged by the rewrite
+    _lit_schema = T.StructType(
+        [
+            T.StructField("cell", k_init.schema["cell"].dataType),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
     centroids = k_init
     assigned_prev = None
     inertia_trace: list[float] = []
-    for _ in range(n_iter):
+    for i in range(n_iter):
         assigned = assign_to_cells(q, centroids).persist()
-        inertia_trace.append(
-            assigned.agg((F.sum("d_fp") / F.lit(_DSCALE)).alias("i")).collect()[
-                0
-            ]["i"]
+        # ONE action per iteration (round-18 optimization, guide §1.2 /
+        # §2.4): the per-(cell, pos) stats rollup carries the exact
+        # int64 component sums, member counts AND the per-cell d_fp
+        # sums, so inertia and the next codebook come out of a single
+        # collect — the old loop ran an inertia job plus a separate
+        # centroid-aggregation subtree under the next broadcast build.
+        # The collected frame is bounded (k x dim rows — the codebook,
+        # which was ALWAYS driver-broadcast), never corpus-scaled.
+        # Arithmetic is operand-identical: the driver divides the same
+        # exact int64 sum by the same (scale x count) in IEEE double,
+        # exactly as _centroids_of / the oracle's c{i} CTEs do.
+        stats = (
+            assigned.select(
+                "cell", "d_fp", F.posexplode("vq").alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum("v").alias("sv"),
+                F.count(F.lit(1)).alias("c"),
+                F.sum("d_fp").alias("sd"),
+            )
+            .collect()
         )
-        centroids = _centroids_of(assigned)
+        if stats:
+            inertia_trace.append(
+                sum(r["sd"] for r in stats if r["pos"] == 0) / _DSCALE
+            )
+        else:
+            inertia_trace.append(None)
+        if i < n_iter - 1:
+            by_cell: dict = {}
+            for r in stats:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["sv"] / (
+                    _VSCALE * r["c"]
+                )
+            centroids = spark.createDataFrame(
+                [
+                    (cell, [d[p] for p in sorted(d)])
+                    for cell, d in sorted(by_cell.items())
+                ],
+                schema=_lit_schema,
+            )
         if assigned_prev is not None:
             assigned_prev.unpersist()
         assigned_prev = assigned

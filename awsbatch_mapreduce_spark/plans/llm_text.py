@@ -583,25 +583,64 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(en_hits >= 2, "en").otherwise("other").alias("lang_pred"),
         F.md5(F.substring(F.lower(F.trim(F.col("text"))), 1, 64)).alias("fp"),
     )
-    s1 = scored.filter(F.col("lang_pred") == "en")
-    s2 = s1.filter(F.col("quality") >= 0.5)
-    s3 = s2.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
-    ).filter(F.col("rn") == 1)
-
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
+    # Round-18 optimization (guide §1.2 "don't compute things twice" /
+    # §2.3 "aggregate before you shuffle"): the old form union'd four
+    # separate aggregates, re-scanning documents (and re-evaluating the
+    # tokenize expressions) once per funnel stage — 4 scans in the
+    # committed plan audit.  Stages 0-2 are nested filters, so ONE
+    # conditional aggregate over one scan yields all three rows
+    # (exploded from a literal struct array); stage 3 additionally
+    # needs the keep-one-per-fingerprint dedup, expressed as a
+    # groupBy(fp) keeping the min-doc_id row's token count — the same
+    # survivor the row_number()=1 window selected, without sorting
+    # non-surviving rows.  SUM over an empty filtered set is NULL in
+    # both engines; the conditional sums reproduce that.
+    en = F.col("lang_pred") == "en"
+    enq = en & (F.col("quality") >= 0.5)
+    stages012 = (
+        scored.agg(
+            F.count(F.lit(1)).alias("c0"),
+            F.sum("n_tokens").alias("t0"),
+            F.count(F.when(en, 1)).alias("c1"),
+            F.sum(F.when(en, F.col("n_tokens"))).alias("t1"),
+            F.count(F.when(enq, 1)).alias("c2"),
+            F.sum(F.when(enq, F.col("n_tokens"))).alias("t2"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("0_raw").alias("stage"),
+                        F.col("c0").alias("n_docs"),
+                        F.col("t0").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("1_lang_en").alias("stage"),
+                        F.col("c1").alias("n_docs"),
+                        F.col("t1").alias("n_tokens"),
+                    ),
+                    F.struct(
+                        F.lit("2_quality").alias("stage"),
+                        F.col("c2").alias("n_docs"),
+                        F.col("t2").alias("n_tokens"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.stage", "s.n_docs", "s.n_tokens")
+    )
+    s3 = (
+        scored.filter(enq)
+        .groupBy("fp")
+        .agg(F.min_by("n_tokens", "doc_id").alias("n_tokens"))
+        .agg(
+            F.lit("3_dedup").alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-        ).select("stage", "n_docs", "n_tokens")
-
-    return (
-        _stage(scored, "0_raw")
-        .unionByName(_stage(s1, "1_lang_en"))
-        .unionByName(_stage(s2, "2_quality"))
-        .unionByName(_stage(s3, "3_dedup"))
+        )
+        .select("stage", "n_docs", "n_tokens")
     )
+    return stages012.unionByName(s3)
 
 
 @query(

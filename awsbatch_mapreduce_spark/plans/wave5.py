@@ -942,25 +942,54 @@ def _prefix_filter_plan(
     are dropped BEFORE sizing/prefixing/verification — similarity is
     computed on the capped sets in both engines."""
     docs = load_table(spark, sf_dir, "documents")
+    # Digest narrowing (round-18 optimization, guide §2.3 "narrower
+    # types"): the canonical token digest stays substring(md5(w), 1, 16)
+    # — the SAME mapping the oracle applies — but Spark carries it as
+    # its 64-bit integer value (two 32-bit hex halves recombined with
+    # shiftleft|or, ANSI-safe because each half is < 2^32).  The
+    # re-encoding is a BIJECTION on the 16-hex-char domain, so token
+    # equality/inequality — the only property any downstream step uses
+    # — is untouched; every exchange then moves an 8-byte long instead
+    # of a 16-char string.  (The global rarity order ends up (df,
+    # signed-long h) instead of (df, hex-string h): prefix CONTENTS can
+    # differ from the oracle's, but the prefix-filter theorem gives no
+    # false negatives under ANY consistent total order and the final
+    # Jaccard is computed on full token sets, so the OUTPUT pair set is
+    # order-independent — both engines emit exactly the pairs with
+    # J >= 0.70.)
+    h16 = F.substring(F.md5("w"), 1, 16)
+    h64 = F.shiftleft(
+        F.conv(F.substring(h16, 1, 8), 16, 10).cast("bigint"), 32
+    ).bitwiseOR(F.conv(F.substring(h16, 9, 8), 16, 10).cast("bigint"))
+    # One tokenize pass for every consumer (round-18 optimization): the
+    # unshared subtree re-ran scan+explode+md5+distinct once per
+    # consumer — the committed plan audit recorded 10 documents scans
+    # (18 for the capped twin).  localCheckpoint, NOT persist: it is
+    # materialized eagerly INSIDE the builder on every invocation, so
+    # each bench rep still pays the tokenize (no cross-rep cache), and
+    # the lineage cut keeps the downstream plan small (guide §5).
     tok = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .select("doc_id", F.substring(F.md5("w"), 1, 16).alias("h"))
+        .select("doc_id", h64.alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     if df_cap is not None:
         # semi-join against the eligible (rare) vocabulary: the df
-        # frame is vocabulary-scaled, so it stays on the shuffle path
+        # frame is vocabulary-scaled, so it stays on the shuffle path.
+        # Checkpointed for the same shared-consumer reason as tok.
         tok = tok.join(
             never_broadcast(df.filter(F.col("df") <= df_cap).select("h")),
             "h",
             "left_semi",
-        )
+        ).localCheckpoint()
     sized = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
     # df (vocabulary-scaled) and sized (doc-scaled) both grow with the
     # corpus, as do the prefix/token frames below: pin every join to
-    # sort-merge (broadcast hygiene — plans/hints.py).
+    # sort-merge (broadcast hygiene — plans/hints.py).  All three
+    # consumers read the checkpointed tok, not their own tokenize.
     ranked = (
         tok.join(never_broadcast(df), "h")
         .join(never_broadcast(sized), "doc_id")
@@ -969,6 +998,17 @@ def _prefix_filter_plan(
     prefix = ranked.filter(
         F.col("rk") <= F.expr("n - (7 * n + 9) div 10 + 1")
     ).select("doc_id", "h", "n")
+    # EXPANDING-join parallelism pin (round-18 optimization, guide
+    # §2.5/§7 "one task runs 50x longer"): AQE sizes post-shuffle
+    # partitions from the join's INPUT bytes, and the prefix frames are
+    # tiny relative to the candidate-pair output (0.6 MB in -> 87 MB /
+    # 8.4M pairs out at sf0.1), so AQE coalesced this join to ONE
+    # partition — a measured 34.6 s single-task stage, the query's
+    # critical path.  An explicit repartition on the join key is
+    # user-specified, so AQE honors it; the count scales with the
+    # session's parallelism, not a local constant.
+    n_part = spark.sparkContext.defaultParallelism
+    prefix = prefix.repartition(n_part, "h")
     a, b = prefix.alias("a"), never_broadcast(prefix.alias("b"))
     # length filter (exactness-preserving): J(A,B) <= min(n)/max(n),
     # so J >= 0.7 requires 10*min(na,nb) >= 7*max(na,nb) — prunes
@@ -990,6 +1030,20 @@ def _prefix_filter_plan(
     )
     if obs_cand is not None:
         cand = cand.observe(obs_cand, F.count(F.lit(1)).alias("n"))
+    # VERIFY: expand candidates by doc a's tokens, match doc b's tokens
+    # on (id_b, h), count matches per pair.  This is the widest frame
+    # of the query (|cand| x n̄ ≈ 450M rows at sf0.1), so it is kept as
+    # narrow as possible — three 8-byte columns, nothing riding along —
+    # and it crosses exactly ONE exchange (guide §2.4 "share one
+    # exchange"): both sides of the (id_b, h) join are explicitly
+    # hash-partitioned on id_b ALONE, which satisfies the join's
+    # clustered-distribution requirement (partition keys ⊂ join keys)
+    # AND the downstream (id_a, id_b) aggregate's, so the partial-agg
+    # re-shuffle of the expanded frame disappears with it.  (An
+    # array_intersect variant — per-doc digest arrays, |cand| rows
+    # through the joins — was measured SLOWER: ~230 s of per-row
+    # hash-set CPU vs this straight-line codegen; discarded.  The
+    # token sides stay on the shuffle path: never_broadcast doctrine.)
     ta = never_broadcast(tok.select(F.col("doc_id").alias("id_a"), "h"))
     tb = never_broadcast(tok.select(F.col("doc_id").alias("id_b"), "h"))
     common = (

@@ -43,14 +43,35 @@ _DEFAULT_CONF: dict[str, str] = {
     # explicit so a conf audit shows intent.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Shuffle writer (round-18 optimization, guide §2.2 "fewer, larger
+    # blocks"): below this threshold Spark's bypass-merge writer opens
+    # ONE FILE PER REDUCE PARTITION per map task (R x M tiny files +
+    # per-file open/close), which the SQL-tab metrics showed dominating
+    # every small exchange here — e.g. dedup_minhash_lsh spent 3.7 s of
+    # task time in "shuffle write time" moving 5 MB.  Threshold 1
+    # selects the sort-based writer everywhere: one data + one index
+    # file per map task regardless of R.  Scale-neutral: with R > 200
+    # (any real cluster shuffle) the sort writer is already the
+    # default; this only aligns the small-R case with it.  Measured:
+    # headline set 15.6 s -> ~10 s at sf0.1, biggest single lever of
+    # the round (OPTIMIZATION_r18.md).
+    "spark.shuffle.sort.bypassMergeThreshold": "1",
+    # Larger shuffle-file buffer: fewer write syscalls per spill/output
+    # (guide §2.2; standard production setting, 32k default is
+    # conservative).  1m x one open writer per task is bounded memory.
+    "spark.shuffle.file.buffer": "1m",
     # Local mode runs driver + all 32 executor threads in ONE JVM; the
     # 1g default heap gives ~19 MB of execution memory per concurrent
     # task, which starves 32-way sort-merge joins into GC thrash and
     # heap OOM (observed when the round-6 broadcast-hygiene pins moved
-    # the dedup ladders from broadcast to SMJ).  8g is still <7% of the
-    # 128 GiB sandbox; under spark-submit on a real cluster the
-    # submitted --driver-memory/--executor-memory win.
-    "spark.driver.memory": "8g",
+    # the dedup ladders from broadcast to SMJ).  Round 18 raised 8g ->
+    # 24g (guide §5 "heavy spill is slow"): the prefix-filter verify's
+    # 450M-row join+aggregate spilled 7.5 GB of execution memory per
+    # run at 8g; measured warm walls 8g 49.8 s / 16g 45.9 s / 24g
+    # 30.6 s.  24g is <19% of the 128 GiB sandbox and is a max-usage
+    # bound, not a reservation; under spark-submit on a real cluster
+    # the submitted --driver-memory/--executor-memory win.
+    "spark.driver.memory": "24g",
 }
 
 

@@ -367,10 +367,16 @@ def main() -> None:
                         dedup_prefix_filter_observed,
                     )
 
+                    # builder INSIDE the timed window (round-18
+                    # measurement fix, disclosed in OPTIMIZATION_r18.md):
+                    # the optimized plan materializes its shared token
+                    # frame eagerly at build time (localCheckpoint), so
+                    # timing only the write would exclude the tokenize.
+                    # The generic path below already times the builder.
+                    t0 = time.perf_counter()
                     df, obs_cand, obs_common = dedup_prefix_filter_observed(
                         spark, sf_dir
                     )
-                    t0 = time.perf_counter()
                     df.write.format("noop").mode("overwrite").save()
                     samples[name].append(
                         round(time.perf_counter() - t0, 3)

@@ -734,12 +734,14 @@ def test_dedup_ladder_never_broadcasts_data_scaled_sides(spark, name):
 # Any new broadcast that shifts a count fails this gate before it can
 # OOM a scaled run.
 _REGISTRY_BROADCAST_BUDGET = {
-    # wave 10 (round 9): the shared sim pipeline's bounded broadcasts
-    # (kmeans codebooks 10 + the cell-size frame's sites) + the literal
-    # eps grid + the 1-row sample total, whose lineage now runs through
-    # the sampled membership frame (one more size-frame site than the
-    # full curve's 14)
-    "semdedup_eps_curve_sampled": 15,
+    # wave 10 (round 9, re-audited round 18): the shared sim pipeline's
+    # bounded broadcasts.  Since kmeans_fit rebuilds each iteration's
+    # codebook as a DRIVER LITERAL (round-18 optimization — the
+    # collected frame is the k x dim codebook that was always
+    # driver-broadcast), only the FINAL iteration's literal book
+    # remains in the returned lineage: 1 codebook site + the cell-size
+    # frame's sites + the literal eps grid + the 1-row sample total
+    "semdedup_eps_curve_sampled": 7,
     # probe plan: the k-row persisted codebook at its 2 consumption
     # sites (assignment feeding the hits side and the retention base);
     # the members membership join and the hits retention join are
@@ -871,20 +873,21 @@ _REGISTRY_BROADCAST_BUDGET = {
     # checkpointed-verdict shape; the removal's anti-join runs inside
     # remove_docs_from_band_index's rewrite, not in the returned plan
     "lsh_gate_takedown": 0,
-    # wave 9 (round 8): the kmeans codebook lineage (identical to
-    # kmeans_embeddings' 10 bounded centroid broadcasts) + the k-row
-    # cell-size frame re-planned at each of m's 3 consumption sites
-    # (pa/pb/retention base); the intra-cell pair join and the
-    # retention join are data-scaled and pinned
-    "semdedup_cluster_prune": 13,
+    # wave 9 (round 8, re-audited round 18): the kmeans codebook
+    # lineage — now the final iteration's literal book only (the
+    # round-18 driver-literal loop, see semdedup_eps_curve_sampled) +
+    # the init's 1 centroid site + the k-row cell-size frame at m's 3
+    # consumption sites (pa/pb/retention base); the intra-cell pair
+    # join and the retention join are data-scaled and pinned
+    "semdedup_cluster_prune": 5,
     # probe plan: bucketed index scan + pinned band/membership joins,
     # no broadcasts anywhere (the mid boundary is a Python literal
     # here, not a broadcast scalar frame)
     "lsh_band_index_lifecycle": 0,
-    # the shared sim pipeline's bounded broadcasts (kmeans codebooks 10
-    # + cell-size frame at pa/pb's 2 sites) + the literal eps grid +
-    # the 1-row corpus total
-    "semdedup_eps_retention_curve": 14,
+    # the shared sim pipeline's bounded broadcasts — final literal
+    # codebook site (round-18 driver-literal loop) + cell-size frame at
+    # pa/pb's 2 sites + the literal eps grid + the 1-row corpus total
+    "semdedup_eps_retention_curve": 6,
     # wave 8 (round 7): pure shuffle-path skew-safe twins
     "salted_topk_orders_per_customer": 0,
     "dedup_minhash_lsh_bucket_capped": 0,
@@ -987,7 +990,9 @@ _REGISTRY_BROADCAST_BUDGET = {
     "inverted_index_postings": 0,
     "join_key_skew_profile": 1,  # bcast lineage: lineitem
     "json_malformed_handling": 0,
-    "kmeans_embeddings": 10,  # bcast lineage: embeddings
+    # re-audited round 18 (driver-literal loop): the final iteration's
+    # literal codebook + the persisted assignment's cached-plan site
+    "kmeans_embeddings": 2,
     "lang_distinctive_terms": 3,  # bcast lineage: documents
     "lang_id_confusion": 0,
     "lsh_band_load_histogram": 0,
