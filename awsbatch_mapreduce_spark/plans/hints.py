@@ -34,3 +34,21 @@ def never_broadcast(df: DataFrame) -> DataFrame:
     is the correct scale plan.
     """
     return df.hint("merge")
+
+
+def never_broadcast_hash(df: DataFrame) -> DataFrame:
+    """``never_broadcast`` with the SHUFFLED-HASH strategy instead of
+    sort-merge (round 19, guide §3.1): still pinned off the broadcast
+    path (a SHUFFLE_HASH hint is a shuffle join — AQE can never upgrade
+    it to a driver-built broadcast, the same hygiene guarantee as the
+    merge hint), but the join BUILDS a per-partition hash table from
+    THIS side and streams the other side unsorted.  Use when the other
+    side is an expanding/expanded frame that dwarfs this one: sort-merge
+    would sort the giant streamed side per partition (the prefix-filter
+    verify measured a 450M-row Sort at sf0.1 ahead of its (id_b, h)
+    join), while shuffled-hash touches it exactly once.  The hinted
+    side's per-partition bytes must fit execution memory — size is
+    bytes/R with R the session's shuffle partitioning, which scales
+    with the cluster conf; do NOT use when both sides are comparably
+    giant (sort-merge spills gracefully, hash builds do not)."""
+    return df.hint("shuffle_hash")

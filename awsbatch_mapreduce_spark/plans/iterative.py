@@ -168,81 +168,250 @@ def kmeans_fit(
     table (whose ``vq`` rows are ``_quantize(embedding)`` by
     construction, so both paths iterate on identical integers).
 
-    Driver holds only the loop counter and inertia scalars; data never
-    leaves the cluster.  Each iteration persists its assignment and
-    unpersists the previous one so the lineage (and recomputation) does
-    not grow with the iteration count — the standard Spark iterative-
-    algorithm pattern.  The returned assignment carries ``d_fp``
-    (1e-12 fixed-point squared distance) so downstream inertia sums
-    are exact integers.
+    EAGER: calling this function runs one Spark job per iteration (a
+    bounded k x dim stats collect — the codebook, which was always
+    driver-broadcast; the corpus never leaves the cluster) plus one
+    up-front materialization of the quantized working set, and the
+    next iteration's codebook is rebuilt as a driver-side literal from
+    the collected exact int64 sums (round 18; ADVICE r18 asked the
+    docstring to say so).  Each iteration persists its assignment and
+    unpersists the previous one so lineage does not grow with the
+    iteration count.  The returned assignment carries ``d_fp`` (1e-12
+    fixed-point squared distance) so downstream inertia sums are exact
+    integers.
+
+    Round-19 interior discipline (guide §2.4 / §7.3 — the lifecycle
+    queries' wall is driver choreography, not data):
+
+    - the quantized working set is ``localCheckpoint``-ed ONCE, so the
+      five assign passes read materialized blocks instead of repeating
+      the parquet scan + quantize per iteration (eager, in-region —
+      every caller re-pays it per run, no cross-run reuse);
+    - the per-iteration argmin is a LITERAL-codebook expression (the
+      codebook already lives on the driver as the previous collect's
+      exact sums): ``transform`` over an array<array<double>> literal +
+      ``array_min``/``array_position``, exactly the (d_fp, cell)
+      lexicographic argmin of the old broadcast crossJoin + struct-min
+      aggregate — same ``_sq_dist_fp`` integers, ties resolved to the
+      lowest cell because the literal is sorted by cell ascending and
+      ``array_position`` returns the FIRST minimum.  This removes BOTH
+      the per-iteration broadcast-build job and the n-row vec_id
+      exchange that the crossJoin+groupBy form needed to collapse its
+      n x k candidates (guide §2.4 "remove shuffles outright"): each
+      iteration is now scan -> per-row argmin -> bounded (cell, pos)
+      rollup -> k x dim collect, ONE exchange of a bounded frame;
+    - AQE is disabled around the iteration loop (restored after): the
+      iteration query has a FIXED shape with no join to re-plan and a
+      bounded exchange, so AQE contributes nothing here while charging
+      one extra driver job + re-plan per stage per iteration (measured:
+      54 jobs for the 10 collects of a two-fit lifecycle with AQE on,
+      10 with it off).  Set ``SPARK_GRAFT_FIT_AQE=1`` to keep AQE on
+      inside the fit; the shuffle partitioning still derives from the
+      session conf either way.
     """
+    import os as _os
+
     q = (
         corpus.select("vec_id", "vq")
         if quantized
         else corpus.select("vec_id", _quantize(F.col("embedding")).alias("vq"))
     )
     spark = corpus.sparkSession
-    from pyspark.sql import types as T
+    q = q.localCheckpoint()
 
-    # literal-codebook schema mirrors the init frame's cell dtype so
-    # the final assignment's schema is unchanged by the rewrite
-    _lit_schema = T.StructType(
-        [
-            T.StructField("cell", k_init.schema["cell"].dataType),
-            T.StructField("centroid", T.ArrayType(T.DoubleType())),
-        ]
-    )
-    centroids = k_init
+    cell_type = k_init.schema["cell"].dataType
     assigned_prev = None
     inertia_trace: list[float] = []
-    for i in range(n_iter):
-        assigned = assign_to_cells(q, centroids).persist()
-        # ONE action per iteration (round-18 optimization, guide §1.2 /
-        # §2.4): the per-(cell, pos) stats rollup carries the exact
-        # int64 component sums, member counts AND the per-cell d_fp
-        # sums, so inertia and the next codebook come out of a single
-        # collect — the old loop ran an inertia job plus a separate
-        # centroid-aggregation subtree under the next broadcast build.
-        # The collected frame is bounded (k x dim rows — the codebook,
-        # which was ALWAYS driver-broadcast), never corpus-scaled.
-        # Arithmetic is operand-identical: the driver divides the same
-        # exact int64 sum by the same (scale x count) in IEEE double,
-        # exactly as _centroids_of / the oracle's c{i} CTEs do.
-        stats = (
-            assigned.select(
-                "cell", "d_fp", F.posexplode("vq").alias("pos", "v")
-            )
-            .groupBy("cell", "pos")
-            .agg(
-                F.sum("v").alias("sv"),
-                F.count(F.lit(1)).alias("c"),
-                F.sum("d_fp").alias("sd"),
-            )
-            .collect()
-        )
-        if stats:
-            inertia_trace.append(
-                sum(r["sd"] for r in stats if r["pos"] == 0) / _DSCALE
-            )
-        else:
-            inertia_trace.append(None)
-        if i < n_iter - 1:
-            by_cell: dict = {}
-            for r in stats:
-                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["sv"] / (
-                    _VSCALE * r["c"]
+    _fit_aqe = _os.environ.get("SPARK_GRAFT_FIT_AQE") == "1"
+    _old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if not _fit_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # the init codebook is bounded (k x dim — it was always either
+        # broadcast or a driver literal), so ONE collect brings it into
+        # the same driver-side (cells, cents) form every later
+        # iteration's stats rebuild produces
+        init_rows = sorted(k_init.collect(), key=lambda r: r["cell"])
+        cells = [r["cell"] for r in init_rows]
+        cents = [list(r["centroid"]) for r in init_rows]
+        for i in range(n_iter):
+            assigned = _assign_literal(q, cells, cents, cell_type)
+            if i == n_iter - 1:
+                # only the FINAL assignment has downstream consumers
+                # (coarse write + capacity split); intermediates feed
+                # exactly one stats collect each, so caching them was
+                # pure block-manager overhead
+                assigned = assigned.persist()
+            # ONE action per iteration (round-18 optimization, guide §1.2 /
+            # §2.4): the per-(cell, pos) stats rollup carries the exact
+            # int64 component sums, member counts AND the per-cell d_fp
+            # sums, so inertia and the next codebook come out of a single
+            # collect.  The collected frame is bounded (k x dim rows — the
+            # codebook, which was ALWAYS driver-broadcast), never
+            # corpus-scaled.  Arithmetic is operand-identical: the driver
+            # divides the same exact int64 sum by the same (scale x count)
+            # in IEEE double, exactly as _centroids_of / the oracle's
+            # c{i} CTEs do.
+            stats = (
+                assigned.select(
+                    "cell", "d_fp", F.posexplode("vq").alias("pos", "v")
                 )
-            centroids = spark.createDataFrame(
-                [
-                    (cell, [d[p] for p in sorted(d)])
-                    for cell, d in sorted(by_cell.items())
-                ],
-                schema=_lit_schema,
+                .groupBy("cell", "pos")
+                .agg(
+                    F.sum("v").alias("sv"),
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum("d_fp").alias("sd"),
+                )
+                .collect()
             )
-        if assigned_prev is not None:
-            assigned_prev.unpersist()
-        assigned_prev = assigned
+            if stats:
+                inertia_trace.append(
+                    sum(r["sd"] for r in stats if r["pos"] == 0) / _DSCALE
+                )
+            else:
+                inertia_trace.append(None)
+            if i < n_iter - 1:
+                by_cell: dict = {}
+                for r in stats:
+                    by_cell.setdefault(r["cell"], {})[r["pos"]] = r["sv"] / (
+                        _VSCALE * r["c"]
+                    )
+                cells = sorted(by_cell)
+                cents = [
+                    [by_cell[cell][p] for p in sorted(by_cell[cell])]
+                    for cell in cells
+                ]
+            assigned_prev = assigned
+    finally:
+        if not _fit_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", _old_aqe)
     return assigned_prev, inertia_trace
+
+
+def _assign_literal(
+    q: DataFrame, cells: list, cents: list, cell_type
+) -> DataFrame:
+    """One Lloyd ASSIGN step against a DRIVER-LITERAL codebook:
+    (vec_id, vq) -> (vec_id, vq, cell, d_fp) by the same integer-
+    quantized (d_fp, cell) argmin as :func:`assign_to_cells`, computed
+    per row with higher-order functions over the literal instead of a
+    broadcast crossJoin + aggregate.  ``cells``/``cents`` MUST be
+    sorted by cell ascending: ``array_position`` returns the first
+    minimum, which is then the lowest cell — the struct-min tie-break.
+    No exchange, no broadcast build: the n x k distance work happens
+    in the row's own task and only the argmin row survives."""
+    if not cells:
+        # empty codebook (empty corpus): the crossJoin form produced an
+        # empty frame; keep that contract
+        return q.select(
+            "vec_id",
+            "vq",
+            F.lit(None).cast(cell_type).alias("cell"),
+            F.lit(None).cast("bigint").alias("d_fp"),
+        ).filter(F.lit(False))
+    ds = F.transform(
+        _codebook_literal(cents), lambda c: _sq_dist_fp(F.col("vq"), c)
+    )
+    cells_lit = F.expr(
+        "array(" + ",".join(str(int(c)) for c in cells) + ")"
+    )
+    best_d = F.array_min(ds)
+    idx = F.array_position(ds, best_d).cast("int")
+    return q.select(
+        "vec_id",
+        "vq",
+        F.element_at(cells_lit, idx).cast(cell_type).alias("cell"),
+        best_d.alias("d_fp"),
+    )
+
+
+def _codebook_literal(cents: list) -> Column:
+    """k x dim driver-side centroid lists -> ONE array<array<double>>
+    literal Column.  Form matters for driver overhead, not semantics
+    (round 19, guide §7.3): ``F.lit(nested_list)`` costs one py4j
+    round-trip per element, and a parsed ``array(array(CAST(..)))``
+    expression is a k x dim-node tree the ANALYZER re-walks on every
+    Dataset creation (measured ~140 ms per select at k x dim = 512) —
+    while a JSON string literal + ``from_json`` is a 2-node tree the
+    optimizer constant-folds once per query.  Exactness: ``json.dumps``
+    emits Python's shortest-round-trip float digits and Jackson parses
+    them with ``Double.parseDouble`` semantics, so the folded codebook
+    is bit-identical to the collected doubles."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(cents)), "array<array<double>>")
+
+
+def _collect_codebook(codebook: DataFrame) -> tuple[list, list]:
+    """Bounded (cell, centroid) frame -> sorted driver-side
+    (cells, cents) lists for :func:`_assign_literal` /
+    :func:`assign_to_cells_collected`.  One tiny collect job — the
+    codebook was always broadcast-sized by contract (k0 rows)."""
+    rows = sorted(codebook.collect(), key=lambda r: r["cell"])
+    return [r["cell"] for r in rows], [list(r["centroid"]) for r in rows]
+
+
+def assign_to_cells_collected(q: DataFrame, codebook: DataFrame) -> DataFrame:
+    """:func:`assign_to_cells` with the BOUNDED codebook collected to
+    the driver and applied as a literal expression (round 19, guide
+    §2.4): same (vec_id, vq, cell, d_fp) output, same integer argmin
+    and (d_fp, cell) tie-break, but the batch side crosses NO exchange
+    — the old broadcast crossJoin + groupBy(vec_id) form shuffled one
+    row per batch vector just to collapse its own k candidates, plus
+    one broadcast-build job per probe.  The collect happens at plan-
+    build time (one k0-row job — the codebook was always driver/
+    executor-resident by contract; the never-broadcast pins cover the
+    data-scaled sides, not this frame)."""
+    cells, cents = _collect_codebook(codebook)
+    return _assign_literal(q, cells, cents, codebook.schema["cell"].dataType)
+
+
+def assign_topk_cells_collected(
+    q: DataFrame, codebook: DataFrame, nprobe: int
+) -> DataFrame:
+    """Rank-``nprobe`` coarse assignment against a collected bounded
+    codebook: (vec_id, vq) -> (vec_id, vq, cell, rnk) with rnk =
+    1..nprobe by ascending (d_fp, cell) — exactly the iterated
+    "struct-min with ranks 1..r-1 excluded" program of
+    ``wave13._assign_fine_multi`` (each cell appears once, so the r-th
+    lexicographic (d_fp, cell) element IS the r-th exclusion-round
+    winner), computed per row via array_sort + slice instead of nprobe
+    crossJoin/aggregate rounds — removing nprobe batch-sized exchanges
+    and nprobe-1 broadcast builds per probe."""
+    cells, cents = _collect_codebook(codebook)
+    cell_type = codebook.schema["cell"].dataType
+    if not cells:
+        return q.select(
+            "vec_id",
+            "vq",
+            F.lit(None).cast(cell_type).alias("cell"),
+            F.lit(None).cast("int").alias("rnk"),
+        ).filter(F.lit(False))
+    cells_lit = F.expr(
+        "array(" + ",".join(str(int(c)) for c in cells) + ")"
+    )
+    ds = F.transform(
+        _codebook_literal(cents), lambda c: _sq_dist_fp(F.col("vq"), c)
+    )
+    top = F.slice(
+        F.array_sort(
+            F.zip_with(
+                ds,
+                cells_lit,
+                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return q.select(
+        "vec_id", "vq", F.posexplode(top).alias("p", "s")
+    ).select(
+        "vec_id",
+        "vq",
+        F.col("s.c").cast(cell_type).alias("cell"),
+        (F.col("p") + 1).cast("int").alias("rnk"),
+    )
 
 
 def _kmeans_cte(
@@ -390,7 +559,10 @@ def dedup_canonical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint()  # 9 consumers (8 rounds + seed labels);
+    # eager in-region checkpoint, not persist — same measurement
+    # semantics as the round-19 ladder migration (no cross-rep
+    # CacheManager reuse of the warm-up's cached frame)
 
     # label propagation to fixpoint: label(node) = min reachable id
     labels = (

@@ -138,10 +138,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on that small candidate set.  8 hashes, 4 bands of 2 => P(collide) =
     1-(1-j^2)^4, catching j>=0.9 with >99% probability.
     """
-    # persist: the shingle frame feeds the signature aggregate and both
-    # sides of the verify join; without it Spark recomputes
-    # tokenize+explode+distinct per consumer.
-    sh = _shingles(spark, sf_dir).persist()
+    # localCheckpoint, NOT persist (round 19, VERDICT r18 #3): the
+    # shingle frame feeds the signature aggregate and both sides of the
+    # verify join; a lazy persist let the bench's untimed warm-up pass
+    # leave a CACHED frame that Spark's CacheManager re-matched in the
+    # timed reps (identical plan), so timed minhash numbers excluded
+    # the shingle compute.  The eager in-builder checkpoint keeps the
+    # one-compute-many-consumers property while making every rep pay
+    # the tokenize — one measurement semantics for the whole ladder,
+    # re-baselined in BASELINE.md.
+    sh = _shingles(spark, sf_dir).localCheckpoint()
     # shingle count folded into the signature aggregate: one groupBy
     # yields both the minhash AND each doc's set size, so no separate
     # sizes frame and no post-verify size joins (~40% faster at sf0.1).
@@ -152,7 +158,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_N_HASHES)
     ]
     sig = (
-        sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n")).persist()
+        sh.groupBy("doc_id")
+        .agg(*aggs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # two consumers via the band self-join
     )
     # one pass over sig: band keys as an exploded array column (the
     # union-of-selects form recomputes the signature aggregation per band)
@@ -229,7 +237,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is why :func:`dedup_minhash_lsh` is the scale path; this is the
     exact baseline it's validated against.
     """
-    sh = _shingles(spark, sf_dir).persist()
+    sh = _shingles(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = never_broadcast(sh.alias("b"))

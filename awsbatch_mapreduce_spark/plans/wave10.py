@@ -51,7 +51,7 @@ from awsbatch_mapreduce_spark.plans.iterative import (
     _centroids_of,
     _kmeans_cte,
     _quantize,
-    assign_to_cells,
+    assign_to_cells_collected,
     kmeans_fit,
     label_centroid_init,
 )
@@ -219,7 +219,11 @@ def semdedup_codebook_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus; k is fixed here by the shared-oracle contract
     (same documented trade as wave 9's shard cap).
     """
-    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
+    from awsbatch_mapreduce_spark.plans.wave5 import (
+        _scratch_dir,
+        _scratch_tag,
+        _table_names,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     b = emb.agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")).first()
@@ -229,12 +233,12 @@ def semdedup_codebook_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("awsbatch_semdedup_idx", sf_dir)
     mem_tbl = f"semdedup_members_{tag}"
     cb_tbl = f"semdedup_codebook_{tag}"
-    for t in spark.catalog.listTables():
+    for t in _table_names(spark):
         if (
-            t.name.startswith(("semdedup_members_", "semdedup_codebook_"))
-            and not t.name.endswith(tag)
+            t.startswith(("semdedup_members_", "semdedup_codebook_"))
+            and not t.endswith(tag)
         ):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.sql(f"DROP TABLE IF EXISTS {mem_tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {cb_tbl}")
 
@@ -290,7 +294,7 @@ def semdedup_codebook_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = emb.filter(F.col("vec_id") > F.lit(mid)).select(
         "vec_id", _quantize(F.col("embedding")).alias("vq")
     )
-    assigned_new = assign_to_cells(new, spark.table(cb_tbl)).select(
+    assigned_new = assign_to_cells_collected(new, spark.table(cb_tbl)).select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         "vq",

@@ -73,6 +73,7 @@ from awsbatch_mapreduce_spark.plans.iterative import (
     _sq_dist_fp,
     _VSCALE,
     assign_to_cells,
+    assign_to_cells_collected,
     kmeans_fit,
     label_centroid_init,
 )
@@ -271,7 +272,11 @@ def _index_tables(spark, sf_dir, kind) -> tuple[str, str, str, str]:
     """Scratch base + the three per-(kind, fixture) table names, with
     the stale-generation sweep of prior tags (one mutable generation
     per fixture, as every persisted-index query in the repo keeps)."""
-    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
+    from awsbatch_mapreduce_spark.plans.wave5 import (
+        _scratch_dir,
+        _scratch_tag,
+        _table_names,
+    )
 
     tag = _scratch_tag(sf_dir)
     base = _scratch_dir(f"awsbatch_semdedup_{kind}_idx", sf_dir)
@@ -281,9 +286,9 @@ def _index_tables(spark, sf_dir, kind) -> tuple[str, str, str, str]:
     prefixes = tuple(
         f"semdedup_{kind}_{part}_" for part in ("coarse", "fine", "members")
     )
-    for t in spark.catalog.listTables():
-        if t.name.startswith(prefixes) and not t.name.endswith(tag):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for t in _table_names(spark):
+        if t.startswith(prefixes) and not t.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     for t in (coarse_tbl, fine_tbl, mem_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return base, coarse_tbl, fine_tbl, mem_tbl
@@ -331,46 +336,67 @@ def _persist_two_level(
     # BUILD: coarse codebook (k0 rows) + the capacity split.  The chunk
     # rank is over the final Lloyd assignment's own (d_fp, vec_id) —
     # integer fixed-point, so the split is deterministic cross-engine.
+    from concurrent.futures import ThreadPoolExecutor
+
     from awsbatch_mapreduce_spark.plans.iterative import _centroids_of
 
-    (
-        _centroids_of(assigned)
-        .write.option("path", os.path.join(base, coarse_tbl))
-        .mode("overwrite")
-        .saveAsTable(coarse_tbl)
-    )
+    def _write_coarse() -> None:
+        (
+            _centroids_of(assigned)
+            .write.option("path", os.path.join(base, coarse_tbl))
+            .mode("overwrite")
+            .saveAsTable(coarse_tbl)
+        )
+
     w_chunk = Window.partitionBy("cell").orderBy(F.asc("d_fp"), F.asc("vec_id"))
-    members_frame = (
-        assigned.withColumn("rn", F.row_number().over(w_chunk))
-        .select(
-            F.col("vec_id").alias("seen_id"),
-            F.col("cell").cast("int").alias("cell"),
-            F.floor((F.col("rn") - 1) / F.lit(cap)).cast("int").alias("sub"),
-            F.col("vq").alias("vq_s"),
-            F.aggregate(
-                "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
-            ).alias("nn_s"),
+    members_plan = assigned.withColumn(
+        "rn", F.row_number().over(w_chunk)
+    ).select(
+        F.col("vec_id").alias("seen_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.floor((F.col("rn") - 1) / F.lit(cap)).cast("int").alias("sub"),
+        F.col("vq").alias("vq_s"),
+        F.aggregate(
+            "vq", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("nn_s"),
+    )
+    # Overlap the independent build actions (guide §2.6 "overlap
+    # independent jobs"): the lifecycle's wall is driver-serial job
+    # choreography, and all four BUILD actions read the already-
+    # materialized fit (the last Lloyd collect populated `assigned`'s
+    # cache).  Wave A: coarse write || the split checkpoint (one split,
+    # three consumers — fine book, members write, recall test).  Wave
+    # B: fine-book write || members write (both read the checkpoint;
+    # different tables, so the catalog commits are independent).  Job
+    # ordering never mattered here: the generation only becomes
+    # readable at cutover, which verifies all tables exist.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        coarse_f = pool.submit(_write_coarse)
+        members_frame = members_plan.localCheckpoint()
+        coarse_f.result()
+
+    def _write_fine() -> None:
+        (
+            _sub_centroids(
+                members_frame.select("cell", "sub", F.col("vq_s").alias("vq"))
+            )
+            .write.bucketBy(8, "cell")
+            .sortBy("cell", "sub")
+            .option("path", os.path.join(base, fine_tbl))
+            .mode("overwrite")
+            .saveAsTable(fine_tbl)
         )
-        .localCheckpoint()  # one split, three consumers (fine book,
-        # members write, recall test) — never recompute the fit
-    )
-    (
-        _sub_centroids(
-            members_frame.select("cell", "sub", F.col("vq_s").alias("vq"))
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fine_f = pool.submit(_write_fine)
+        (
+            members_frame.write.bucketBy(8, "cell", "sub")
+            .sortBy("cell", "sub")
+            .option("path", os.path.join(base, mem_tbl))
+            .mode("overwrite")
+            .saveAsTable(mem_tbl)
         )
-        .write.bucketBy(8, "cell")
-        .sortBy("cell", "sub")
-        .option("path", os.path.join(base, fine_tbl))
-        .mode("overwrite")
-        .saveAsTable(fine_tbl)
-    )
-    (
-        members_frame.write.bucketBy(8, "cell", "sub")
-        .sortBy("cell", "sub")
-        .option("path", os.path.join(base, mem_tbl))
-        .mode("overwrite")
-        .saveAsTable(mem_tbl)
-    )
+        fine_f.result()
     assigned.unpersist()
 
 
@@ -385,9 +411,9 @@ def _assign_fine(spark, new, coarse_tbl, fine_tbl) -> DataFrame:
     consumers).  Returns (vec_id, cell, sub, vq, nn_n).  Extracted from
     ``_probe_batch`` in round 15 so the PQ re-rank probe (wave 14)
     shares the identical assignment plan."""
-    coarse_new = assign_to_cells(new, spark.table(coarse_tbl)).select(
-        "vec_id", "vq", F.col("cell").cast("int").alias("cell")
-    )
+    coarse_new = assign_to_cells_collected(
+        new, spark.table(coarse_tbl)
+    ).select("vec_id", "vq", F.col("cell").cast("int").alias("cell"))
     return (
         coarse_new.join(never_broadcast(spark.table(fine_tbl)), "cell")
         .select(

@@ -58,7 +58,7 @@ from awsbatch_mapreduce_spark.plans.hints import never_broadcast
 from awsbatch_mapreduce_spark.plans.iterative import (
     _kmeans_cte,
     _quantize,
-    assign_to_cells,
+    assign_to_cells_collected,
 )
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.plans.wave9 import _NO_PEER_BP, _SEMDEDUP_EPS_BP
@@ -308,7 +308,7 @@ def _admit_batch(
     (callers read it back from the generation pointer's ``cap=N``
     token, `wave13.read_generation_cap`).
     """
-    assigned_batch = assign_to_cells(batch, spark.table(coarse_tbl))
+    assigned_batch = assign_to_cells_collected(batch, spark.table(coarse_tbl))
     w_chunk = Window.partitionBy("cell").orderBy(F.asc("d_fp"), F.asc("vec_id"))
     sub_offset = (
         spark.table(mem_tbl)

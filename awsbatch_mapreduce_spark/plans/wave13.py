@@ -74,7 +74,7 @@ from awsbatch_mapreduce_spark.plans.iterative import (
     _kmeans_cte,
     _quantize,
     _sq_dist_fp,
-    assign_to_cells,
+    assign_topk_cells_collected,
 )
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.plans.wave9 import _NO_PEER_BP, _SEMDEDUP_EPS_BP
@@ -343,53 +343,18 @@ def _assign_fine_multi(
     exchange, see ``_multiprobe_batch``), then fine-argmin per
     (vec_id, rank).  Returns (vec_id, rnk, cell, sub, vq, nn_n) —
     ``_assign_fine``'s shape keyed one level wider."""
-    coarse = spark.table(coarse_tbl)
-    a1 = assign_to_cells(new, coarse)
-    probes = a1.select(
-        "vec_id",
-        "vq",
-        F.col("cell").cast("int").alias("cell"),
-        F.lit(1).alias("rnk"),
+    # Rank-k coarse assignment as ONE literal-codebook expression
+    # (round 19, guide §2.4): the r-th "struct-min with ranks 1..r-1
+    # excluded" winner IS the r-th element of the per-row (d_fp, cell)
+    # lexicographic sort (cells are distinct), so array_sort + slice
+    # over the collected bounded book replaces nprobe crossJoin/
+    # aggregate rounds — nprobe batch-sized exchanges and nprobe-1
+    # broadcast builds gone, identical (vec_id, rnk, cell) output.
+    probes = assign_topk_cells_collected(
+        new, spark.table(coarse_tbl), nprobe
+    ).select(
+        "vec_id", "vq", F.col("cell").cast("int").alias("cell"), "rnk"
     )
-    excl = a1.select(
-        "vec_id", "vq", F.array(F.col("cell").cast("int")).alias("excluded")
-    )
-    for r in range(2, nprobe + 1):
-        nxt = (
-            excl.crossJoin(F.broadcast(coarse))
-            .filter(
-                ~F.array_contains("excluded", F.col("cell").cast("int"))
-            )
-            .select(
-                "vec_id",
-                "vq",
-                "excluded",
-                F.col("cell").cast("int").alias("cell"),
-                _sq_dist_fp(F.col("vq"), F.col("centroid")).alias("d_fp"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.first("vq").alias("vq"),
-                F.first("excluded").alias("excluded"),
-                F.min(F.struct(F.col("d_fp"), F.col("cell"))).alias("b"),
-            )
-        )
-        probes = probes.unionByName(
-            nxt.select(
-                "vec_id",
-                "vq",
-                F.col("b.cell").alias("cell"),
-                F.lit(r).alias("rnk"),
-            )
-        )
-        if r < nprobe:
-            excl = nxt.select(
-                "vec_id",
-                "vq",
-                F.array_union(
-                    "excluded", F.array(F.col("b.cell"))
-                ).alias("excluded"),
-            )
     # fine argmin per (vec_id, rank) — the same struct-min aggregate as
     # the single-probe plan, keyed one level wider
     return (

@@ -521,7 +521,7 @@ def _pq_tables(spark, sf_dir: str, kind: str) -> tuple[str, str]:
     sweep + drop discipline as ``wave11._index_tables`` (one mutable
     generation per fixture) — the build-side half; pure-name readers
     use ``wave13._pq_generation_names``."""
-    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_tag
+    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_tag, _table_names
     from awsbatch_mapreduce_spark.plans.wave13 import _pq_generation_names
 
     tag = _scratch_tag(sf_dir)
@@ -529,9 +529,9 @@ def _pq_tables(spark, sf_dir: str, kind: str) -> tuple[str, str]:
     prefixes = tuple(
         f"semdedup_{kind}_{part}_" for part in ("codes", "pqcb")
     )
-    for t in spark.catalog.listTables():
-        if t.name.startswith(prefixes) and not t.name.endswith(tag):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for t in _table_names(spark):
+        if t.startswith(prefixes) and not t.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     for t in names:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     return names
@@ -604,24 +604,37 @@ def _persist_pq_codes(
         .cast("bigint")
         .alias("cq")
     )
+    # One codebook materialization feeds BOTH artifacts (round 19,
+    # guide §2.6): the codebook is bounded (k x subspaces x dims rows
+    # of exact bigints, so the in-memory frame is value-identical to a
+    # write-then-read-back), the table write and the corpus-scale
+    # encode are independent once it exists — overlap them instead of
+    # serializing write -> read-back -> encode.
+    pcb_ck = pcb.localCheckpoint()
     spark.sql(f"DROP TABLE IF EXISTS {pqcb_tbl}")
-    (
-        pcb.write.option("path", os.path.join(base, pqcb_tbl))
-        .mode("overwrite")
-        .saveAsTable(pqcb_tbl)
-    )
-    pcb_t = spark.table(pqcb_tbl)
     spark.sql(f"DROP TABLE IF EXISTS {codes_tbl}")
-    (
-        _encode_codes(
-            mem.select("seen_id", "cell", "sub", "vq_s"), pcb_t
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_pqcb() -> None:
+        (
+            pcb_ck.write.option("path", os.path.join(base, pqcb_tbl))
+            .mode("overwrite")
+            .saveAsTable(pqcb_tbl)
         )
-        .write.bucketBy(8, "cell", "sub")
-        .sortBy("cell", "sub")
-        .option("path", os.path.join(base, codes_tbl))
-        .mode("overwrite")
-        .saveAsTable(codes_tbl)
-    )
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pqcb_f = pool.submit(_write_pqcb)
+        (
+            _encode_codes(
+                mem.select("seen_id", "cell", "sub", "vq_s"), pcb_ck
+            )
+            .write.bucketBy(8, "cell", "sub")
+            .sortBy("cell", "sub")
+            .option("path", os.path.join(base, codes_tbl))
+            .mode("overwrite")
+            .saveAsTable(codes_tbl)
+        )
+        pqcb_f.result()
 
 
 def _pq_rerank_probe(

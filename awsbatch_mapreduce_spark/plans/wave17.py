@@ -657,7 +657,11 @@ def lsh_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Idempotent per run: the gate table is dropped and rebuilt, scratch
     under the per-fixture dir, stale tags swept."""
-    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
+    from awsbatch_mapreduce_spark.plans.wave5 import (
+        _scratch_dir,
+        _scratch_tag,
+        _table_names,
+    )
     from awsbatch_mapreduce_spark.plans.wave8 import band_keys_of
     from awsbatch_mapreduce_spark.streaming.lsh import create_band_index
 
@@ -673,12 +677,12 @@ def lsh_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _scratch_tag(sf_dir)
     base = _scratch_dir("awsbatch_lsh_gate", sf_dir)
     tbl = f"lsh_gate_idx_{tag}"
-    for t in spark.catalog.listTables():
-        if t.name.startswith("lsh_gate_idx_") and not t.name.endswith(tag):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for t in _table_names(spark):
+        if t.startswith("lsh_gate_idx_") and not t.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     create_band_index(spark, base, tbl)
 
-    bands = band_keys_of(docs).persist()
+    bands = band_keys_of(docs).localCheckpoint()
     verdicts = [
         _gate_one_batch(spark, tbl, docs, bands, edges[k - 1], edges[k], k)
         for k in range(1, _N_GATE_BATCHES + 1)
@@ -764,7 +768,11 @@ def lsh_gate_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; broadcast side = the bounded removal request).
 
     Idempotent per run: own table + scratch, stale tags swept."""
-    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
+    from awsbatch_mapreduce_spark.plans.wave5 import (
+        _scratch_dir,
+        _scratch_tag,
+        _table_names,
+    )
     from awsbatch_mapreduce_spark.plans.wave8 import band_keys_of
     from awsbatch_mapreduce_spark.streaming.lsh import (
         create_band_index,
@@ -782,12 +790,12 @@ def lsh_gate_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _scratch_tag(sf_dir)
     base = _scratch_dir("awsbatch_lsh_takedown", sf_dir)
     tbl = f"lsh_take_idx_{tag}"
-    for t in spark.catalog.listTables():
-        if t.name.startswith("lsh_take_idx_") and not t.name.endswith(tag):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for t in _table_names(spark):
+        if t.startswith("lsh_take_idx_") and not t.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     create_band_index(spark, base, tbl)
 
-    bands = band_keys_of(docs).persist()
+    bands = band_keys_of(docs).localCheckpoint()
     verdicts = [
         _gate_one_batch(spark, tbl, docs, bands, edges[k - 1], edges[k], k)
         for k in range(1, _N_GATE_BATCHES)  # batches 1-3

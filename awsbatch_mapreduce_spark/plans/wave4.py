@@ -282,6 +282,29 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped shingle universe of ``minhash_lsh_eval``: the
+    shared shingle frame MINUS shingles with df > ``_LSH_EVAL_MAX_DF``
+    (one boilerplate shingle in k docs makes k^2 truth pairs).  The
+    anti-join against the heavy set stays on the shuffle path (the
+    heavy set grows with the corpus under a fixed cap — broadcast
+    hygiene, plans/hints.py).  Named so the df-cap plan pin
+    (tests/test_scale_plans.py::test_lsh_eval_truth_join_is_df_capped)
+    can inspect THIS frame's plan: the query itself checkpoints it, so
+    the LeftAnti executes at build time and is invisible in the
+    downstream query plan."""
+    from awsbatch_mapreduce_spark.plans.llm_text import _shingles
+
+    sh_all = _shingles(spark, sf_dir)
+    heavy = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _LSH_EVAL_MAX_DF)
+        .select("shingle")
+    )
+    return sh_all.join(never_broadcast(heavy), "shingle", "left_anti")
+
+
 _LSH_EVAL_MAX_DF = 64  # heavy-shingle cut: df above this carries no
 # near-dup signal (boilerplate) and quadratically blows up the truth join
 
@@ -373,23 +396,11 @@ def minhash_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample), while the production dedup path stays banded.  All
     ratios are exact integer ppm.
     """
-    from awsbatch_mapreduce_spark.plans.llm_text import (
-        _N_BANDS,
-        _N_HASHES,
-        _shingles,
-    )
+    from awsbatch_mapreduce_spark.plans.llm_text import _N_BANDS, _N_HASHES
 
-    sh_all = _shingles(spark, sf_dir)
-    heavy = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _LSH_EVAL_MAX_DF)
-        .select("shingle")
-    )
-    # anti-join against the heavy set: heavy-hitter shingles (df > cap)
-    # grow with the corpus under a fixed cap, so the membership test
-    # stays on the shuffle path (broadcast hygiene — plans/hints.py)
-    sh = sh_all.join(never_broadcast(heavy), "shingle", "left_anti").persist()
+    # one tokenize + heavy-cut pass for every consumer; eager in-region
+    # checkpoint (round-19 ladder migration — no cross-rep cache reuse)
+    sh = _capped_shingles(spark, sf_dir).localCheckpoint()
     aggs = [
         F.min(
             F.substring(

@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from awsbatch_mapreduce_spark.operators.compact import compact_parquet
-from awsbatch_mapreduce_spark.plans.hints import never_broadcast
+from awsbatch_mapreduce_spark.plans.hints import (
+    never_broadcast,
+    never_broadcast_hash,
+)
 from awsbatch_mapreduce_spark.plans.registry import query
 from awsbatch_mapreduce_spark.sources.tables import load_table
 
@@ -48,6 +51,17 @@ def _scratch_tag(sf_dir: str) -> str:
     base = (os.path.basename(abs_dir) or "sf").replace(".", "_")
     digest = hashlib.md5(abs_dir.encode("utf-8")).hexdigest()[:8]
     return f"{base}_{digest}"
+
+
+def _table_names(spark) -> list[str]:
+    """Current-database table names via ``SHOW TABLES`` (a driver-side
+    catalog command — zero Spark jobs).  ``spark.catalog.listTables()``
+    builds and iterates a Dataset, costing ~10 driver round-trip jobs
+    per call (measured 0.93 s vs 0.10 s, round 19); the stale-generation
+    sweeps only need the names, so every sweep site uses this instead
+    (guide §7.3: driver-side choreography is the lifecycle queries'
+    dominant cost)."""
+    return [r.tableName for r in spark.sql("SHOW TABLES").collect()]
 
 
 _SCRATCH_SWEEP_AGE_SEC = 3600
@@ -181,11 +195,11 @@ def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         ),
     }
-    for t in spark.catalog.listTables():
-        if t.name.startswith(
+    for t in _table_names(spark):
+        if t.startswith(
             ("bkt_orders_", "bkt_lineitem_")
-        ) and not t.name.endswith(tag):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        ) and not t.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     for name, (df, key) in specs.items():
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
@@ -997,7 +1011,7 @@ def _prefix_filter_plan(
     )
     prefix = ranked.filter(
         F.col("rk") <= F.expr("n - (7 * n + 9) div 10 + 1")
-    ).select("doc_id", "h", "n")
+    ).select("doc_id", "h", "n", "rk")
     # EXPANDING-join parallelism pin (round-18 optimization, guide
     # §2.5/§7 "one task runs 50x longer"): AQE sizes post-shuffle
     # partitions from the join's INPUT bytes, and the prefix frames are
@@ -1007,21 +1021,75 @@ def _prefix_filter_plan(
     # critical path.  An explicit repartition on the join key is
     # user-specified, so AQE honors it; the count scales with the
     # session's parallelism, not a local constant.
-    n_part = spark.sparkContext.defaultParallelism
-    prefix = prefix.repartition(n_part, "h")
-    a, b = prefix.alias("a"), never_broadcast(prefix.alias("b"))
-    # length filter (exactness-preserving): J(A,B) <= min(n)/max(n),
-    # so J >= 0.7 requires 10*min(na,nb) >= 7*max(na,nb) — prunes
-    # cross-size candidates inside the join, before the distinct
+    # session shuffle partitioning, not defaultParallelism: every other
+    # exchange in the plan uses it, so the explicit repartitions below
+    # CO-PARTITION with their downstream joins (a count mismatch makes
+    # EnsureRequirements re-exchange one side — observed as one extra
+    # shuffle whenever cores != spark.sql.shuffle.partitions)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # SALTED self-join (round 19, guide §2.5): the candidate join's
+    # output is dominated by a few hot prefix tokens (one h-partition
+    # task ran ~9 s while the stage's other 31 slots sat idle — max ~5x
+    # median), and AQE's skew splitter cannot help below its 256 MB
+    # threshold.  The standard recipe costs nothing here because the
+    # prefix frames are tiny relative to their join OUTPUT (0.6 MB in,
+    # 8.3M pairs out at sf0.1): side a takes a deterministic salt
+    # (pmod(xxhash64(doc_id), S) — never rand(), guide §2.5 retry
+    # hazard), side b is replicated S ways, and the join key becomes
+    # (h, salt) so each hot token's pair production splits S ways.
+    # Every (a, b) pair still appears exactly once: a has ONE salt and
+    # exactly one of b's replicas matches it.
+    _SALT = 8
+    # Explicit (h, salt) repartitions keep BOTH round-18 properties:
+    # user-specified partition count (AQE sized this expanding join's
+    # partitions from its tiny INPUT and coalesced it to one task) and
+    # the salt actually landing hot tokens in _SALT distinct tasks.
+    a = prefix.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_SALT)).cast("int")
+    ).repartition(n_part, "h", "salt").alias("a")
+    b = never_broadcast(
+        prefix.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(_SALT)])),
+        ).repartition(n_part, "h", "salt").alias("b")
+    )
+    # Two exactness-preserving in-join prunes, applied BEFORE the
+    # distinct so pruned rows never reach the expanding verify:
+    # 1. length filter: J(A,B) <= min(n)/max(n), so J >= 0.7 requires
+    #    10*min(na,nb) >= 7*max(na,nb);
+    # 2. PPJoin POSITIONAL filter (round 19, VERDICT r18 #3): for a
+    #    candidate generated by a shared prefix token at global-order
+    #    positions (a.rk, b.rk), the overlap O = |A∩B| splits around
+    #    that token — common tokens ordered BEFORE it occupy positions
+    #    < a.rk in A and < b.rk in B (at most min(rk-1) of them), the
+    #    token itself is 1, and common tokens AFTER it number at most
+    #    min(n - rk) — so O <= min(a.rk-1, b.rk-1) + 1 +
+    #    min(a.n-a.rk, b.n-b.rk).  J >= 0.7 needs O >= alpha =
+    #    ceil(7*(na+nb)/17) (from floor(1e4*O/(S-O)) >= 7000), so any
+    #    matched token whose bound is below alpha proves the pair
+    #    fails; a pair survives iff SOME matched token passes, and
+    #    every dropped pair would have been filtered by the final
+    #    exact-Jaccard check anyway — the OUTPUT pair set is unchanged
+    #    (the oracle text stays as-is; only candidate volume moves:
+    #    the bench's observed candidates/verify_rows shrink).
+    alpha = F.expr("(7 * (a.n + b.n) + 16) div 17")  # exact int ceil
+    ubound = (
+        F.least(F.col("a.rk"), F.col("b.rk"))
+        + F.least(
+            F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+        )
+    )
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.lit(10) * F.least(F.col("a.n"), F.col("b.n"))
                 >= F.lit(7) * F.greatest(F.col("a.n"), F.col("b.n"))
-            ),
+            )
+            & (ubound >= alpha),
         )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -1031,23 +1099,43 @@ def _prefix_filter_plan(
     if obs_cand is not None:
         cand = cand.observe(obs_cand, F.count(F.lit(1)).alias("n"))
     # VERIFY: expand candidates by doc a's tokens, match doc b's tokens
-    # on (id_b, h), count matches per pair.  This is the widest frame
-    # of the query (|cand| x n̄ ≈ 450M rows at sf0.1), so it is kept as
-    # narrow as possible — three 8-byte columns, nothing riding along —
-    # and it crosses exactly ONE exchange (guide §2.4 "share one
-    # exchange"): both sides of the (id_b, h) join are explicitly
-    # hash-partitioned on id_b ALONE, which satisfies the join's
-    # clustered-distribution requirement (partition keys ⊂ join keys)
-    # AND the downstream (id_a, id_b) aggregate's, so the partial-agg
-    # re-shuffle of the expanded frame disappears with it.  (An
-    # array_intersect variant — per-doc digest arrays, |cand| rows
-    # through the joins — was measured SLOWER: ~230 s of per-row
-    # hash-set CPU vs this straight-line codegen; discarded.  The
-    # token sides stay on the shuffle path: never_broadcast doctrine.)
-    ta = never_broadcast(tok.select(F.col("doc_id").alias("id_a"), "h"))
-    tb = never_broadcast(tok.select(F.col("doc_id").alias("id_b"), "h"))
+    # on (id_b, h), count matches per pair — kept as narrow as possible
+    # (three 8-byte columns, nothing riding along).  (An array_intersect
+    # variant — per-doc digest arrays, |cand| rows through the joins —
+    # was measured SLOWER in round 18: ~230 s of per-row hash-set CPU
+    # vs this straight-line codegen; discarded.)
+    # Round-19 verify restructure (guide §2.3/§2.4 + §3.1), three moves
+    # on the |cand| x n̄ expanded frame (450M rows at sf0.1 — the
+    # query's floor):
+    # 1. Token sides carry SHUFFLE_HASH pins instead of sort-merge:
+    #    still never broadcast-eligible (a shuffle join — the hygiene
+    #    guarantee is intact), but the joins BUILD per-partition hash
+    #    tables from the token frame (bytes/R, R = the session's
+    #    shuffle partitioning) and STREAM the expanded side — the old
+    #    SMJ pin SORTED all 450M rows ahead of the (id_b, h) match.
+    # 2. Both sides of that match are explicitly hash-partitioned on
+    #    id_b ALONE: a subset of the join keys satisfies the join's
+    #    clustered-distribution requirement, and — the point — it also
+    #    satisfies the downstream (id_a, id_b) aggregate's, so every
+    #    row of a pair lands in one partition and the count collapses
+    #    IN PLACE: the expanded frame crosses exactly ONE exchange,
+    #    where the (id_b, h) partitioning scattered each pair's ~n̄
+    #    rows by token and re-exchanged all 450M post-"partial"-agg
+    #    rows a second time.  (Round 18 measured this id_b-alone
+    #    layout SLOWER and discarded it — under the then-pinned
+    #    sort-merge strategy, where it just grew the per-partition
+    #    sort; the hash build has no sort, which flips the verdict.)
+    # 3. The pair-size joins reuse the agg's id_b partitioning (sb
+    #    joins exchange-free; only the 8.3M-pair sa join re-keys).
+    ta = never_broadcast_hash(tok.select(F.col("doc_id").alias("id_a"), "h"))
+    tb = never_broadcast_hash(
+        tok.select(F.col("doc_id").alias("id_b"), "h").repartition(
+            n_part, "id_b"
+        )
+    )
     common = (
         cand.join(ta, "id_a")
+        .repartition(n_part, "id_b")
         .join(tb, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -553,14 +553,18 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (sort-merge, data-scaled both sides) — output is 7
     rows regardless of corpus size.
     """
-    sh = _shingles(spark, sf_dir).persist()
+    sh = _shingles(spark, sf_dir).localCheckpoint()
     aggs = [
         F.min(
             F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)
         ).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n")).persist()
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*aggs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     band_keys = F.array(
         *[
             F.md5(

@@ -221,7 +221,7 @@ def dedup_minhash_lsh_bucket_capped(
     from awsbatch_mapreduce_spark.plans.llm_text import _shingles as _sh
     from awsbatch_mapreduce_spark.functions.rounding import dround
 
-    sh = _sh(spark, sf_dir).persist()
+    sh = _sh(spark, sf_dir).localCheckpoint()
     aggs = [
         F.min(
             F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)
@@ -239,7 +239,7 @@ def dedup_minhash_lsh_bucket_capped(
     )
     bands = sig.select(
         "doc_id", "n", F.explode(band_keys).alias("bk")
-    ).persist()
+    ).localCheckpoint()
     ok = never_broadcast(
         bands.groupBy("bk")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -597,7 +597,7 @@ def incremental_lsh_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it the shingle->signature pipeline (scan + explode +
     # distinct + groupBy) plans TWICE — the static plan showed 0
     # ReusedExchange across the branches (alias-divergent subtrees)
-    bands = band_keys_frame(spark, sf_dir).persist()
+    bands = band_keys_frame(spark, sf_dir).localCheckpoint()
 
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg(

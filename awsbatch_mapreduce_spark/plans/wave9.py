@@ -449,7 +449,11 @@ def lsh_band_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``never_broadcast``); collision volume is bounded by the same band
     capacity argument as ``dedup_minhash_lsh_bucket_capped``.
     """
-    from awsbatch_mapreduce_spark.plans.wave5 import _scratch_dir, _scratch_tag
+    from awsbatch_mapreduce_spark.plans.wave5 import (
+        _scratch_dir,
+        _scratch_tag,
+        _table_names,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     b = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
@@ -459,12 +463,12 @@ def lsh_band_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _scratch_tag(sf_dir)
     base = _scratch_dir("awsbatch_lsh_index", sf_dir)
     tbl = f"lsh_band_idx_{tag}"
-    for t in spark.catalog.listTables():
-        if t.name.startswith("lsh_band_idx_") and not t.name.endswith(tag):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for t in _table_names(spark):
+        if t.startswith("lsh_band_idx_") and not t.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
-    bands = band_keys_frame(spark, sf_dir).persist()
+    bands = band_keys_frame(spark, sf_dir).localCheckpoint()
     writer_opts = dict(n_buckets=16)
     (
         bands.filter(F.col("doc_id") <= F.lit(q1))

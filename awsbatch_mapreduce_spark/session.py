@@ -60,6 +60,22 @@ _DEFAULT_CONF: dict[str, str] = {
     # (guide §2.2; standard production setting, 32k default is
     # conservative).  1m x one open writer per task is bounded memory.
     "spark.shuffle.file.buffer": "1m",
+    # Subset co-partitioning (round 19, guide §2.4 "remove shuffles
+    # outright"): with the default (true), a join only reuses its
+    # children's partitioning when they are hash-partitioned on ALL
+    # join keys, so an explicit repartition on a KEY SUBSET chosen to
+    # also serve a downstream aggregate is rewritten to the full key
+    # set and the aggregate re-exchanges.  False restores the
+    # documented subset rule (partitioning expressions ⊆ join keys,
+    # both sides matching).  Concretely: the prefix-filter verify
+    # partitions both sides of its (id_b, h) join on id_b ALONE, which
+    # satisfies the join AND the (id_a, id_b) pair count — the 450M-row
+    # expanded frame crosses ONE exchange instead of two.  Semantics-
+    # free (plan-shape only); scale behavior is strictly fewer bytes
+    # shuffled; it applies only where both sides are deliberately
+    # co-partitioned on a subset, which in this repo is always an
+    # explicit repartition.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # Local mode runs driver + all 32 executor threads in ONE JVM; the
     # 1g default heap gives ~19 MB of execution memory per concurrent
     # task, which starves 32-way sort-merge joins into GC thrash and
@@ -70,8 +86,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # run at 8g; measured warm walls 8g 49.8 s / 16g 45.9 s / 24g
     # 30.6 s.  24g is <19% of the 128 GiB sandbox and is a max-usage
     # bound, not a reservation; under spark-submit on a real cluster
-    # the submitted --driver-memory/--executor-memory win.
-    "spark.driver.memory": "24g",
+    # the submitted --driver-memory/--executor-memory win.  Sized to
+    # THIS sandbox: on smaller hosts set $SPARK_GRAFT_DRIVER_MEM
+    # (ADVICE r18 — a 24g heap under local[32] can push a small
+    # machine into swap instead of letting Spark spill).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 

@@ -428,10 +428,21 @@ def main() -> None:
         drift_flagged = []  # table absent/malformed: payload omits drift
     drift = {name: round(d, 2) for name, d in drift_raw.items()}
 
+    # Machine-readable core-scaling signal (round 19, VERDICT r18 #2):
+    # the driver's low-core run flagged `suspect_cpus_ignored` because
+    # every headline query at sf0.1 is overhead-bound (8 cores already
+    # saturate it) — while the CPU calibration probe demonstrably
+    # scales (~0.91 s at 8 cores vs ~0.39 s at 32).  Emitting the core
+    # count NEXT TO calibration_sec in both payloads lets the scaling
+    # check divide the two runs' probe times and separate "harness
+    # ignores $SPARK_GRAFT_CPUS" (ratio ~1) from "queries too small to
+    # show parallelism" (ratio tracks cores, query ratios ~1).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "cpus": cpus,
         "queries": timings,
         "extended": extended,
         "extended_total_sec": round(sum(extended.values()), 3),
@@ -479,6 +490,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": _REPS,
+        "cpus": cpus,
         "calibration_sec": calibration,
         "calibration_io_sec": calibration_io,
         "host_noise_suspected": noise_suspected,

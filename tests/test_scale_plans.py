@@ -596,10 +596,15 @@ def test_lsh_eval_truth_join_is_df_capped(spark):
     see an uncapped shingle universe: one boilerplate shingle in k docs
     makes k^2 pairs, so the plan has to carry the heavy-shingle cut —
     an anti-join against the df > 64 set — upstream of the self-join
-    (VERDICT r3 What's-wrong #3)."""
+    (VERDICT r3 What's-wrong #3).  Since the round-19 ladder migration
+    the query checkpoints the capped universe at build time (the
+    LeftAnti executes eagerly and the query plan reads an ExistingRDD),
+    so the pin inspects the named pre-checkpoint frame every consumer
+    shares (``wave4._capped_shingles``)."""
+    from awsbatch_mapreduce_spark.plans.wave4 import _capped_shingles
+
     plan = (
-        QUERIES["minhash_lsh_eval"]
-        .builder(spark, SF_DIR)
+        _capped_shingles(spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -648,12 +653,14 @@ _LADDER_BOUNDED_BROADCASTS = {
     "tfidf_top_term_per_doc": 0,
     # bounded broadcasts only: taus (4-row literal) + n_cand (1-row agg)
     "minhash_lsh_eval": 2,
-    # centroids (one per label) + query batch (vec_id < 8)
-    "ann_ivf_topk": 2,
+    # centroids at BOTH consumption sites (checkpointed bounded
+    # k-row frame since the round-19 argmin restructure — the old
+    # persisted scored frame deduped one site) + query batch
+    "ann_ivf_topk": 3,
     # wave 18 (round 18): the filtered variant — identical 2 bounded
     # sites (centroids + query batch); the metadata semi-join side is
     # a lang slice of the corpus (data-scaled) and pinned sort-merge
-    "ann_ivf_topk_filtered": 2,
+    "ann_ivf_topk_filtered": 3,
     # query band keys + query vectors (both vec_id < 8)
     "ann_lsh_topk": 2,
     # the 1-row mid scalar, cross-joined on both corpus halves
@@ -668,7 +675,7 @@ _LADDER_BOUNDED_BROADCASTS = {
     # wave-7: the union of the knn (1) and ivf (2) bounded broadcasts;
     # the truth-vs-approx recall join itself plans as a shuffle join
     # (both sides k x |queries|, bounded either way)
-    "ann_recall_eval": 3,
+    "ann_recall_eval": 4,
     # codebook (10x8x8 rows, broadcast at both its scan sites) + the
     # per-query ADC distance table (|queries| x 8 x 10 rows)
     "ann_pq_adc_topk": 3,
@@ -734,6 +741,15 @@ def test_dedup_ladder_never_broadcasts_data_scaled_sides(spark, name):
 # Any new broadcast that shifts a count fails this gate before it can
 # OOM a scaled run.
 _REGISTRY_BROADCAST_BUDGET = {
+    # Round-19 re-audit (all semdedup/codebook/kmeans rows): the coarse
+    # assignment — in kmeans_fit's loop AND in every probe/admission
+    # path (iterative.assign_to_cells_collected / assign_topk_cells_
+    # collected) — now applies the bounded codebook as a COLLECTED
+    # LITERAL expression instead of a broadcast crossJoin, so those
+    # BroadcastExchange sites disappear from the static plans (e.g.
+    # recall sweeps 19 -> 2, pointer lifecycles 2-6 -> 0-1).  The
+    # remaining rows are genuinely-bounded non-codebook sides
+    # (tombstone sets, sampled panels, eps grids, scalar totals).
     # wave 10 (round 9, re-audited round 18): the shared sim pipeline's
     # bounded broadcasts.  Since kmeans_fit rebuilds each iteration's
     # codebook as a DRIVER LITERAL (round-18 optimization — the
@@ -741,42 +757,42 @@ _REGISTRY_BROADCAST_BUDGET = {
     # driver-broadcast), only the FINAL iteration's literal book
     # remains in the returned lineage: 1 codebook site + the cell-size
     # frame's sites + the literal eps grid + the 1-row sample total
-    "semdedup_eps_curve_sampled": 7,
+    "semdedup_eps_curve_sampled": 5,
     # probe plan: the k-row persisted codebook at its 2 consumption
     # sites (assignment feeding the hits side and the retention base);
     # the members membership join and the hits retention join are
     # data-scaled and pinned — and the bucketed members scan feeds the
     # SMJ with no exchange (tests/test_wave10.py)
-    "semdedup_codebook_novelty": 2,
+    "semdedup_codebook_novelty": 0,
     # wave 11 (round 11): the bounded k0-row COARSE codebook at its 2
     # consumption sites (probe frame feeding hits + the output base);
     # the GROWING fine codebook and members sides are pinned sort-merge
     # and read their bucket specs with no exchange
     # (tests/test_wave11.py)
-    "semdedup_codebook_capacity": 2,
+    "semdedup_codebook_capacity": 0,
     # same shared probe plan (`wave11._build_probe`) with the grown
     # k0 = ceil(sqrt(n/cap)) coarse book — still bounded (sqrt-grade),
     # still exactly 2 sites; fine/members sides identical pins
-    "semdedup_codebook_adaptive": 2,
+    "semdedup_codebook_adaptive": 0,
     # wave 12 (round 13): the returned frame is the shared wave-11
     # probe against the GROWN app tables — same 2 bounded coarse-book
     # sites (the append step's k0-row sub-offset broadcast executes
     # eagerly inside the builder, before this plan; test_wave12 pins
     # the probe plan's exchange-free fine/members sides)
-    "semdedup_codebook_adaptive_append": 2,
+    "semdedup_codebook_adaptive_append": 0,
     # wave 13 (round 14): the refit lifecycle returns the same shared
     # wave-11 probe plan, now against the REFITTED generation — the
     # identical 2 bounded coarse-book sites (audited lineage matches
     # the adaptive/append twins exactly: one direct embeddings-scan
     # subtree Catalyst may re-plan at scale, one k0'-row book); the
     # refit's own Lloyd fit executes eagerly inside the builder
-    "semdedup_codebook_refit": 2,
+    "semdedup_codebook_refit": 0,
     # wave 13 (round 14): nprobe=2 doubles the single-probe plan's two
     # bounded sites exactly — one direct probe-scan subtree + one
     # k0-row coarse-book site PER PROBED RANK (audited lineages
     # [emb, emb, -, -]); fine/members stay pinned sort-merge
     # (tests/test_wave13.py pins the full plan shape)
-    "semdedup_codebook_multiprobe": 4,
+    "semdedup_codebook_multiprobe": 0,
     # wave 13 (round 14): the QA harness composes the single-probe
     # plan (2) + the nprobe=2 plan (4) over one shared fit, plus the
     # BOUNDED 64-vector panel at its truth-join site and the 1-row
@@ -784,7 +800,7 @@ _REGISTRY_BROADCAST_BUDGET = {
     # a k0-row book, or a scalar; the seen side of the truth join is
     # the un-broadcast scan (panel widened 64 -> 256 in round 15, same
     # literal-range construction)
-    "semdedup_codebook_recall_eval": 8,
+    "semdedup_codebook_recall_eval": 2,
     # wave 14 (round 15): the recall/cost sweep composes the
     # single-probe plan (2) + the rank-k multiprobe at nprobe=2 (4)
     # and nprobe=4 (one direct probe-scan subtree + one k0-row
@@ -796,15 +812,15 @@ _REGISTRY_BROADCAST_BUDGET = {
     # 256-row panel, or a scalar; the seen side of the truth join and
     # the fine/members probe sides stay un-broadcast (never_broadcast
     # pins inside the shared probe bodies)
-    "codebook_recall_sweep_cap16": 19,
-    "codebook_recall_sweep_cap64": 19,
-    "codebook_recall_sweep_cap512": 19,
+    "codebook_recall_sweep_cap16": 2,
+    "codebook_recall_sweep_cap64": 2,
+    "codebook_recall_sweep_cap512": 2,
     # wave 14 (round 15): the pointer lifecycle returns the shared
     # wave-11 probe plan against the generation the pointer names —
     # the identical 2 bounded coarse-book sites as the refit query
     # (fit/admit/refit/cutover/vacuum all execute eagerly inside the
     # builder before this plan is captured)
-    "codebook_pointer_lifecycle": 2,
+    "codebook_pointer_lifecycle": 0,
     # wave 14 (round 15): the IVFPQ re-rank probe — the shared
     # assignment's 2 bounded sites (direct probe-scan subtree + k0-row
     # coarse book) + the PERSISTED k x subspaces x dims PQ codebook at
@@ -812,19 +828,19 @@ _REGISTRY_BROADCAST_BUDGET = {
     # frame itself; the codes and members scans stay exchange-free
     # sort-merge off their (cell, sub) bucket specs (pinned in
     # tests/test_wave14.py)
-    "codebook_pq_rerank_probe": 4,
+    "codebook_pq_rerank_probe": 1,
     # wave 15 (round 16): the pointer-lifecycle ADC query returns the
     # shared PQ re-rank plan against the generation the pointer names —
     # the identical 4 bounded sites as codebook_pq_rerank_probe (the
     # fit/codes/admit/refit/cutover/vacuum sequence executes eagerly
     # inside the builder before this plan is captured)
-    "codebook_pointer_lifecycle_adc": 4,
+    "codebook_pointer_lifecycle_adc": 1,
     # wave 15 (round 16): the quality-escalation refit returns the
     # shared wave-11 probe plan against the cap-64 generation the
     # pointer names — the identical 2 bounded coarse-book sites as
     # codebook_pointer_lifecycle (cap changes table contents, not the
     # probe plan shape)
-    "codebook_quality_refit_lifecycle": 2,
+    "codebook_quality_refit_lifecycle": 0,
     # wave 16 (round 17): the pointer-served rank-2 multiprobe — the
     # shared coarse-book sites of the single-probe plan (direct
     # probe-scan subtree + k0-row coarse book) + the rank-2 exclusion
@@ -832,37 +848,37 @@ _REGISTRY_BROADCAST_BUDGET = {
     # broadcasts the SAME bounded k0 book; see wave13._assign_fine_multi
     # — r x broadcast-side compute, zero extra exchange); fine/members
     # stay pinned sort-merge
-    "codebook_pointer_nprobe_serving": 4,
+    "codebook_pointer_nprobe_serving": 0,
     # wave 16 (round 17): the rank-2 ADC path = the 4 bounded
     # multiprobe-assignment sites above + the PERSISTED bounded PQ
     # codebook at its distance-table site + the bounded per-vector
     # distance-table frame (the same 2 PQ sites as
     # codebook_pq_rerank_probe); codes/members exchange-free off their
     # bucket specs
-    "codebook_pointer_adc_multiprobe": 6,
+    "codebook_pointer_adc_multiprobe": 1,
     # wave 16 (round 17): the escalated-cap ADC probe returns the
     # shared single-probe PQ re-rank plan against the cap-64 pq
     # generation the pointer names — the identical 4 bounded sites as
     # codebook_pq_rerank_probe (cap changes table contents, not plan
     # shape; the lifecycle executes eagerly inside the builder)
-    "codebook_adc_escalated_refit": 4,
+    "codebook_adc_escalated_refit": 1,
     # wave 17 (round 18): deletion WITHOUT refit — the single-probe
     # plan's 2 bounded coarse-book sites + the TOMBSTONE anti-join's
     # broadcast (bounded by deletion-request volume, the one small
     # side this family allows; members keep their bucket distribution
     # — a broadcast join preserves the streamed child's partitioning)
-    "codebook_tombstone_probe": 3,
+    "codebook_tombstone_probe": 1,
     # wave 17 (round 18): deletion THEN refit — the refit cleared the
     # tombstones, so the probe is the plain single-probe plan (2
     # bounded coarse-book sites, no anti-join left in the plan)
-    "codebook_tombstone_refit": 2,
+    "codebook_tombstone_refit": 0,
     # wave 18 (round 18): deletion x PQ — the ADC probe's bounded
     # coarse-book sites (5: the assignment + PQ sub-assignment consume
     # the k0-row book at every re-evaluation site) + the bounded
     # per-vector ADC distance-table frame (1) + the TOMBSTONE set at
     # its 2 anti-join sites, members and codes (bounded by
     # deletion-request volume, the one small side this family allows)
-    "codebook_tombstone_adc": 8,
+    "codebook_tombstone_adc": 3,
     # wave 17 (round 18): the greedy LSH gate returns a union of
     # localCheckpoint()'d per-batch verdicts (the lifecycle executes
     # eagerly inside the builder, the codebook_adc_escalated_refit
@@ -879,7 +895,7 @@ _REGISTRY_BROADCAST_BUDGET = {
     # the init's 1 centroid site + the k-row cell-size frame at m's 3
     # consumption sites (pa/pb/retention base); the intra-cell pair
     # join and the retention join are data-scaled and pinned
-    "semdedup_cluster_prune": 5,
+    "semdedup_cluster_prune": 3,
     # probe plan: bucketed index scan + pinned band/membership joins,
     # no broadcasts anywhere (the mid boundary is a Python literal
     # here, not a broadcast scalar frame)
@@ -887,7 +903,7 @@ _REGISTRY_BROADCAST_BUDGET = {
     # the shared sim pipeline's bounded broadcasts — final literal
     # codebook site (round-18 driver-literal loop) + cell-size frame at
     # pa/pb's 2 sites + the literal eps grid + the 1-row corpus total
-    "semdedup_eps_retention_curve": 6,
+    "semdedup_eps_retention_curve": 4,
     # wave 8 (round 7): pure shuffle-path skew-safe twins
     "salted_topk_orders_per_customer": 0,
     "dedup_minhash_lsh_bucket_capped": 0,
@@ -992,7 +1008,7 @@ _REGISTRY_BROADCAST_BUDGET = {
     "json_malformed_handling": 0,
     # re-audited round 18 (driver-literal loop): the final iteration's
     # literal codebook + the persisted assignment's cached-plan site
-    "kmeans_embeddings": 2,
+    "kmeans_embeddings": 0,
     "lang_distinctive_terms": 3,  # bcast lineage: documents
     "lang_id_confusion": 0,
     "lsh_band_load_histogram": 0,

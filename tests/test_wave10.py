@@ -102,22 +102,26 @@ def test_codebook_novelty_non_vacuous_at_both_sfs(spark):
 
 
 def test_codebook_probe_zero_seen_side_recompute(spark):
-    """The lifecycle claim: the probe plan's seen side is parquet scans
-    of the two persisted tables — no Lloyd iteration, no posexplode, no
-    centroid arithmetic; the only broadcasts are the k-row codebook at
-    its 2 consumption sites; the (growing) members side feeds the
-    membership join with NO exchange (bucketed on cell)."""
+    """The lifecycle claim: the probe plan's seen side is a parquet
+    scan of the persisted members table — no Lloyd iteration, no
+    posexplode, no centroid arithmetic; the (growing) members side
+    feeds the membership join with NO exchange (bucketed on cell).
+    Since round 19 the bounded k-row codebook is COLLECTED at plan-
+    build time and applied as a literal argmin expression
+    (iterative.assign_to_cells_collected), so the probe plan carries
+    NO codebook scan and NO broadcast at all — the batch side crosses
+    one fewer exchange than the old broadcast-crossJoin assign."""
     df = QUERIES["semdedup_codebook_novelty"].builder(spark, SF_DIR)
     tree = _plan(df)
-    assert re.search(
+    assert not re.search(
         r"Scan parquet spark_catalog\.default\.semdedup_codebook_", tree
-    )
+    ), "codebook must be a collected literal, not a probe-plan scan"
     assert re.search(
         r"Scan parquet spark_catalog\.default\.semdedup_members_", tree
     )
     assert "posexplode" not in tree and "Generate" not in tree
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
-    assert got == 2, tree[:2000]
+    assert got == 0, tree[:2000]
     lines = tree.splitlines()
     i = next(
         i

@@ -110,19 +110,24 @@ def test_capacity_hits_are_subset_of_fixed_k_hits(spark):
 
 
 def test_capacity_probe_zero_seen_side_recompute(spark):
-    """The probe plan's seen side is parquet scans of the THREE
-    persisted tables — no Lloyd iteration, no posexplode, no centroid
-    arithmetic.  The only broadcasts are the bounded k0-row coarse
-    codebook at its 2 consumption sites (the GROWING fine codebook and
-    members sides are sort-merge, reading their bucket specs with no
-    exchange)."""
+    """The probe plan's seen side is parquet scans of the persisted
+    fine/members tables — no Lloyd iteration, no posexplode, no
+    centroid arithmetic.  Since round 19 the bounded k0-row coarse
+    codebook is COLLECTED at plan-build time and applied as a literal
+    argmin (iterative.assign_to_cells_collected), so the probe plan
+    carries NO coarse scan and NO broadcast at all; the GROWING fine
+    and members sides stay sort-merge, reading their bucket specs with
+    no exchange."""
     df = QUERIES["semdedup_codebook_capacity"].builder(spark, SF_DIR)
     tree = _plan(df)
-    for t in ("semdedup_cap_coarse_", "semdedup_cap_fine_", "semdedup_cap_members_"):
+    assert not re.search(
+        r"Scan parquet spark_catalog\.default\.semdedup_cap_coarse_", tree
+    ), "coarse book must be a collected literal, not a probe-plan scan"
+    for t in ("semdedup_cap_fine_", "semdedup_cap_members_"):
         assert re.search(rf"Scan parquet spark_catalog\.default\.{t}", tree), t
     assert "posexplode" not in tree and "Generate" not in tree
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
-    assert got == 2, tree[:2000]
+    assert got == 0, tree[:2000]
     lines = tree.splitlines()
     for t in ("semdedup_cap_fine_", "semdedup_cap_members_"):
         i = next(
@@ -192,15 +197,19 @@ def test_adaptive_flag_consistency_and_non_vacuous(spark):
 
 def test_adaptive_probe_zero_seen_side_recompute(spark):
     """The shared `_build_probe` layout holds for the adaptive index:
-    seen side = parquet scans of the three ada tables, exactly the 2
-    bounded coarse-book broadcasts, growing sides exchange-free."""
+    seen side = parquet scans of the ada fine/members tables, the
+    coarse book a collected literal (round 19 — no coarse scan, zero
+    broadcasts), growing sides exchange-free."""
     df = QUERIES["semdedup_codebook_adaptive"].builder(spark, SF_DIR)
     tree = _plan(df)
-    for t in ("semdedup_ada_coarse_", "semdedup_ada_fine_", "semdedup_ada_members_"):
+    assert not re.search(
+        r"Scan parquet spark_catalog\.default\.semdedup_ada_coarse_", tree
+    ), "coarse book must be a collected literal, not a probe-plan scan"
+    for t in ("semdedup_ada_fine_", "semdedup_ada_members_"):
         assert re.search(rf"Scan parquet spark_catalog\.default\.{t}", tree), t
     assert "posexplode" not in tree and "Generate" not in tree
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
-    assert got == 2, tree[:2000]
+    assert got == 0, tree[:2000]
     lines = tree.splitlines()
     for t in ("semdedup_ada_fine_", "semdedup_ada_members_"):
         i = next(

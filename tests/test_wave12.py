@@ -152,17 +152,21 @@ def test_append_is_semantically_live(spark):
 
 
 def test_append_probe_zero_seen_side_recompute(spark):
-    """The probe plan reads the three persisted app tables (grown
-    generations included), no Lloyd/posexplode, exactly the 2 bounded
-    coarse-book broadcasts; growing fine/members sides exchange-free
-    off their bucket specs."""
+    """The probe plan reads the persisted app fine/members tables
+    (grown generations included), no Lloyd/posexplode; the coarse book
+    is a collected literal (round 19 — no coarse scan, zero
+    broadcasts); growing fine/members sides exchange-free off their
+    bucket specs."""
     df = QUERIES[_Q].builder(spark, SF_DIR)
     tree = _plan(df)
-    for t in ("semdedup_app_coarse_", "semdedup_app_fine_", "semdedup_app_members_"):
+    assert not re.search(
+        r"Scan parquet spark_catalog\.default\.semdedup_app_coarse_", tree
+    ), "coarse book must be a collected literal, not a probe-plan scan"
+    for t in ("semdedup_app_fine_", "semdedup_app_members_"):
         assert re.search(rf"Scan parquet spark_catalog\.default\.{t}", tree), t
     assert "posexplode" not in tree and "Generate" not in tree
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
-    assert got == 2, tree[:2000]
+    assert got == 0, tree[:2000]
     lines = tree.splitlines()
     for t in ("semdedup_app_fine_", "semdedup_app_members_"):
         i = next(

@@ -287,22 +287,24 @@ def test_multiprobe_is_superset_of_single_probe(spark):
 
 
 def test_multiprobe_probe_plan_shape(spark):
-    """The nprobe=2 plan is the single-probe layout doubled on the
-    BOUNDED side only: exactly 4 broadcasts (one direct probe-scan
-    subtree + one k0-row coarse-book site per probed rank), the
-    growing fine/members scans exchange-free off their bucket specs,
-    and zero seen-side recompute (no Lloyd, no posexplode)."""
+    """The nprobe=2 plan since round 19: the rank-k coarse assignment
+    is ONE literal-codebook expression (array_sort + slice over the
+    collected bounded book, iterative.assign_topk_cells_collected) —
+    no coarse scan, ZERO broadcasts, no per-rank crossJoin rounds; the
+    growing fine/members scans stay exchange-free off their bucket
+    specs; zero seen-side recompute (no Lloyd, no posexplode of the
+    corpus — the only Generate is the bounded nprobe-length top-k
+    explode on the batch side)."""
     df = QUERIES[_MP].builder(spark, SF_DIR)
     tree = _plan(df)
-    for t in (
-        "semdedup_mp2_coarse_",
-        "semdedup_mp2_fine_",
-        "semdedup_mp2_members_",
-    ):
+    assert not re.search(
+        r"Scan parquet spark_catalog\.default\.semdedup_mp2_coarse_", tree
+    ), "coarse book must be a collected literal, not a probe-plan scan"
+    for t in ("semdedup_mp2_fine_", "semdedup_mp2_members_"):
         assert re.search(rf"Scan parquet spark_catalog\.default\.{t}", tree), t
-    assert "posexplode" not in tree and "Generate" not in tree
+    assert "posexplode(vq" not in tree, "corpus-side posexplode crept back"
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
-    assert got == 4, tree[:2000]
+    assert got == 0, tree[:2000]
     lines = tree.splitlines()
     for t in ("semdedup_mp2_fine_", "semdedup_mp2_members_"):
         for i, line in enumerate(lines):

@@ -76,12 +76,14 @@ def test_semdedup_lowest_id_per_cell_never_dropped(spark):
 
 def test_semdedup_pair_join_is_pinned_sort_merge(spark):
     """Both sides of the intra-cell pair join are O(corpus): the only
-    broadcasts in the plan must be the kmeans codebook lineage (10, as
-    in kmeans_embeddings) plus the bounded k-row cell-size frame at
-    m's 3 consumption sites — never the pair or retention frames."""
+    broadcasts in the plan are the bounded k-row cell-size frame at
+    m's 3 consumption sites — never the pair or retention frames.
+    (The kmeans codebook lineage broadcasts vanished in round 19: the
+    fit's argmin applies the codebook as a collected literal, so the
+    final assignment plan carries no broadcast at all.)"""
     tree = _plan(QUERIES["semdedup_cluster_prune"].builder(spark, SF_DIR))
     got = len(set(re.findall(r"BroadcastExchange \((\d+)\)", tree)))
-    assert got == 13, tree[:2000]
+    assert got == 3, tree[:2000]
     assert "SortMergeJoin" in tree
 
 
@@ -143,14 +145,13 @@ def test_lifecycle_probe_has_no_seen_side_shingle_recompute(spark):
     df = QUERIES["lsh_band_index_lifecycle"].builder(spark, SF_DIR)
     tree = _plan(df)
     assert re.search(r"Scan parquet spark_catalog\.default\.lsh_band_idx_", tree)
-    # the persisted band frame plans its shingle pipeline once; its
-    # InMemoryTableScan is reused by the new-batch branch
-    assert tree.count("InMemoryTableScan") >= 1
+    # the band frame is localCheckpoint-ed at build time (round-19
+    # ladder migration): the probe plan reads its materialized RDD, so
+    # ZERO shingle pipelines may appear in the plan — strictly stronger
+    # than the old "at most the one persisted pipeline" pin
+    assert "Scan ExistingRDD" in tree
     sig_aggs = len(re.findall(r"partial_min\(substring\(md5", tree))
-    one_pipeline = len(
-        re.findall(r"partial_min\(substring\(md5", _plan_of_bands(spark))
-    )
-    assert sig_aggs <= one_pipeline, (sig_aggs, one_pipeline)
+    assert sig_aggs == 0, sig_aggs
 
 
 def _plan_of_bands(spark):
