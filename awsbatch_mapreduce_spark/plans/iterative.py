@@ -327,16 +327,20 @@ def _assign_literal(
 
 def _codebook_literal(cents: list) -> Column:
     """k x dim driver-side centroid lists -> ONE array<array<double>>
-    literal Column.  Form matters for driver overhead, not semantics
-    (round 19, guide §7.3): ``F.lit(nested_list)`` costs one py4j
-    round-trip per element, and a parsed ``array(array(CAST(..)))``
-    expression is a k x dim-node tree the ANALYZER re-walks on every
-    Dataset creation (measured ~140 ms per select at k x dim = 512) —
-    while a JSON string literal + ``from_json`` is a 2-node tree the
-    optimizer constant-folds once per query.  Exactness: ``json.dumps``
-    emits Python's shortest-round-trip float digits and Jackson parses
-    them with ``Double.parseDouble`` semantics, so the folded codebook
-    is bit-identical to the collected doubles."""
+    literal Column, as a JSON string literal + ``from_json``.  Form
+    matters for driver overhead, not semantics (round 19, measured):
+    ``F.lit(nested_list)`` costs one py4j round-trip per element
+    (~450 ms per iteration at k x dim = 512), and a parsed
+    ``array(array(..))`` expression is a k x dim-node tree that every
+    analyzer/optimizer pass re-walks per Dataset op (~70-140 ms per
+    select at this size; a two-fit lifecycle measured ~7 s slower on
+    that form) — while the JSON literal is a 2-node tree the optimizer
+    constant-folds once per query, and per-row access through the
+    folded array measured no slower than the parsed form once JIT-warm
+    (0.21 s vs 0.73 s per million element_at+fold rows).  Exactness:
+    ``json.dumps`` emits Python's shortest-round-trip float digits and
+    Jackson parses them with ``Double.parseDouble`` semantics, so the
+    folded codebook is bit-identical to the collected doubles."""
     import json
 
     return F.from_json(F.lit(json.dumps(cents)), "array<array<double>>")

@@ -157,11 +157,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(*aggs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()  # two consumers via the band self-join
-    )
+    # sig is NOT checkpointed (measured 0.25 s slower with it): its two
+    # consumers are the band self-join's sides, and re-running one
+    # groupBy over the MATERIALIZED sh blocks costs less than a second
+    # materialization barrier
+    sig = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n"))
     # one pass over sig: band keys as an exploded array column (the
     # union-of-selects form recomputes the signature aggregation per band)
     band_keys = F.array(

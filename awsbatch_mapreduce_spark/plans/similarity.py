@@ -297,36 +297,42 @@ def _ivf_probe_topk(
     # Round-19 restructure (VERDICT r18 #5, guide §2.4): the old plan
     # ranked the FULL n x k scored frame through one row_number window
     # (an exchange of every candidate row) and persisted it for two
-    # consumers.  The two consumers want different things: the cell
-    # ASSIGNMENT is argmax-per-vector — an aggregate whose partial,
-    # map-side step collapses the n x k blow-up before the exchange
-    # (one row per vector crosses, ~1/k the bytes) — and the PROBE
-    # side ranks only the bounded query batch (vec_id < 8), whose
-    # re-scan is a parquet min/max-pruned read of a few rows, not the
-    # "second corpus pass" the round-18 note feared.  The shared
-    # centroid build is localCheckpoint-ed (bounded k rows, eager,
-    # in-region — recomputing it per consumer would be the real second
-    # corpus pass; no lazy persist, so no cross-rep cache reuse).
-    centroids = centroids.localCheckpoint()
-    corpus = emb.select("vec_id", "embedding")
-    s = dround(
-        _dot(F.col("embedding"), F.col("centroid"))
-        / (_l2_norm(F.col("embedding")) * _l2_norm(F.col("centroid"))),
+    # consumers.  The bounded codebook is instead COLLECTED once (one
+    # k-row job — it was always broadcast-sized) and applied as a
+    # literal expression, exactly the kmeans-family discipline
+    # (iterative.assign_to_cells_collected): the cell ASSIGNMENT
+    # becomes a pure per-row projection — no crossJoin, no broadcast
+    # build, no n x k candidate rows, NO exchange at all — and the
+    # PROBE side top-2 is an array_sort + slice over the same literal
+    # on the bounded vec_id < 8 batch, whose re-scan is a parquet
+    # min/max-pruned read of a few rows (not the "second corpus pass"
+    # the round-18 note feared).  Score arithmetic is the identical
+    # dround(dot / (|v| * |c|), 6) expression over the identical
+    # doubles (repr/parse round-trip is exact); argmax on
+    # (s desc, cell asc) == first array_min of struct(-s, cell), and
+    # the top-2 slice of the ascending (-s, cell) sort is the window's
+    # rk <= 2 pair — negation of a finite double is exact.
+    from awsbatch_mapreduce_spark.plans.iterative import _codebook_literal
+
+    rows = sorted(centroids.collect(), key=lambda r: r["label"])
+    label_type = centroids.schema["label"].dataType
+    cents_lit = _codebook_literal([list(r["centroid"]) for r in rows])
+    cells_lit = F.expr(
+        "array(" + ",".join(str(int(r["label"])) for r in rows) + ")"
+    )
+    sc = lambda c: dround(  # noqa: E731 — the per-cell score expression
+        _dot(F.col("embedding"), c)
+        / (_l2_norm(F.col("embedding")) * _l2_norm(c)),
         6,
     )
-    # argmax on (s desc, cell asc) == struct-min on (-s, cell): the
-    # negation of a finite double is exact, equal quantized scores
-    # compare equal, so the winner matches the old rk=1 row exactly
-    assign = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select("vec_id", F.col("label").alias("cell"), s.alias("s"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("s")).alias("ns"), F.col("cell").alias("cell"))
-            ).alias("b")
-        )
-        .select("vec_id", F.col("b.cell").alias("cell"))
+    pairs = F.zip_with(
+        F.transform(cents_lit, sc),
+        cells_lit,
+        lambda s, c: F.struct((-s).alias("ns"), c.alias("cell")),
+    )
+    assign = emb.select(
+        "vec_id",
+        F.array_min(pairs)["cell"].cast(label_type).alias("cell"),
     )
     if neighbor_lang is not None:
         flt = (
@@ -335,15 +341,13 @@ def _ivf_probe_topk(
             .select(F.col("doc_id").alias("vec_id"))
         )
         assign = assign.join(never_broadcast(flt), "vec_id", "left_semi")
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell"))
     probe = (
         emb.filter(F.col("vec_id") < 8)
-        .select("vec_id", "embedding")
-        .crossJoin(F.broadcast(centroids))
-        .select("vec_id", F.col("label").alias("cell"), s.alias("s"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") <= 2)
-        .select(F.col("vec_id").alias("query_id"), "cell")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(F.slice(F.array_sort(pairs), 1, 2)).alias("p", "s"),
+        )
+        .select("query_id", F.col("s.cell").cast(label_type).alias("cell"))
     )
     cand = probe.join(assign, "cell").filter(
         F.col("vec_id") != F.col("query_id")

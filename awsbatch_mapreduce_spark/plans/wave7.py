@@ -560,11 +560,9 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(*aggs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
-    )
+    # no sig checkpoint: re-agg over the materialized sh is cheaper
+    # than a second materialization barrier (round-19 measurement)
+    sig = sh.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n"))
     band_keys = F.array(
         *[
             F.md5(

@@ -653,14 +653,15 @@ _LADDER_BOUNDED_BROADCASTS = {
     "tfidf_top_term_per_doc": 0,
     # bounded broadcasts only: taus (4-row literal) + n_cand (1-row agg)
     "minhash_lsh_eval": 2,
-    # centroids at BOTH consumption sites (checkpointed bounded
-    # k-row frame since the round-19 argmin restructure — the old
-    # persisted scored frame deduped one site) + query batch
-    "ann_ivf_topk": 3,
+    # the centroids are a COLLECTED literal since round 19 (the
+    # assignment is a per-row expression — no broadcast, no exchange);
+    # remaining sites: the vec_id<8 query batch + the probe-side
+    # candidate frame
+    "ann_ivf_topk": 2,
     # wave 18 (round 18): the filtered variant — identical 2 bounded
     # sites (centroids + query batch); the metadata semi-join side is
     # a lang slice of the corpus (data-scaled) and pinned sort-merge
-    "ann_ivf_topk_filtered": 3,
+    "ann_ivf_topk_filtered": 2,
     # query band keys + query vectors (both vec_id < 8)
     "ann_lsh_topk": 2,
     # the 1-row mid scalar, cross-joined on both corpus halves
@@ -675,7 +676,7 @@ _LADDER_BOUNDED_BROADCASTS = {
     # wave-7: the union of the knn (1) and ivf (2) bounded broadcasts;
     # the truth-vs-approx recall join itself plans as a shuffle join
     # (both sides k x |queries|, bounded either way)
-    "ann_recall_eval": 4,
+    "ann_recall_eval": 3,
     # codebook (10x8x8 rows, broadcast at both its scan sites) + the
     # per-query ADC distance table (|queries| x 8 x 10 rows)
     "ann_pq_adc_topk": 3,
